@@ -1,0 +1,107 @@
+"""DataFrame-level validation runner.
+
+Binds compiled rules to a DataFrame and produces the engine's contract
+outputs (SURVEY.md §2.3):
+
+- ``violations``: one row per (input row, column rule) that failed —
+  ``(row key, column, schema_path, keyword, description, partition_id)``,
+  mirroring the reference's ``{false, {SchemaPath, Description}}`` tuples
+  (/root/reference/src/ndto_generator.erl:216-227) with exactly ONE
+  violation per (row, rule) chosen by the reference's priority.
+- ``verdicts``: per-partition pass/fail + counters (the distributed
+  extension the single-value reference does not have).
+
+Everything is a single Catalyst expression per rule — validation adds zero
+shuffles and zero Python; violations/verdicts are plain projections and one
+partition-local aggregation over the annotated frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .compiler import Compiled, CompileOptions, Compiler, VIOLATION_TYPE
+from .spec import Schema
+
+VIOLATIONS_COL = "violations"
+PARTITION_COL = "partition_id"
+
+
+@dataclass
+class ValidationResult:
+    annotated: DataFrame  # input + violations array<struct> + partition_id
+    violations: DataFrame  # key, column, schema_path, keyword, description, partition_id
+    verdicts: DataFrame  # partition_id, pass, n_rows, n_violations
+
+
+class RuleSet:
+    """column name → schema spec, compiled against the DataFrame's types."""
+
+    def __init__(
+        self,
+        rules: dict[str, Schema],
+        registry: Optional[dict[str, Schema]] = None,
+        options: Optional[CompileOptions] = None,
+    ) -> None:
+        self.rules = rules
+        self.compiler = Compiler(registry=registry, options=options)
+
+    def compile(self, df: DataFrame) -> dict[str, Compiled]:
+        out = {}
+        for col, schema in self.rules.items():
+            dtype = df.schema[col].dataType
+            out[col] = self.compiler.compile(schema, F.col(col), dtype, "$")
+        return out
+
+    def violations_array(self, df: DataFrame) -> Column:
+        """array<struct<column,schema_path,keyword,description>> of failures."""
+        compiled = self.compile(df)
+        entries = [
+            F.when(
+                ~c.pred,
+                F.struct(
+                    F.lit(col).alias("column"),
+                    # pred=False ⇒ viol non-null by construction; the coalesce
+                    # is a safety net that keeps the row reportable regardless
+                    F.coalesce(c.viol["schema_path"], F.lit("$")).alias("schema_path"),
+                    F.coalesce(c.viol["keyword"], F.lit("unknown")).alias("keyword"),
+                    c.viol["description"].alias("description"),
+                ),
+            )
+            for col, c in compiled.items()
+        ]
+        return F.array_compact(F.array(*entries))
+
+
+def validate(
+    df: DataFrame,
+    rules: dict[str, Schema] | RuleSet,
+    key: str,
+    registry: Optional[dict[str, Schema]] = None,
+    options: Optional[CompileOptions] = None,
+) -> ValidationResult:
+    ruleset = rules if isinstance(rules, RuleSet) else RuleSet(rules, registry, options)
+    annotated = df.withColumn(VIOLATIONS_COL, ruleset.violations_array(df)).withColumn(
+        PARTITION_COL, F.spark_partition_id()
+    )
+    violations = annotated.select(
+        F.col(key),
+        F.explode(VIOLATIONS_COL).alias("v"),
+        F.col(PARTITION_COL),
+    ).select(
+        key,
+        F.col("v.column").alias("column"),
+        F.col("v.schema_path").alias("schema_path"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.description").alias("description"),
+        PARTITION_COL,
+    )
+    verdicts = annotated.groupBy(PARTITION_COL).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
+    ).withColumn("pass", F.col("n_violations") == 0)
+    return ValidationResult(annotated=annotated, violations=violations, verdicts=verdicts)
