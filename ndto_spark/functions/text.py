@@ -1,0 +1,105 @@
+"""Text analysis over document tables: quality scoring, language ID,
+token counting, document fingerprinting.
+
+All expression-side (built-in pyspark.sql.functions) — these run inside
+whole-stage codegen with zero Python in the hot path, so they scan at
+parquet-read speed at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..dedup import tokens, word_shingles
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_count(col: Column, stopwords: list[str]) -> Column:
+    sw = [F.lit(s) for s in stopwords]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*[s for s in stopwords])))
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document integer quality features (engine-independent: no floats).
+
+    (id, char_count, token_count, distinct_tokens, stopword_count,
+    punct_count, max_token_len)
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("char_count"),
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct_tokens"),
+        stopword_count(t, LANG_MARKERS["en"]).alias("n_stopwords"),
+        punct_count(t).alias("n_punct"),
+        F.array_max(F.transform(tokens(t), lambda x: F.length(x))).alias(
+            "max_token_len"
+        ),
+    )
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    return [
+        (lang, stopword_count(col, markers))
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language ID: argmax language score, 'und' when all 0.
+
+    Ties break by language name order (deterministic).
+    """
+    t = F.col(text_col)
+    scores = lang_scores(t)
+    entries = F.array(
+        *[
+            F.struct((-score).alias("neg"), F.lit(lang).alias("lang"))
+            for lang, score in scores
+        ]
+    )
+    best = F.get(F.array_sort(entries), 0)
+    pred = F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        (-best["neg"]).alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint.
+
+    The fingerprint is the lexicographic MIN of the md5 hashes of the
+    document's k-token shingles (min-hash sketch of size 1 with a strong
+    hash), plus the shingle count. Identical-content docs share fingerprints;
+    it is cheap (expression-side) and engine-independent.
+    """
+    sh = word_shingles(F.col(text_col), k)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return df.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )

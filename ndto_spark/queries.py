@@ -1,0 +1,499 @@
+"""Driver-gate query pack: Spark queries + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-pipeline op) over the driver-generated testdata tables. The Spark
+side and the oracle SQL are written to be value-identical:
+
+- violation descriptions are compile-time constants (same literal both sides)
+- float-valued outputs are quantized with floor(x * 10^k) AS BIGINT
+- order-sensitive float reductions are forced into a deterministic order
+  (bucket-sorted lists) in BOTH engines
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ann, dedup, table_rules
+from .functions import text as textfn
+from .runner import RuleSet
+
+# ---------------------------------------------------------------------------
+# rule sets (shared by queries and the flagship entry)
+
+DOCUMENT_RULES = {
+    "doc_id": {"type": "integer", "minimum": 0},
+    "lang": {"enum": ["en", "es", "de", "fr"]},
+    "n_chars": {"type": "integer", "minimum": 50, "maximum": 500},
+    "text": {
+        "type": "string",
+        "min_length": 50,
+        "max_length": 540,
+        "pattern": "the",
+    },
+}
+
+EVENT_RULES = {
+    "event_type": {"enum": ["click", "view", "purchase", "signup"]},
+    "value": {
+        "type": "float",
+        "minimum": 0,
+        "exclusive_minimum": True,
+        "maximum": 400,
+    },
+    "user_id": {"type": "integer", "minimum": 0, "multiple_of": 7},
+}
+
+LINEITEM_RULES = {
+    "l_quantity": {
+        "one_of": [
+            {"type": "float", "maximum": 30},
+            {"type": "float", "minimum": 20},
+        ]
+    },
+    "l_extendedprice": {
+        "all_of": [
+            {"type": "float", "minimum": 1000},
+            {"type": "float", "maximum": 80000},
+        ]
+    },
+    "l_returnflag": {"not": {"enum": ["R"]}},
+}
+
+
+def _violations(df: DataFrame, rules: dict, key: str) -> DataFrame:
+    from .runner import validate
+
+    res = validate(df, rules, key=key)
+    return res.violations.select(
+        F.col(key),
+        F.col("column").alias("column_name"),
+        "schema_path",
+        "keyword",
+        "description",
+    )
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# validation queries
+
+
+def q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _violations(_read(spark, sf_dir, "documents"), DOCUMENT_RULES, "doc_id")
+
+
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _violations(_read(spark, sf_dir, "events"), EVENT_RULES, "event_id")
+
+
+def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").withColumn(
+        "row_key", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return _violations(li, LINEITEM_RULES, "row_key")
+
+
+# ---------------------------------------------------------------------------
+# table rules
+
+
+def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_rules.column_stats(
+        _read(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_rules.uniqueness(
+        _read(spark, sf_dir, "lineitem"), "l_orderkey", two_phase=True
+    )
+
+
+def q_ref_integrity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    customer = _read(spark, sf_dir, "customer")
+    return table_rules.referential_integrity(
+        events, "user_id", customer, "c_custkey"
+    ).select("event_id", "user_id")
+
+
+def q_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS + PSI of l_extendedprice between even- and odd-orderkey halves.
+
+    Deterministic float path: per-bucket terms are summed in bucket order in
+    both engines; outputs quantized to 1e-6.
+    """
+    li = _read(spark, sf_dir, "lineitem")
+    lo, hi, nbins, eps = 0.0, 120000.0, 20, 1e-6
+    b = table_rules.bucketize(F.col("l_extendedprice"), lo, hi, nbins)
+    g = (F.col("l_orderkey") % 2 == 0).alias("is_even")
+    hist = (
+        li.select(b.alias("bucket"), g)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_even"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(~F.col("is_even"), 1).otherwise(0)).alias("nb"),
+        )
+    )
+    bins = spark.range(nbins).select(F.col("id").cast("int").alias("bucket"))
+    full = bins.join(hist, "bucket", "left").select(
+        "bucket",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    # bucket-ordered reduction: collect (bucket, na, nb) into a sorted array,
+    # then fold — identical order in DuckDB via list(... ORDER BY bucket)
+    arr = F.array_sort(
+        F.collect_list(F.struct("bucket", "na", "nb"))
+    )
+    folded = full.agg(arr.alias("rows"), F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    rows, ta, tb = F.col("rows"), F.col("ta"), F.col("tb")
+    pa = lambda r: r["na"] / ta  # noqa: E731
+    pb = lambda r: r["nb"] / tb  # noqa: E731
+    ks = F.aggregate(
+        rows,
+        F.struct(F.lit(0.0).alias("ca"), F.lit(0.0).alias("cb"), F.lit(0.0).alias("ks")),
+        lambda acc, r: F.struct(
+            (acc["ca"] + pa(r)).alias("ca"),
+            (acc["cb"] + pb(r)).alias("cb"),
+            F.greatest(acc["ks"], F.abs(acc["ca"] + pa(r) - acc["cb"] - pb(r))).alias(
+                "ks"
+            ),
+        ),
+        lambda acc: acc["ks"],
+    )
+    psi = F.aggregate(
+        rows,
+        F.lit(0.0),
+        lambda acc, r: acc
+        + (pa(r) - pb(r)) * F.log((pa(r) + F.lit(eps)) / (pb(r) + F.lit(eps))),
+    )
+    out = folded.select(ks.alias("ks"), psi.alias("psi"))
+    return out.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("ks"), F.lit("psi")),
+                F.array(
+                    F.floor(F.col("ks") * 1e6).cast("bigint").cast("double"),
+                    F.floor(F.col("psi") * 1e6).cast("bigint").cast("double"),
+                ),
+            )
+        ).alias("metric", "value_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text ops
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", k=5, threshold=0.1
+    )
+
+
+def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=5,
+        num_hashes=32,
+        bands=16,
+        verify_threshold=0.1,
+    )
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_dup_candidates(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", bits=16
+    ).select("simhash", "n_docs")
+
+
+def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    topk = ann.brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4"),
+    )
+
+
+def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann.lsh_topk(emb, queries, dim=64, k=3, num_planes=6, num_tables=4).select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4"),
+    )
+
+
+def q_text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.quality_metrics(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.lang_id(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text", k=8)
+
+
+def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_rules.approx_distinct_hll(_read(spark, sf_dir, "events"), "user_id")
+
+
+QUERIES = {
+    "validate_documents": q_validate_documents,
+    "validate_events": q_validate_events,
+    "validate_lineitem": q_validate_lineitem,
+    "stats_lineitem": q_stats_lineitem,
+    "uniqueness_lineitem": q_uniqueness_lineitem,
+    "ref_integrity_events": q_ref_integrity_events,
+    "drift_lineitem": q_drift_lineitem,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "minhash_lsh_documents": q_minhash_lsh_documents,
+    "simhash_documents": q_simhash_documents,
+    "ann_topk_embeddings": q_ann_topk_embeddings,
+    "ann_lsh_embeddings": q_ann_lsh_embeddings,
+    "text_quality_documents": q_text_quality_documents,
+    "lang_id_documents": q_lang_id_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "hll_distinct_events": q_hll_distinct_events,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (ANSI-ish; runs on pre-registered parquet views)
+
+_DOC_TOKS = (
+    "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+)
+
+
+def _shingle_cte(k: int) -> str:
+    """CTE producing (doc_id, shingles list) of k-token shingles."""
+    return f"""
+toks AS (SELECT doc_id, {_DOC_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+{k - 1}], ' ')
+                        for i in range(1, len(t) - {k - 2})]) AS shingles
+  FROM toks
+)
+"""
+
+
+ORACLE_SQL = {
+    "validate_documents": """
+SELECT doc_id, 'doc_id' AS column_name, v[1] AS schema_path, v[2] AS keyword, v[3] AS description
+FROM (SELECT doc_id, CASE
+  WHEN doc_id IS NULL THEN ['$.type', 'type', 'Value is not an integer']
+  WHEN doc_id < 0 THEN ['$.minimum', 'minimum', 'Value is not a number greater or equal to 0']
+  END AS v FROM documents) WHERE v IS NOT NULL
+UNION ALL
+SELECT doc_id, 'lang', '$', 'enum', 'Value is not one in the enum'
+FROM documents WHERE lang IS NULL OR lang NOT IN ('en','es','de','fr')
+UNION ALL
+SELECT doc_id, 'n_chars' AS column_name, v[1], v[2], v[3]
+FROM (SELECT doc_id, CASE
+  WHEN n_chars IS NULL THEN ['$.type', 'type', 'Value is not an integer']
+  WHEN n_chars > 500 THEN ['$.maximum', 'maximum', 'Number is not lower or equal to 500']
+  WHEN n_chars < 50 THEN ['$.minimum', 'minimum', 'Value is not a number greater or equal to 50']
+  END AS v FROM documents) WHERE v IS NOT NULL
+UNION ALL
+SELECT doc_id, 'text' AS column_name, v[1], v[2], v[3]
+FROM (SELECT doc_id, CASE
+  WHEN text IS NULL THEN ['$.type', 'type', 'Value is not a string']
+  WHEN NOT regexp_matches(text, 'the') THEN ['$.pattern', 'pattern', 'String does not match pattern the']
+  WHEN length(text) > 540 THEN ['$.max_length', 'max_length', 'String length "Length" is greater than 540']
+  WHEN length(text) < 50 THEN ['$.min_length', 'min_length', 'String length "Length" is less than 50']
+  END AS v FROM documents) WHERE v IS NOT NULL
+""",
+    "validate_events": """
+SELECT event_id, 'event_type' AS column_name, '$' AS schema_path, 'enum' AS keyword,
+       'Value is not one in the enum' AS description
+FROM events WHERE event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup')
+UNION ALL
+SELECT event_id, 'value', v[1], v[2], v[3]
+FROM (SELECT event_id, CASE
+  WHEN value IS NULL THEN ['$.type', 'type', 'Value is not a float']
+  WHEN value > 400 THEN ['$.maximum', 'maximum', 'Number is not lower or equal to 400']
+  WHEN value <= 0 THEN ['$.minimum', 'minimum', 'Value is not a number greater than 0']
+  END AS v FROM events) WHERE v IS NOT NULL
+UNION ALL
+SELECT event_id, 'user_id', v[1], v[2], v[3]
+FROM (SELECT event_id, CASE
+  WHEN user_id IS NULL THEN ['$.type', 'type', 'Value is not an integer']
+  WHEN user_id % 7 != 0 THEN ['$.multiple_of', 'multiple_of', 'Value is not multiple of 7']
+  WHEN user_id < 0 THEN ['$.minimum', 'minimum', 'Value is not a number greater or equal to 0']
+  END AS v FROM events) WHERE v IS NOT NULL
+""",
+    "validate_lineitem": """
+WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS row_key, * FROM lineitem)
+SELECT row_key, 'l_quantity' AS column_name, '$.one_of' AS schema_path, 'one_of' AS keyword, v AS description
+FROM (SELECT row_key, CASE
+  WHEN l_quantity IS NULL OR (NOT l_quantity <= 30 AND NOT l_quantity >= 20)
+    THEN 'Value is not matching exactly one condition. None matched.'
+  WHEN l_quantity <= 30 AND l_quantity >= 20
+    THEN 'Value is not matching exactly one condition. More than one (conditions 0 and 1) matched.'
+  END AS v FROM li) WHERE v IS NOT NULL
+UNION ALL
+SELECT row_key, 'l_extendedprice', '$.all_of', 'all_of', v
+FROM (SELECT row_key, CASE
+  WHEN l_extendedprice IS NULL
+    THEN 'Value is not matching all conditions. Condition 1 failed because of schema path ''$.all_of[1].type'' : Value is not a float'
+  WHEN NOT l_extendedprice <= 80000
+    THEN 'Value is not matching all conditions. Condition 1 failed because of schema path ''$.all_of[1].maximum'' : Number is not lower or equal to 80000'
+  WHEN NOT l_extendedprice >= 1000
+    THEN 'Value is not matching all conditions. Condition 0 failed because of schema path ''$.all_of[0].minimum'' : Value is not a number greater or equal to 1000'
+  END AS v FROM li) WHERE v IS NOT NULL
+UNION ALL
+SELECT row_key, 'l_returnflag', '$.not', 'not', NULL
+FROM li WHERE l_returnflag = 'R'
+""",
+    "stats_lineitem": """
+SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+       count(*) FILTER (l_quantity IS NULL) AS n_nulls,
+       min(l_quantity)::DOUBLE AS min_value, max(l_quantity)::DOUBLE AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) FILTER (l_extendedprice IS NULL),
+       min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(*) FILTER (l_discount IS NULL),
+       min(l_discount)::DOUBLE, max(l_discount)::DOUBLE FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*), count(*) FILTER (l_tax IS NULL),
+       min(l_tax)::DOUBLE, max(l_tax)::DOUBLE FROM lineitem
+""",
+    "uniqueness_lineitem": """
+SELECT l_orderkey, count(*) AS n_dups FROM lineitem GROUP BY 1 HAVING count(*) > 1
+""",
+    "ref_integrity_events": """
+SELECT event_id, user_id FROM events
+WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+""",
+    "drift_lineitem": """
+WITH h AS (
+  SELECT least(greatest(CAST(floor(l_extendedprice / 6000.0) AS INT), 0), 19) AS bucket,
+         count(*) FILTER (l_orderkey % 2 = 0) AS na,
+         count(*) FILTER (l_orderkey % 2 != 0) AS nb
+  FROM lineitem GROUP BY 1
+),
+full_h AS (
+  SELECT g.bucket, coalesce(h.na, 0) AS na, coalesce(h.nb, 0) AS nb
+  FROM (SELECT unnest(range(20))::INT AS bucket) g LEFT JOIN h USING (bucket)
+),
+tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM full_h)
+SELECT 'ks' AS metric,
+  floor(1e6 * (
+    SELECT max(abs(ca - cb)) FROM (
+      SELECT sum(na / t.ta) OVER (ORDER BY bucket) AS ca,
+             sum(nb / t.tb) OVER (ORDER BY bucket) AS cb
+      FROM full_h, tot t
+    )
+  ))::DOUBLE AS value_e6
+UNION ALL
+SELECT 'psi',
+  floor(1e6 * (
+    SELECT list_reduce(
+             list_prepend(0.0::DOUBLE,
+               list(term ORDER BY bucket)),
+             (a, b) -> a + b)
+    FROM (
+      SELECT bucket,
+             (na / t.ta - nb / t.tb) * ln((na / t.ta + 1e-6) / (nb / t.tb + 1e-6)) AS term
+      FROM full_h, tot t
+    )
+  ))::DOUBLE
+""",
+    "dedup_exact_documents": """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "ngram_jaccard_documents": f"""
+WITH {_shingle_cte(5)},
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter AS jaccard_num, na + nb - inter AS jaccard_den
+FROM pairs WHERE inter >= 0.1 * (na + nb - inter)
+""",
+    "ann_topk_embeddings": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.v) AS sim
+  FROM q, e WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(floor(sim * 1e4) AS BIGINT) AS sim_e4
+FROM ranked WHERE rk <= 3
+""",
+    "text_quality_documents": f"""
+WITH t AS (SELECT doc_id, text, {_DOC_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  length(text) AS char_count,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS n_stopwords,
+  length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+  list_max(list_transform(toks, x -> length(x))) AS max_token_len
+FROM t
+""",
+    "lang_id_documents": f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','es'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  greatest(s_en, s_es, s_de, s_fr) AS lang_score
+FROM s
+""",
+    "fingerprint_documents": f"""
+WITH {_shingle_cte(8)}
+SELECT doc_id,
+  list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
+  len(shingles) AS n_shingles
+FROM sh
+""",
+}

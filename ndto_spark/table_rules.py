@@ -1,0 +1,200 @@
+"""Table-level rules: the distributed-analytics extension.
+
+The reference validates one value at a time and has no cross-row state
+(SURVEY.md §2.5); the north rule adds per-column statistics, HLL
+approx-distinct with treewise merge, key-uniqueness, referential-integrity
+anti-joins, and distribution-drift (KS + PSI) checks. All built from Spark
+built-ins — no Python in the hot path.
+
+Scale notes (100 TB design point):
+- ``column_stats`` is ONE full scan with partial (map-side) aggregation; the
+  reduced state is a single row per column. No shuffle of row data.
+- ``uniqueness`` relies on hash-aggregate partial combine, which already
+  neutralizes key skew for counting; ``two_phase=True`` adds an explicit
+  partition-local pre-aggregation for extreme cardinality-skew cases.
+- ``referential_integrity`` broadcasts the reference side when told it is
+  small (dimension tables) — no shuffle of the fact table.
+- ``drift_metrics`` reduces each side to an ``nbins``-row histogram before
+  any cross-side math: constant-size state per partition, merged treewise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column null counts + min/max (north_star 'per-column statistics').
+
+    Returns (column_name, n_rows, n_nulls, min_value, max_value) with the
+    min/max cast to double (numeric columns only).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("s")).select("s.*")
+
+
+def uniqueness(
+    df: DataFrame, key: str, two_phase: bool = False
+) -> DataFrame:
+    """Keys appearing more than once: (key value, n_dups).
+
+    Partial aggregation (map-side combine) already bounds the per-reducer
+    work for hot keys; ``two_phase`` makes the pre-aggregation explicit
+    (partition-local count → global sum), which also caps shuffle volume at
+    one row per (partition, distinct key) for extreme skew.
+    """
+    kc = F.col(key)
+    if two_phase:
+        partial = df.groupBy(kc.alias(key), F.spark_partition_id().alias("_p")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        counts = partial.groupBy(key).agg(F.sum("_n").alias("n_dups"))
+    else:
+        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_dups"))
+    return counts.filter(F.col("n_dups") > 1)
+
+
+def referential_integrity(
+    df: DataFrame,
+    col: str,
+    ref: DataFrame,
+    ref_col: str,
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` has no match in ``ref.ref_col``.
+
+    left_anti join; the reference side is broadcast when small (dimension
+    tables), so the fact side never shuffles.
+    """
+    r = ref.select(F.col(ref_col).alias("_ref_key")).dropDuplicates(["_ref_key"])
+    if broadcast_ref:
+        r = F.broadcast(r)
+    return df.join(r, on=df[col] == r["_ref_key"], how="left_anti")
+
+
+def bucketize(col: Column, lo: float, hi: float, nbins: int) -> Column:
+    """Fixed-width bin index in [0, nbins-1], clamping out-of-range values."""
+    step = (hi - lo) / nbins
+    raw = F.floor((col - F.lit(lo)) / F.lit(step)).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """(bucket, n) histogram — the constant-size reduced profile used by drift."""
+    return (
+        df.select(bucketize(F.col(col), lo, hi, nbins).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drift_metrics(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """KS statistic + PSI between two distributions of ``col``.
+
+    Both are computed from binned histograms (documented approximation for
+    KS — exact KS needs a global sort, untenable at 10^12 rows; binned ECDF
+    gives KS up to one bin width). Each input reduces to ``nbins`` rows
+    before the cross-side math, so the comparison cost is independent of
+    table size. Returns (metric string, value double) with metrics
+    'ks' and 'psi'.
+    """
+    spark = df_a.sparkSession
+    bins = spark.range(nbins).select(F.col("id").cast("int").alias("bucket"))
+    ha = histogram(df_a, col, lo, hi, nbins).withColumnRenamed("n", "na")
+    hb = histogram(df_b, col, lo, hi, nbins).withColumnRenamed("n", "nb")
+    joined = (
+        bins.join(ha, "bucket", "left")
+        .join(hb, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    ).collect()[0]
+    ta, tb = float(tot.ta or 0), float(tot.tb or 0)
+    props = joined.select(
+        "bucket",
+        (F.col("na") / F.lit(ta)).alias("pa"),
+        (F.col("nb") / F.lit(tb)).alias("pb"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = props.select(
+        "pa",
+        "pb",
+        F.sum("pa").over(w).alias("ca"),
+        F.sum("pb").over(w).alias("cb"),
+    )
+    out = cdf.agg(
+        F.max(F.abs(F.col("ca") - F.col("cb"))).alias("ks"),
+        F.sum(
+            (F.col("pa") - F.col("pb"))
+            * F.log(
+                (F.col("pa") + F.lit(eps)) / (F.col("pb") + F.lit(eps))
+            )
+        ).alias("psi"),
+    )
+    return out.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("ks"), F.lit("psi")),
+                F.array(F.col("ks"), F.col("psi")),
+            )
+        ).alias("metric", "value")
+    )
+
+
+def approx_distinct_hll(
+    df: DataFrame, col: str, lg_config_k: int = 12
+) -> DataFrame:
+    """Approx-distinct via HLL sketches, merged treewise across partitions.
+
+    Uses Spark's Datasketches HLL: per-partition ``hll_sketch_agg`` partial
+    states are union-merged by the aggregation tree (north_star
+    'approx-distinct via HyperLogLog sketches merged treewise'). Returns
+    (column_name, approx_distinct).
+    """
+    sketch_per_part = df.groupBy(F.spark_partition_id().alias("_p")).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_config_k)).alias("sk")
+    )
+    merged = sketch_per_part.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("approx_distinct")
+    )
+    return merged.select(F.lit(col).alias("column_name"), "approx_distinct")
