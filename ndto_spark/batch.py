@@ -1,0 +1,191 @@
+"""Arrow batch validators for binary image payloads.
+
+The only rules that cannot be Catalyst expressions: decode the payload,
+check decoded dimensions/format against the declared columns, and compare
+decoded pixels against the deterministic per-row reference at PSNR ≥ 40 dB
+(input_hint per-row invariant), plus exact caption equality. All run as
+pandas UDFs over Arrow batches — zero per-row Python crossings, one
+JVM→Python round trip per ~10k-row batch.
+
+Design rule (SURVEY.md §4): image rules live in their OWN projection so the
+metadata-only rules never force the parquet scan to read ``bytes``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from . import codecs, fixtures
+
+IMAGE_CHECK_TYPE = T.StructType(
+    [
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("err", T.StringType()),
+        T.StructField("fmt_detected", T.StringType()),
+        T.StructField("w_actual", T.IntegerType()),
+        T.StructField("h_actual", T.IntegerType()),
+        T.StructField("psnr", T.DoubleType()),
+        T.StructField("caption_ok", T.BooleanType()),
+    ]
+)
+
+_ID_RE = re.compile(r"^img_[0-9a-f]{16}$")
+
+
+def image_check_udf(seed: int, min_psnr: float = 40.0):
+    """pandas UDF: (image_id, bytes, caption) → check struct.
+
+    PSNR is computed against pixels regenerated from the row id embedded in
+    image_id (fixtures.image_pixels) — the sandbox stand-in for 'the
+    reference copy of this image'. Rows whose id cannot be parsed get
+    psnr = NULL (unverifiable; the id rules flag those separately).
+    """
+
+    @pandas_udf(IMAGE_CHECK_TYPE)
+    def check(image_id: pd.Series, data: pd.Series, caption: pd.Series) -> pd.DataFrame:
+        out = {k.name: [] for k in IMAGE_CHECK_TYPE.fields}
+        for iid, payload, cap in zip(image_id, data, caption):
+            decode_ok, err, fmtd, wa, ha, ps, cap_ok = (
+                False,
+                None,
+                None,
+                None,
+                None,
+                None,
+                None,
+            )
+            if payload is not None:
+                try:
+                    fmtd, pixels = codecs.decode(bytes(payload))
+                    decode_ok = True
+                    ha, wa = int(pixels.shape[0]), int(pixels.shape[1])
+                except Exception as e:  # zlib.error / ValueError / struct.error
+                    err = f"{type(e).__name__}: {e}"
+                    pixels = None
+            else:
+                err = "null payload"
+                pixels = None
+            rid: Optional[int] = None
+            if iid is not None and _ID_RE.match(iid):
+                rid = fixtures.row_id_of(iid)
+            if rid is not None and pixels is not None:
+                ref = fixtures.image_pixels(seed, rid)
+                p = codecs.psnr(ref, pixels)
+                ps = 1e9 if p == float("inf") else float(p)
+            if rid is not None:
+                cap_ok = cap == fixtures.caption_text(seed, rid)
+            out["decode_ok"].append(decode_ok)
+            out["err"].append(err)
+            out["fmt_detected"].append(fmtd)
+            out["w_actual"].append(wa)
+            out["h_actual"].append(ha)
+            out["psnr"].append(ps)
+            out["caption_ok"].append(cap_ok)
+        return pd.DataFrame(out)
+
+    return check
+
+
+def image_batch_violations(
+    df: DataFrame,
+    seed: int,
+    key: str = "image_id",
+    min_psnr: float = 40.0,
+) -> DataFrame:
+    """Violation rows from the batch (bytes-dependent) checks.
+
+    Output matches the runner's violation shape: (key, column, schema_path,
+    keyword, description, partition_id). A row can carry several batch
+    violations (they are independent physical checks, unlike the reference's
+    single-value short-circuit — documented extension).
+    """
+    chk = image_check_udf(seed, min_psnr)(
+        F.col(key), F.col("bytes"), F.col("caption")
+    ).alias("chk")
+    c = F.col("chk")
+    entries = [
+        F.when(
+            ~c["decode_ok"],
+            _v("bytes", "$.decode", "decode", F.concat(F.lit("Image payload does not decode: "), F.coalesce(c["err"], F.lit("unknown")))),
+        ),
+        F.when(
+            c["decode_ok"] & ((c["w_actual"] != F.col("w")) | (c["h_actual"] != F.col("h"))),
+            _v(
+                "bytes",
+                "$.dimensions",
+                "dimensions",
+                F.format_string(
+                    "Decoded dimensions %dx%d do not match declared %dx%d",
+                    c["w_actual"],
+                    c["h_actual"],
+                    F.col("w"),
+                    F.col("h"),
+                ),
+            ),
+        ),
+        F.when(
+            c["decode_ok"] & (c["fmt_detected"] != F.col("fmt")),
+            _v(
+                "bytes",
+                "$.format",
+                "format",
+                F.format_string(
+                    "Detected format %s does not match declared %s",
+                    c["fmt_detected"],
+                    F.col("fmt"),
+                ),
+            ),
+        ),
+        F.when(
+            c["decode_ok"] & c["psnr"].isNotNull() & (c["psnr"] < min_psnr),
+            _v(
+                "bytes",
+                "$.psnr",
+                "psnr",
+                F.format_string(
+                    "Decoded pixels PSNR %.2f dB below required %.2f dB",
+                    c["psnr"],
+                    F.lit(float(min_psnr)),
+                ),
+            ),
+        ),
+        F.when(
+            c["caption_ok"].isNotNull() & ~c["caption_ok"],
+            _v("caption", "$.caption_equality", "caption_equality", F.lit("Caption does not match the reference caption")),
+        ),
+    ]
+    annotated = df.select(
+        F.col(key), F.col("w"), F.col("h"), F.col("fmt"), chk,
+        F.spark_partition_id().alias("partition_id"),
+    ).select(
+        F.col(key),
+        F.array_compact(F.array(*entries)).alias("violations"),
+        "partition_id",
+    )
+    return annotated.select(
+        F.col(key), F.explode("violations").alias("v"), "partition_id"
+    ).select(
+        key,
+        F.col("v.column").alias("column"),
+        F.col("v.schema_path").alias("schema_path"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.description").alias("description"),
+        "partition_id",
+    )
+
+
+def _v(column: str, path: str, keyword: str, description: Column) -> Column:
+    return F.struct(
+        F.lit(column).alias("column"),
+        F.lit(path).alias("schema_path"),
+        F.lit(keyword).alias("keyword"),
+        description.cast("string").alias("description"),
+    )

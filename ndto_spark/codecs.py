@@ -139,7 +139,7 @@ def fake_jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     """
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
-    step = max(1, (100 - quality) // 2ternary) if False else max(1, (100 - quality) // 3)
+    step = max(1, (100 - quality) // 3)
     q = (pixels.astype(np.int16) // step * step + step // 2).clip(0, 255).astype(np.uint8)
     payload = zlib.compress(q.tobytes(), 6)
     return (

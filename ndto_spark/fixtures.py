@@ -1,0 +1,173 @@
+"""Deterministic synthesis of the image+caption table (input_hint shape).
+
+images(image_id string, bytes binary, w int, h int, fmt string,
+       caption string, phash bigint)
+
+Generation is DISTRIBUTED (mapInPandas over spark.range — no driver-side
+loops): every row is a pure function of its row id + seed, so any subset of
+rows can be regenerated anywhere (this is also what lets the batch
+validators recompute reference pixels per row and check PSNR without
+shipping originals). ~1% of rows per violation class are seeded
+deterministically; `expected_violations` lists them for golden tests.
+
+Violation classes (by row_id % 100):
+   0 → corrupted bytes (truncated payload)        → $.decode
+   1 → declared w disagrees with decoded width    → $.dimensions
+   2 → fmt column says the other format           → $.format (consistency)
+   3 → caption empty                              → $.caption.min_length
+   4 → caption overlong (> 256)                   → $.caption.max_length
+   5 → caption null                               → $.caption.type
+   6 → fmt = 'gif' (out of enum)                  → $.fmt (enum)
+   7 → w out of bounds (0)                        → $.w.minimum
+   8 → full-row duplicate (copies clean row id-12) → uniqueness rule
+   9 → null image_id                              → $.image_id.type
+  11 → low-quality lossy payload (PSNR < 40 dB)   → $.psnr (only odd ids
+       are jpeg, so the lossy class sits on an odd residue)
+Skew: rows with row_id % 20 == 19 (5%) share ONE hot phash value — the skew
+the phash range-repartition has to absorb.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+from . import codecs
+
+CAPTION_VOCAB = (
+    "the a red green blue small large cat dog tree house sky boat river "
+    "mountain bird cloud light shadow stone"
+).split()
+
+HOT_PHASH = 4242424242
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash bigint"
+)
+
+
+def _rng(seed: int, row_id: int) -> np.random.Generator:
+    return np.random.Generator(np.random.Philox(key=[seed, row_id]))
+
+
+def image_pixels(seed: int, row_id: int) -> np.ndarray:
+    """Reference pixels for a row — the per-row invariant oracle."""
+    rng = _rng(seed, row_id)
+    h = int(rng.integers(8, 25))
+    w = int(rng.integers(8, 25))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8)
+
+
+def image_id_str(seed: int, row_id: int) -> str:
+    """Invertible id: 'img_' + zero-padded hex row id.
+
+    Matches the '^img_[0-9a-f]{16}$' key pattern AND lets the batch
+    validators recover the row id to regenerate reference pixels (the
+    per-row PSNR invariant) without shipping originals.
+    """
+    return f"img_{row_id:016x}"
+
+
+def row_id_of(image_id: str) -> int:
+    return int(image_id[4:], 16)
+
+
+def caption_text(seed: int, row_id: int) -> str:
+    rng = _rng(seed * 17 + 3, row_id)
+    n = int(rng.integers(3, 12))
+    words = [CAPTION_VOCAB[int(i)] for i in rng.integers(0, len(CAPTION_VOCAB), n)]
+    return " ".join(words)
+
+
+def phash_of(pixels: np.ndarray) -> int:
+    """Toy perceptual hash: sign bits of a 4x4 mean-pooled grid vs its mean."""
+    h, w, _ = pixels.shape
+    g = pixels.astype(np.float64).mean(axis=2)
+    ys = np.linspace(0, h, 5, dtype=int)
+    xs = np.linspace(0, w, 5, dtype=int)
+    cells = np.array(
+        [
+            g[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+            for i in range(4)
+            for j in range(4)
+        ]
+    )
+    bits = (cells > cells.mean()).astype(np.int64)
+    return int((bits * (1 << np.arange(16))).sum())
+
+
+def make_row(seed: int, row_id: int) -> dict:
+    v = row_id % 100
+    if v == 8 and row_id >= 12:
+        # full-row duplicate of a clean row ((row_id-12) % 100 == 96):
+        # same image_id, bytes, caption — caught by the uniqueness rule
+        return make_row(seed, row_id - 12)
+    pixels = image_pixels(seed, row_id)
+    h, w = pixels.shape[:2]
+    fmt = "png" if row_id % 2 == 0 else "jpeg"
+    if fmt == "png":
+        payload = codecs.png_encode(pixels)
+    elif v == 11:
+        payload = codecs.fake_jpeg_encode(pixels, quality=10)  # PSNR < 40
+    else:
+        payload = codecs.fake_jpeg_encode(pixels, quality=90)
+
+    image_id: Optional[str] = image_id_str(seed, row_id)
+    caption: Optional[str] = caption_text(seed, row_id)
+    decl_w, decl_h, decl_fmt = w, h, fmt
+
+    if v == 0:
+        payload = payload[: max(8, len(payload) // 2)]
+    elif v == 1:
+        decl_w = w + 5
+    elif v == 2:
+        decl_fmt = "jpeg" if fmt == "png" else "png"
+    elif v == 3:
+        caption = ""
+    elif v == 4:
+        caption = "x " * 140
+    elif v == 5:
+        caption = None
+    elif v == 6:
+        decl_fmt = "gif"
+    elif v == 7:
+        decl_w = 0
+    elif v == 9:
+        image_id = None
+
+    phash = HOT_PHASH if row_id % 20 == 19 else phash_of(pixels)
+    return {
+        "image_id": image_id,
+        "bytes": payload,
+        "w": decl_w,
+        "h": decl_h,
+        "fmt": decl_fmt,
+        "caption": caption,
+        "phash": phash,
+    }
+
+
+def synth_images(spark, n_rows: int, n_partitions: int = 8, seed: int = 42):
+    """Distributed deterministic images table."""
+    import pandas as pd
+
+    base = spark.range(0, n_rows, 1, n_partitions)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [make_row(seed, int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+def expected_violation_classes(n_rows: int) -> dict[int, list[int]]:
+    """violation class → sorted row_ids seeded with it (for golden tests)."""
+    out: dict[int, list[int]] = {v: [] for v in list(range(10)) + [11]}
+    for i in range(n_rows):
+        v = i % 100
+        if v in out and not (v == 8 and i < 12):
+            out[v].append(i)
+    return out

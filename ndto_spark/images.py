@@ -1,0 +1,80 @@
+"""End-to-end validation pipeline for the image+caption table.
+
+Combines the three rule families over one input:
+
+1. metadata rules — compiled Catalyst predicates over (image_id, fmt, w, h,
+   caption); this branch NEVER touches ``bytes`` so the parquet scan prunes
+   the heavy column (check `.explain` ReadSchema).
+2. batch rules — Arrow pandas-UDF decode/dimension/format/PSNR/caption
+   checks over ``bytes`` (see batch.py).
+3. table rules — key uniqueness (the only shuffle in the pipeline).
+
+Output: the engine contract violations + per-partition verdicts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import table_rules
+from .batch import image_batch_violations
+from .runner import RuleSet, validate
+
+IMAGE_METADATA_RULES = {
+    "image_id": {"type": "string", "pattern": "^img_[0-9a-f]{16}$"},
+    "fmt": {"enum": ["png", "jpeg"]},
+    "w": {"type": "integer", "minimum": 1, "maximum": 16384},
+    "h": {"type": "integer", "minimum": 1, "maximum": 16384},
+    "caption": {"type": "string", "min_length": 1, "max_length": 256},
+}
+
+
+@dataclass
+class ImagesResult:
+    violations: DataFrame  # image_id, column, schema_path, keyword, description, partition_id
+    verdicts: DataFrame  # partition_id, n_rows, n_violations, pass
+
+
+def validate_images(
+    df: DataFrame,
+    seed: int = 42,
+    key: str = "image_id",
+    min_psnr: float = 40.0,
+    check_uniqueness: bool = True,
+) -> ImagesResult:
+    meta = validate(df, IMAGE_METADATA_RULES, key=key)
+    batch_v = image_batch_violations(df, seed, key=key, min_psnr=min_psnr)
+    violations = meta.violations.unionByName(batch_v)
+    if check_uniqueness:
+        dups = table_rules.uniqueness(df.filter(F.col(key).isNotNull()), key)
+        dup_v = dups.select(
+            F.col(key),
+            F.lit(key).alias("column"),
+            F.lit("$.unique").alias("schema_path"),
+            F.lit("unique").alias("keyword"),
+            F.format_string("Key appears %d times", F.col("n_dups")).alias(
+                "description"
+            ),
+            F.lit(-1).alias("partition_id"),  # table-level: no single partition
+        )
+        violations = violations.unionByName(dup_v)
+    rows_per_part = df.groupBy(
+        F.spark_partition_id().alias("partition_id")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    viols_per_part = violations.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    # full outer: table-level checks (uniqueness) report under partition -1
+    verdicts = (
+        rows_per_part.join(viols_per_part, "partition_id", "full_outer")
+        .select(
+            "partition_id",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+        )
+        .withColumn("pass", F.col("n_violations") == 0)
+    )
+    return ImagesResult(violations=violations, verdicts=verdicts)
