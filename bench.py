@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is validation throughput (rows/sec) over the
+image+caption table (BASELINE.json), measured as: read the pre-materialized
+images parquet → full validation pipeline (metadata rules + Arrow batch
+decode/PSNR checks + uniqueness) → count violations. Synthesis cost is
+excluded (the table is materialized once to a temp dir and reused).
+
+Also times every driver-gate query at the bench scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("NDTO_BENCH_IMAGES", "120000"))
+SEED = 42
+
+
+def get_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ndto_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.default.parallelism", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .getOrCreate()
+    )
+
+
+def materialize_images(spark, n_rows: int, parts: int) -> str:
+    """Write the deterministic images table once; reuse across runs."""
+    path = f"/tmp/ndto_bench_images_n{n_rows}_s{SEED}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from ndto_spark import fixtures
+
+        fixtures.synth_images(spark, n_rows, parts, SEED).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def bench_images_validation(spark, path: str) -> tuple[float, int, int]:
+    from pyspark.sql import functions as F
+
+    from ndto_spark.images import validate_images
+
+    df = spark.read.parquet(path)
+    t0 = time.time()
+    res = validate_images(df, seed=SEED)
+    n_viol = res.violations.count()
+    elapsed = time.time() - t0
+    n_rows = df.count()
+    return elapsed, n_rows, n_viol
+
+
+def main() -> None:
+    spark = get_spark(CPUS)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+
+    img_path = materialize_images(spark, N_IMAGES, max(CPUS, 8))
+    # warm the JVM/Python workers once, then measure
+    bench_images_validation(spark, img_path)
+    img_sec, img_rows, img_viols = bench_images_validation(spark, img_path)
+
+    from ndto_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+    timings["images_validate"] = round(img_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "images_rows": img_rows,
+                "images_violations": img_viols,
+                "images_validation_rows_per_sec": round(img_rows / img_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""Partition-level checkpoint/resume for validation runs.
+
+North rule: "resumable from a partition-level checkpoint manifest carrying
+lineage (snapshot-id, partition spec, schema hash) and metrics per
+partition".
+
+Design (SURVEY.md §7.6):
+
+- The run is keyed by ``phash`` RANGE buckets. Bucket bounds are computed
+  once (approxQuantile) on the first run and STORED in the run header; a
+  resume reuses the stored bounds, so the partition spec is part of the
+  lineage and stable across restarts even if the data distribution drifted.
+- Violations are persisted as parquet partitioned by bucket with DYNAMIC
+  partition overwrite — re-processing a bucket atomically replaces exactly
+  that bucket's output (idempotent under retries).
+- A per-bucket manifest JSON (n_rows, n_violations, pass, wall seconds) is
+  written ATOMICALLY (tmp + rename) from the driver only AFTER the bucket's
+  Spark action completed — task-level retries inside the action can never
+  produce a half-written manifest.
+- Resume = read completed bucket ids from the manifest dir, anti-filter the
+  input on the bucket expression, process only the rest.
+
+Iceberg note: on an Iceberg table the run header's ``snapshot_id`` is the
+table snapshot being validated (spark.read.option("snapshot-id", ...));
+with plain parquet (this sandbox) we record the input path + row count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def schema_hash(df: DataFrame, rules_repr: str) -> str:
+    payload = df.schema.json() + "|" + rules_repr
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+class CheckpointManager:
+    """Filesystem-backed manifest store: header + one JSON per bucket."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.parts_dir = os.path.join(root, "partitions")
+        self.violations_dir = os.path.join(root, "violations")
+        os.makedirs(self.parts_dir, exist_ok=True)
+
+    # -- run header (lineage) ------------------------------------------------
+
+    def header_path(self) -> str:
+        return os.path.join(self.root, "run.json")
+
+    def read_header(self) -> Optional[dict]:
+        try:
+            with open(self.header_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def write_header(self, header: dict) -> None:
+        _atomic_write_json(self.header_path(), header)
+
+    # -- per-bucket manifests --------------------------------------------------
+
+    def completed_buckets(self) -> set[int]:
+        out = set()
+        for name in os.listdir(self.parts_dir):
+            if name.startswith("bucket-") and name.endswith(".json"):
+                out.add(int(name[len("bucket-") : -len(".json")]))
+        return out
+
+    def write_bucket(self, bucket: int, record: dict) -> None:
+        _atomic_write_json(
+            os.path.join(self.parts_dir, f"bucket-{bucket}.json"), record
+        )
+
+    def read_bucket(self, bucket: int) -> dict:
+        with open(os.path.join(self.parts_dir, f"bucket-{bucket}.json")) as f:
+            return json.load(f)
+
+
+def range_bucket(col: Column, bounds: list[int]) -> Column:
+    """Range-bucket index from stored quantile bounds: #bounds ≤ col."""
+    out = F.lit(0)
+    for b in bounds:
+        out = out + F.when(col >= F.lit(int(b)), 1).otherwise(0)
+    return out
+
+
+def phash_bounds(df: DataFrame, n_buckets: int, col: str = "phash") -> list[int]:
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    return [int(x) for x in df.approxQuantile(col, qs, 0.001)]
+
+
+def run_resumable(
+    df: DataFrame,
+    ckpt: CheckpointManager,
+    validate_fn: Callable[[DataFrame], "object"],
+    input_desc: str,
+    rules_repr: str,
+    n_buckets: int = 16,
+    bucket_col: str = "phash",
+    max_buckets_per_call: Optional[int] = None,
+) -> dict:
+    """Run (or resume) a bucketed validation job.
+
+    validate_fn(df_subset) must return an object with ``violations`` and
+    ``verdicts`` DataFrames (images.validate_images signature). Returns the
+    run summary dict. Call again after a crash to continue; completed
+    buckets are skipped.
+    """
+    header = ckpt.read_header()
+    sh = schema_hash(df, rules_repr)
+    if header is None:
+        bounds = phash_bounds(df, n_buckets, bucket_col)
+        header = {
+            "input": input_desc,
+            "schema_hash": sh,
+            "partition_spec": {
+                "column": bucket_col,
+                "n_buckets": n_buckets,
+                "bounds": bounds,
+            },
+            "started_at": time.time(),
+        }
+        ckpt.write_header(header)
+    else:
+        if header["schema_hash"] != sh:
+            raise ValueError(
+                "checkpoint schema_hash mismatch: input or rules changed "
+                f"({header['schema_hash']} != {sh}); use a fresh checkpoint dir"
+            )
+        bounds = header["partition_spec"]["bounds"]
+        n_buckets = header["partition_spec"]["n_buckets"]
+
+    bucket_expr = range_bucket(F.col(bucket_col), bounds)
+    done = ckpt.completed_buckets()
+    pending = [b for b in range(n_buckets) if b not in done]
+    if max_buckets_per_call is not None:
+        pending = pending[:max_buckets_per_call]
+
+    spark = df.sparkSession
+    for b in pending:
+        t0 = time.time()
+        sub = df.filter(bucket_expr == F.lit(b))
+        res = validate_fn(sub)
+        viol = res.violations.withColumn("bucket", F.lit(b))
+        # idempotent per-bucket output: dynamic partition overwrite
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        viol.write.mode("overwrite").partitionBy("bucket").parquet(
+            ckpt.violations_dir
+        )
+        verdicts = res.verdicts.collect()
+        n_rows = sum(v.n_rows for v in verdicts)
+        n_viol = sum(v.n_violations for v in verdicts)
+        ckpt.write_bucket(
+            b,
+            {
+                "bucket": b,
+                "n_rows": n_rows,
+                "n_violations": n_viol,
+                "pass": n_viol == 0,
+                "wall_sec": round(time.time() - t0, 3),
+                "completed_at": time.time(),
+            },
+        )
+    done = ckpt.completed_buckets()
+    return {
+        "schema_hash": sh,
+        "n_buckets": n_buckets,
+        "completed": sorted(done),
+        "finished": len(done) == n_buckets,
+    }

@@ -1,0 +1,92 @@
+"""Resume semantics: interrupted run + resume == single-shot run."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndto_spark import fixtures
+from ndto_spark.checkpoint import CheckpointManager, run_resumable
+from ndto_spark.images import validate_images
+
+N = 300
+SEED = 42
+
+
+@pytest.fixture()
+def images_df(spark):
+    return fixtures.synth_images(spark, N, n_partitions=4, seed=SEED).cache()
+
+
+def _validate(sub):
+    # uniqueness is a cross-bucket (table-level) check — run it globally,
+    # not per bucket (a duplicate pair can straddle two buckets)
+    return validate_images(sub, seed=SEED, check_uniqueness=False)
+
+
+def test_resume_completes_and_matches_single_shot(spark, images_df, tmp_path):
+    ck1 = CheckpointManager(str(tmp_path / "run1"))
+    # interrupted run: only 3 buckets per call
+    s1 = run_resumable(
+        images_df, ck1, _validate, "synth300", "rules-v1",
+        n_buckets=8, max_buckets_per_call=3,
+    )
+    assert not s1["finished"] and s1["completed"] == [0, 1, 2]
+    # resume twice more → finished
+    s2 = run_resumable(
+        images_df, ck1, _validate, "synth300", "rules-v1",
+        n_buckets=8, max_buckets_per_call=3,
+    )
+    assert s2["completed"] == [0, 1, 2, 3, 4, 5]
+    s3 = run_resumable(
+        images_df, ck1, _validate, "synth300", "rules-v1", n_buckets=8
+    )
+    assert s3["finished"]
+
+    # single-shot reference run
+    ck2 = CheckpointManager(str(tmp_path / "run2"))
+    run_resumable(images_df, ck2, _validate, "synth300", "rules-v1", n_buckets=8)
+
+    v1 = spark.read.parquet(ck1.violations_dir)
+    v2 = spark.read.parquet(ck2.violations_dir)
+    key = ["image_id", "column", "schema_path", "keyword"]
+    keyfn = lambda t: tuple((x is None, x or "") for x in t)  # noqa: E731
+    rows1 = sorted(map(tuple, v1.select(*key).collect()), key=keyfn)
+    rows2 = sorted(map(tuple, v2.select(*key).collect()), key=keyfn)
+    assert rows1 == rows2 and len(rows1) > 0
+
+    # row coverage: every input row accounted for exactly once across buckets
+    total_rows = sum(
+        json.load(open(p))["n_rows"]
+        for p in glob.glob(str(tmp_path / "run1/partitions/bucket-*.json"))
+    )
+    assert total_rows == N
+
+
+def test_schema_hash_mismatch_refuses_resume(spark, images_df, tmp_path):
+    ck = CheckpointManager(str(tmp_path / "run"))
+    run_resumable(
+        images_df, ck, _validate, "synth300", "rules-v1",
+        n_buckets=4, max_buckets_per_call=1,
+    )
+    with pytest.raises(ValueError, match="schema_hash mismatch"):
+        run_resumable(
+            images_df, ck, _validate, "synth300", "rules-v2-CHANGED", n_buckets=4
+        )
+
+
+def test_manifest_lineage_fields(spark, images_df, tmp_path):
+    ck = CheckpointManager(str(tmp_path / "run"))
+    run_resumable(
+        images_df, ck, _validate, "synth300", "rules-v1",
+        n_buckets=4, max_buckets_per_call=2,
+    )
+    header = ck.read_header()
+    assert header["input"] == "synth300"
+    assert header["partition_spec"]["column"] == "phash"
+    assert len(header["partition_spec"]["bounds"]) == 3
+    rec = ck.read_bucket(0)
+    assert {"n_rows", "n_violations", "pass", "wall_sec", "completed_at"} <= set(rec)
