@@ -143,19 +143,21 @@ def lsh_topk(
     ]
 
     def with_buckets(df: DataFrame, idname: str) -> DataFrame:
-        return df.select(
+        # barrier (repartition) so the num_tables×num_planes projection
+        # expressions are evaluated once per row, not re-inlined into the
+        # explode generator (cf. dedup.py PLAN NOTEs)
+        arr = df.select(
             F.col(id_col).alias(idname),
             F.col(vec_col).alias(f"{idname}_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ":", F.lit(t), lsh_bucket(F.col(vec_col), planes)
-                        )
-                        for t, planes in enumerate(tables)
-                    ]
-                )
-            ).alias("bucket"),
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(t), lsh_bucket(F.col(vec_col), planes))
+                    for t, planes in enumerate(tables)
+                ]
+            ).alias("bks"),
+        ).repartition(F.col(idname))
+        return arr.select(
+            idname, f"{idname}_vec", F.explode("bks").alias("bucket")
         )
 
     qb = F.broadcast(with_buckets(queries, "query_id"))

@@ -69,25 +69,32 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard_num, jaccard_den) with the exact integer
     numerator/denominator (engine-independent, no float rounding).
     """
-    sh = df.select(
+    # PLAN NOTE: the generator input must be the ONLY occurrence of the
+    # heavy shingle expression in its projection — a sibling
+    # size(word_shingles(...)) column collapses into the Generate node and
+    # re-evaluates the shingling per exploded row (measured ~8x slowdown at
+    # sf0.1). Shingle counts are instead derived from the exploded rows
+    # (shingles are already distinct per doc) and joined back; AQE turns
+    # those joins into broadcasts when the sizes side is small.
+    ex = df.select(
         F.col(id_col).alias("doc"),
-        F.size(word_shingles(F.col(text_col), k)).alias("n_sh"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
-    a = sh.select(
-        F.col("doc").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
-    )
-    b = sh.select(
-        F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
-    )
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.select(F.col("doc").alias("id_a"), "shingle")
+    b = ex.select(F.col("doc").alias("id_b"), "shingle")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(
+            sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
         )
         .select(
             "id_a",
@@ -155,10 +162,32 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = df.select(
+    # PLAN NOTE: two deliberate materialization barriers (repartition).
+    # Without them CollapseProject inlines (a) the shingle+crc32 base-hash
+    # expression into all num_hashes permutation mins, and (b) the whole
+    # signature expression into the band-explode generator 'bands' times —
+    # measured ~10x slowdown at sf0.1. The shuffled payloads are tiny
+    # (doc id + ≤ num_hashes longs per row) and the band-bucket join
+    # downstream shuffles anyway, so the barriers cost almost nothing.
+    base = df.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), k, num_hashes, seed).alias("sig"),
-    )
+        F.transform(word_shingles(F.col(text_col), k), lambda s: F.crc32(s)).alias(
+            "hv"
+        ),
+    ).repartition(F.col("doc"))
+
+    def perm(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)
+
+    sigs = base.select(
+        "doc",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("hv"), perm(a, b)))
+                for a, b in _hash_params(num_hashes, seed)
+            ]
+        ).alias("sig"),
+    ).repartition(F.col("doc"))
     band_idx = list(range(bands))
     banded = sigs.select(
         "doc",
@@ -186,9 +215,44 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cands
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, verify_threshold)
-    return cands.join(exact, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard_num", "jaccard_den"
+    # verify ONLY the candidate pairs (not the full all-pairs join): restrict
+    # the shingle inverted index to candidate docs via a semi-join, compute
+    # intersections, and keep candidate pairs above the exact threshold.
+    # This is what makes LSH the scale path: exact-Jaccard cost is
+    # proportional to |candidates|, not |docs|^2.
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    cand_docs = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc")
+    ).distinct()
+    ex_c = ex.join(F.broadcast(cand_docs), "doc")
+    sizes = ex_c.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        ex_c.select(F.col("doc").alias("id_a"), "shingle")
+        .join(ex_c.select(F.col("doc").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cands, ["id_a", "id_b"])  # candidates only
+        .join(
+            sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").alias("jaccard_num"),
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("jaccard_den"),
+        )
+    )
+    return inter.filter(
+        F.col("jaccard_num") >= F.lit(verify_threshold) * F.col("jaccard_den")
     )
 
 

@@ -152,7 +152,7 @@ def _keyword_checks(schema: dict, t: str, path: str):
             cs.append(
                 (
                     "minimum",
-                    lambda v, _: True
+                    lambda v, _, m=m, ex=ex: True
                     if (v > m if ex else v >= m)
                     else _fail(f"{path}.minimum", M.minimum_msg(m, ex)),
                 )
@@ -162,7 +162,7 @@ def _keyword_checks(schema: dict, t: str, path: str):
             cs.append(
                 (
                     "maximum",
-                    lambda v, _: True
+                    lambda v, _, m=m, ex=ex: True
                     if (v < m if ex else v <= m)
                     else _fail(f"{path}.maximum", M.maximum_msg(m, ex)),
                 )
@@ -172,7 +172,7 @@ def _keyword_checks(schema: dict, t: str, path: str):
             cs.append(
                 (
                     "multiple_of",
-                    lambda v, _: True
+                    lambda v, _, k=k: True
                     if _trunc_rem(v, k) == 0
                     else _fail(f"{path}.multiple_of", M.multiple_of_msg(k)),
                 )
@@ -183,7 +183,7 @@ def _keyword_checks(schema: dict, t: str, path: str):
             cs.append(
                 (
                     "min_length",
-                    lambda v, _: True
+                    lambda v, _, n=n: True
                     if len(v) >= n
                     else _fail(f"{path}.min_length", M.min_length_msg(n)),
                 )
@@ -193,7 +193,7 @@ def _keyword_checks(schema: dict, t: str, path: str):
             cs.append(
                 (
                     "max_length",
-                    lambda v, _: True
+                    lambda v, _, n=n: True
                     if len(v) <= n
                     else _fail(f"{path}.max_length", M.max_length_msg(n)),
                 )
@@ -209,7 +209,7 @@ def _keyword_checks(schema: dict, t: str, path: str):
             cs.append(
                 (
                     "pattern",
-                    lambda v, _: True
+                    lambda v, _, p=p: True
                     if re.search(p, v)
                     else _fail(f"{path}.pattern", M.pattern_msg(p)),
                 )
@@ -226,7 +226,7 @@ def _keyword_checks(schema: dict, t: str, path: str):
             cs.append(
                 (
                     "min_items",
-                    lambda v, _: True
+                    lambda v, _, n=n: True
                     if len(v) >= n
                     else _fail(f"{path}.min_items", M.min_items_msg(n)),
                 )
@@ -236,7 +236,7 @@ def _keyword_checks(schema: dict, t: str, path: str):
             cs.append(
                 (
                     "max_items",
-                    lambda v, _: True
+                    lambda v, _, n=n: True
                     if len(v) <= n
                     else _fail(f"{path}.max_items", M.max_items_msg(n)),
                 )
@@ -369,7 +369,7 @@ def _object_checks(schema: dict, path: str):
         cs.append(
             (
                 "min_properties",
-                lambda v, _: True
+                lambda v, _, n=n: True
                 if len(v) >= n
                 else _fail(f"{path}.min_properties", M.min_properties_msg(n)),
             )
@@ -379,7 +379,7 @@ def _object_checks(schema: dict, path: str):
         cs.append(
             (
                 "max_properties",
-                lambda v, _: True
+                lambda v, _, n=n: True
                 if len(v) <= n
                 else _fail(f"{path}.max_properties", M.max_properties_msg(n)),
             )

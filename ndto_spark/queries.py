@@ -261,6 +261,24 @@ def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_rules.approx_distinct_hll(_read(spark, sf_dir, "events"), "user_id")
 
 
+def q_validate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full image pipeline (metadata + Arrow batch + uniqueness) on the
+    deterministic synthetic images table, sized by the scale factor.
+    No SQL oracle (binary decode is not SQL-expressible) → rows-only check;
+    content correctness is pinned by tests/test_images_pipeline.py."""
+    from . import fixtures
+    from .images import validate_images
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    n = max(1000, int(sf * 200_000))
+    df = fixtures.synth_images(spark, n, n_partitions=8, seed=42)
+    res = validate_images(df, seed=42)
+    return res.violations.select(
+        "image_id", F.col("column").alias("column_name"), "schema_path",
+        "keyword", "description",
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -279,6 +297,7 @@ QUERIES = {
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "hll_distinct_events": q_hll_distinct_events,
+    "validate_images": q_validate_images,
 }
 
 

@@ -1,0 +1,199 @@
+"""Property-based tests (triq parity, /root/reference/test/property_test/).
+
+Layer 1 of the reference's test strategy: for each type, generate a random
+value, derive a schema FROM the value (pin lengths/bounds/required to it —
+ndto_properties.erl:81-231), and assert it validates True. Runs against the
+fast pure-Python twin evaluator (pyval) with many examples.
+
+Layer 1b: compiler ↔ pyval agreement on a seeded random corpus, evaluated
+in ONE Spark job per column type (cheap), asserting identical verdicts and
+identical (schema_path, description) for failures.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ndto_spark import pyval
+
+# --- value generators (ndto_dom parity) ---------------------------------------
+
+texts = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"), max_size=40
+)
+ints = st.integers(min_value=-(2**31), max_value=2**31)
+floats = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts)
+def test_prop_string(v):
+    schema = {"type": "string", "min_length": len(v), "max_length": len(v)}
+    assert pyval.is_valid(schema, v) is True
+
+
+@settings(max_examples=150, deadline=None)
+@given(ints, st.integers(min_value=1, max_value=9))
+def test_prop_integer(v, k):
+    # bounds bracketing the product, multiple_of divides it (prop_integer)
+    prod = v * k
+    schema = {
+        "type": "integer",
+        "minimum": prod - 1,
+        "exclusive_minimum": True,
+        "maximum": prod + 1,
+        "exclusive_maximum": True,
+        "multiple_of": k,
+    }
+    assert pyval.is_valid(schema, prod) is True
+
+
+@settings(max_examples=150, deadline=None)
+@given(floats)
+def test_prop_float(v):
+    schema = {"type": "float", "minimum": min(v, v - 1.0), "maximum": max(v, v + 1.0)}
+    assert pyval.is_valid(schema, v) is True
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(ints, max_size=10))
+def test_prop_array(v):
+    schema = {
+        "type": "array",
+        "items": {"type": "integer"},
+        "min_items": len(v),
+        "max_items": len(v),
+    }
+    assert pyval.is_valid(schema, v) is True
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=8), texts, max_size=6))
+def test_prop_object(v):
+    schema = {
+        "type": "object",
+        "properties": {k: {"type": "string"} for k in v},
+        "required": list(v),
+        "min_properties": len(v),
+        "max_properties": len(v),
+    }
+    assert pyval.is_valid(schema, v) is True
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.one_of(texts, ints, floats, st.booleans(), st.none()))
+def test_prop_enum(v):
+    assert pyval.is_valid({"enum": [v]}, v) is True
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.one_of(texts, ints, floats, st.booleans()))
+def test_prop_universal_and_ref(v):
+    assert pyval.is_valid(True, v) is True
+    assert pyval.is_valid({"ref": "any"}, v, {"any": {}}) is True
+
+
+# --- compiler ↔ pyval agreement corpus ------------------------------------------
+
+
+def _corpus():
+    """Seeded random (schema, value) pairs per scalar dtype."""
+    rng = random.Random(7)
+    cases: dict[str, list[tuple[dict, object]]] = {"bigint": [], "double": [], "string": []}
+    for _ in range(40):
+        v = rng.randint(-50, 50)
+        schema = {
+            "type": "integer",
+            "minimum": rng.randint(-30, 10),
+            "maximum": rng.randint(-5, 40),
+            "multiple_of": rng.randint(1, 6),
+        }
+        if rng.random() < 0.3:
+            schema["exclusive_minimum"] = True
+        cases["bigint"].append((schema, v))
+        cases["bigint"].append(
+            (
+                {
+                    "one_of": [
+                        {"type": "integer", "maximum": rng.randint(-10, 20)},
+                        {"type": "integer", "minimum": rng.randint(-20, 10)},
+                        {"type": "integer", "multiple_of": rng.randint(1, 4)},
+                    ]
+                },
+                v,
+            )
+        )
+        cases["bigint"].append(
+            (
+                {
+                    "all_of": [
+                        {"type": "integer", "minimum": rng.randint(-30, 0)},
+                        {"type": "integer", "maximum": rng.randint(0, 30)},
+                    ]
+                },
+                v,
+            )
+        )
+        f = rng.uniform(-10, 10)
+        cases["double"].append(
+            (
+                {
+                    "type": "float",
+                    "minimum": rng.uniform(-8, 0),
+                    "maximum": rng.uniform(0, 8),
+                    "exclusive_maximum": rng.random() < 0.5,
+                },
+                f,
+            )
+        )
+        s = "".join(rng.choice("abcxyz!@ ") for _ in range(rng.randint(0, 12)))
+        cases["string"].append(
+            (
+                {
+                    "type": "string",
+                    "min_length": rng.randint(0, 6),
+                    "max_length": rng.randint(4, 14),
+                    "pattern": rng.choice(["a", "^b", "x.z", "[0-9]"]),
+                },
+                s,
+            )
+        )
+        cases["string"].append(({"not": {"enum": ["abc", s]}}, s))
+    return cases
+
+
+def test_compiler_matches_pyval_on_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from ndto_spark.compiler import Compiler
+
+    for dtype, pairs in _corpus().items():
+        df = spark.createDataFrame([(v,) for _, v in pairs], schema=f"v {dtype}")
+        df = df.withColumn("i", F.monotonically_increasing_id())
+        comp = Compiler()
+        cols = []
+        for j, (schema, _) in enumerate(pairs):
+            c = comp.compile(schema, F.col("v"), df.schema["v"].dataType, "$")
+            cols.append(
+                F.struct(
+                    c.pred.alias("p"),
+                    c.viol["schema_path"].alias("sp"),
+                    c.viol["description"].alias("d"),
+                ).alias(f"c{j}")
+            )
+        rows = df.select(F.col("i"), *cols).orderBy("i").collect()
+        for j, ((schema, value), row) in enumerate(zip(pairs, rows)):
+            got = row[f"c{j}"]
+            want = pyval.is_valid(schema, value)
+            ctx = f"dtype={dtype} case={j} schema={schema} value={value!r}"
+            if want is True:
+                assert got.p, f"compiler rejected, pyval accepted: {ctx} got={got}"
+            elif want is False:  # reason-less 'not'
+                assert not got.p and got.d is None, ctx
+            else:
+                assert not got.p, f"compiler accepted, pyval rejected: {ctx}"
+                assert (got.sp, got.d) == want, f"{ctx}: {(got.sp, got.d)} != {want}"
