@@ -38,7 +38,11 @@ def get_spark(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # the images table is ~1 KB/row parquet; the default 128m split size
+        # would coalesce the whole table into 1-2 tasks and serialize the
+        # Arrow-UDF stage — size splits so every core gets work
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .getOrCreate()
     )
 

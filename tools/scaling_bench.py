@@ -24,14 +24,14 @@ import json, sys, time
 sys.path.insert(0, ".")
 cpus = int(sys.argv[1]); n = int(sys.argv[2])
 import bench
+from ndto_spark.images import validate_images
 spark = bench.get_spark(cpus)
 path = bench.materialize_images(spark, n, 32)
-bench.bench_images_validation(spark, path)      # warmup
-best = None
-for _ in range(2):
-    sec, rows, viols = bench.bench_images_validation(spark, path)
-    best = sec if best is None else min(best, sec)
-print(json.dumps({"cpus": cpus, "sec": best, "rows": rows, "viols": viols}))
+# warmup on a small slice: spins up JVM codegen + Python workers without
+# paying a full pass
+validate_images(spark.read.parquet(path).limit(4000), seed=42).violations.count()
+sec, rows, viols = bench.bench_images_validation(spark, path)
+print(json.dumps({"cpus": cpus, "sec": sec, "rows": rows, "viols": viols}))
 """
 
 
