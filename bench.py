@@ -43,6 +43,10 @@ def get_spark(cpus: int):
         # Arrow-UDF stage — size splits so every core gets work
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # ~1 KB binary rows: 10k-row Arrow batches stall the JVM↔Python
+        # pipeline on buffer transfer (measured 2.6x); 2-4k keeps both sides
+        # streaming
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .getOrCreate()
     )
 

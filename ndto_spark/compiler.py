@@ -34,6 +34,8 @@ from dataclasses import dataclass, field
 from functools import reduce
 from typing import Any, Callable, Optional
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf string type hints
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -951,7 +953,6 @@ def _grapheme_len_udf() -> Callable[[Column], Column]:
     """
     key = "grapheme_len"
     if key not in _UDF_CACHE:
-        import pandas as pd
         from pyspark.sql.functions import pandas_udf
         import unicodedata
 
@@ -977,7 +978,6 @@ def _py_regex_udf(pattern: str) -> Callable[[Column], Column]:
     """Python `re` partial match (≈ PCRE re:run, unanchored)."""
     key = ("py_regex", pattern)
     if key not in _UDF_CACHE:
-        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         rx = _re.compile(pattern)

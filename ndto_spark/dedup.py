@@ -23,7 +23,13 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE_PRIME = (1 << 61) - 1
+# universal-hash modulus: the first prime ABOVE 2^32 (the crc32 value range).
+# The modulus must be comparable to the input range: with a huge modulus
+# (e.g. Mersenne-61) and a*x+b < modulus, h(x) is MONOTONE in x and every
+# "permutation" selects the same min-crc32 shingle — degenerate signatures
+# (observed: 1/32 component agreement at Jaccard 0.57). With p ≈ 2^32 the
+# product wraps ~2^30 times and the family mixes properly.
+HASH_PRIME = 4294967311  # smallest prime > 2^32
 
 
 def tokens(col: Column) -> Column:
@@ -113,9 +119,10 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(seed)
-    # a < 2^30 keeps a*crc32 (< 2^62) inside signed-64 under ANSI mode
+    # a < 2^30 keeps a*crc32 (< 2^62) inside signed-64 under ANSI mode;
+    # b spans the full modulus range
     return [
-        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        (rng.randrange(1, 1 << 30), rng.randrange(0, HASH_PRIME))
         for _ in range(num_hashes)
     ]
 
@@ -133,7 +140,7 @@ def minhash_signature(
     base = F.transform(sh, lambda s: F.crc32(s))
 
     def perm(a: int, b: int):
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)
 
     sig = [
         F.array_min(F.transform(base, perm(a, b)))
@@ -177,7 +184,7 @@ def minhash_lsh_pairs(
     ).repartition(F.col("doc"))
 
     def perm(a: int, b: int):
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)
 
     sigs = base.select(
         "doc",
@@ -289,4 +296,71 @@ def simhash_dup_candidates(
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("ids"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 6,
+    seed: int = 7,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
+
+    Scale path (default): random-hyperplane LSH buckets generate candidates
+    (vectors with cosine ≥ 0.95 agree on a hyperplane sign with
+    p = 1 - θ/π ≈ 0.90; 6 tables × 8 planes → recall ≈ 1-(1-0.9^8)^6 ≈ 0.95),
+    then the exact cosine verifies each candidate. ``exact=True`` runs the
+    O(n²) block self-join instead — the small-scale correctness oracle.
+    """
+    from . import ann
+
+    v = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    if exact:
+        a = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+        b = v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        tables = [
+            ann._planes(dim, num_planes, seed + t * 1000) for t in range(num_tables)
+        ]
+        bucketed = v.select(
+            "vid",
+            "vec",
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(t), ann.lsh_bucket(F.col("vec"), planes))
+                    for t, planes in enumerate(tables)
+                ]
+            ).alias("bks"),
+        ).repartition(F.col("vid"))  # barrier: see PLAN NOTEs above
+        exploded = bucketed.select(
+            "vid", "vec", F.explode("bks").alias("bucket")
+        )
+        a = exploded.select(
+            F.col("vid").alias("id_a"), F.col("vec").alias("va"), "bucket"
+        )
+        b = exploded.select(
+            F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+        )
+        pairs = (
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("bucket")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    from .ann import cosine
+
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
     )

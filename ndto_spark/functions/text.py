@@ -103,3 +103,25 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFr
         F.array_min(hashes).alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+# GPT2-style pre-tokenizer shape: word pieces, numbers, punctuation runs,
+# whitespace collapsed — a BPE-ish approximation with no vocab dependency
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-ish tokens (regex pre-tokenization, excluding whitespace
+    runs) — the vocabulary-free approximation of an LLM token count."""
+    toks = F.regexp_extract_all(col, F.lit(f"({BPE_ISH_PATTERN})"), 1)
+    return F.size(F.filter(toks, lambda t: ~t.rlike(r"^\s+$")))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_ish_tokens) — whitespace + BPE-ish counts."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_ws_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_ish_tokens"),
+    )

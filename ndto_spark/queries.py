@@ -261,6 +261,31 @@ def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_rules.approx_distinct_hll(_read(spark, sf_dir, "events"), "user_id")
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact mode (the oracle-checkable
+    baseline; the LSH candidate path is q_embedding_near_dup_lsh)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.5, exact=True)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4")
+    )
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.5, exact=False,
+        num_planes=6, num_tables=8,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4")
+    )
+
+
+def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_validate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image pipeline (metadata + Arrow batch + uniqueness) on the
     deterministic synthetic images table, sized by the scale factor.
@@ -298,6 +323,9 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "hll_distinct_events": q_hll_distinct_events,
     "validate_images": q_validate_images,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "token_counts_documents": q_token_counts_documents,
 }
 
 
@@ -507,6 +535,20 @@ SELECT doc_id,
        ELSE 'fr' END AS lang_pred,
   greatest(s_en, s_es, s_de, s_fr) AS lang_score
 FROM s
+""",
+    "embedding_near_dup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1e4) AS BIGINT) AS sim_e4
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+""",
+    "token_counts_documents": """
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_ws_tokens,
+  len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+|\\s+'),
+                  x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_ish_tokens
+FROM documents
 """,
     "fingerprint_documents": f"""
 WITH {_shingle_cte(8)}

@@ -1,0 +1,131 @@
+"""Unit tests for dedup / ANN / text operators on small inline data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndto_spark import dedup
+from ndto_spark.functions import text as textfn
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup
+        (4, "completely different content about spark tables and shuffles here"),
+        (5, "el rapido zorro marron salta sobre el perro perezoso que es lento"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = {r.keeper_id: r.n_copies for r in dedup.exact_dedup_groups(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1 and 2 identical, keeper = min id
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got  # exact dup: jaccard 1
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_lsh_agrees_with_exact(spark, docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=32, bands=16, verify_threshold=0.4
+        ).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got
+
+
+def test_simhash_identical_docs_collide(spark, docs):
+    rows = dedup.simhash_dup_candidates(docs, "doc_id", "text").collect()
+    groups = [set(r.ids) for r in rows]
+    assert any({1, 2} <= g for g in groups)
+
+
+def test_embedding_near_dups_exact_vs_lsh(spark):
+    import math
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    exact = dedup.embedding_near_dups(df, threshold=0.95, exact=True).collect()
+    assert {(r.id_a, r.id_b) for r in exact} == {(1, 2)}
+    lsh = dedup.embedding_near_dups(
+        df, threshold=0.95, dim=4, num_planes=4, num_tables=8, exact=False
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in lsh} == {(1, 2)}
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "hello, world! x2"), (2, "")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in textfn.token_counts(df, "doc_id", "text").collect()}
+    # hello , world ! x 2  → wait: 'x2' splits to 'x','2'; tokens: hello ',' world '!' x 2
+    assert rows[1].n_bpe_ish_tokens == 6
+    assert rows[1].n_ws_tokens == 3
+    assert rows[2].n_bpe_ish_tokens == 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and the dog is here"),
+            (2, "el perro es grande y la casa es azul que bien"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.lang_pred for r in textfn.lang_id(df, "doc_id", "text").collect()}
+    assert rows[1] == "en" and rows[2] == "es" and rows[3] == "und"
+
+
+# --- compile-option escape hatches (grapheme length / python regex) ------------
+
+
+def test_grapheme_length_option(spark):
+    from ndto_spark.compiler import CompileOptions
+    from tests.conftest import check
+
+    # 'é' as e + combining acute: 2 codepoints, 1 grapheme
+    s = "cafe\u0301"  # 5 codepoints, 4 graphemes
+    schema = {"type": "string", "max_length": 4}
+    assert check(spark, schema, s, "string") == (
+        "$.max_length",
+        'String length "Length" is greater than 4',
+    )
+    assert (
+        check(
+            spark, schema, s, "string",
+            options=CompileOptions(string_length="grapheme"),
+        )
+        is True
+    )
+
+
+def test_python_pattern_engine(spark):
+    from ndto_spark.compiler import CompileOptions
+
+    from tests.conftest import check
+
+    schema = {"type": "string", "pattern": r"(?s)a.b"}  # inline flag: fine in both
+    assert (
+        check(
+            spark, schema, "a\nb", "string",
+            options=CompileOptions(pattern_engine="python"),
+        )
+        is True
+    )
