@@ -30,7 +30,7 @@ batch-vectorized (see CompileOptions).
 from __future__ import annotations
 
 import re as _re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import reduce
 from typing import Any, Callable, Optional
 

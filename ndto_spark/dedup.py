@@ -320,12 +320,27 @@ def embedding_near_dups(
     """
     from . import ann
 
+    from .ann import norm
+
     v = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
-    )
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nrm", norm(F.col("vec")))
     if exact:
-        a = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
-        b = v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+        # O(n²) block self-join: norms precomputed per side (not per pair);
+        # the streamed side is repartitioned so the nested-loop join
+        # parallelizes (a single-file parquet read is ONE partition → one
+        # task otherwise)
+        a = v.select(
+            F.col("vid").alias("id_a"), F.col("vec").alias("va"),
+            F.col("nrm").alias("na"),
+        ).repartition(64)
+        b = F.broadcast(
+            v.select(
+                F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
+                F.col("nrm").alias("nb"),
+            )
+        )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         tables = [
@@ -334,6 +349,7 @@ def embedding_near_dups(
         bucketed = v.select(
             "vid",
             "vec",
+            "nrm",
             F.array(
                 *[
                     F.concat_ws(":", F.lit(t), ann.lsh_bucket(F.col("vec"), planes))
@@ -342,13 +358,15 @@ def embedding_near_dups(
             ).alias("bks"),
         ).repartition(F.col("vid"))  # barrier: see PLAN NOTEs above
         exploded = bucketed.select(
-            "vid", "vec", F.explode("bks").alias("bucket")
+            "vid", "vec", "nrm", F.explode("bks").alias("bucket")
         )
         a = exploded.select(
-            F.col("vid").alias("id_a"), F.col("vec").alias("va"), "bucket"
+            F.col("vid").alias("id_a"), F.col("vec").alias("va"),
+            F.col("nrm").alias("na"), "bucket",
         )
         b = exploded.select(
-            F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+            F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
+            F.col("nrm").alias("nb"), "bucket",
         )
         pairs = (
             a.join(b, "bucket")
@@ -356,11 +374,12 @@ def embedding_near_dups(
             .drop("bucket")
             .dropDuplicates(["id_a", "id_b"])
         )
-    from .ann import cosine
+    from .ann import dot
 
-    return (
-        pairs.select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cosine_sim"
+        ),
+    ).filter(F.col("cosine_sim") >= threshold)

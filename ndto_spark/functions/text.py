@@ -46,16 +46,18 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     punct_count, max_token_len)
     """
     t = F.col(text_col)
+    # counts cast to bigint: DuckDB len()/count() yield BIGINT — keeps the
+    # oracle comparison schema-identical
     return df.select(
         F.col(id_col),
-        F.length(t).alias("char_count"),
-        token_count(t).alias("n_tokens"),
-        distinct_token_count(t).alias("n_distinct_tokens"),
-        stopword_count(t, LANG_MARKERS["en"]).alias("n_stopwords"),
-        punct_count(t).alias("n_punct"),
-        F.array_max(F.transform(tokens(t), lambda x: F.length(x))).alias(
-            "max_token_len"
-        ),
+        F.length(t).cast("bigint").alias("char_count"),
+        token_count(t).cast("bigint").alias("n_tokens"),
+        distinct_token_count(t).cast("bigint").alias("n_distinct_tokens"),
+        stopword_count(t, LANG_MARKERS["en"]).cast("bigint").alias("n_stopwords"),
+        punct_count(t).cast("bigint").alias("n_punct"),
+        F.array_max(F.transform(tokens(t), lambda x: F.length(x)))
+        .cast("bigint")
+        .alias("max_token_len"),
     )
 
 
@@ -84,7 +86,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         pred.alias("lang_pred"),
-        (-best["neg"]).alias("lang_score"),
+        (-best["neg"]).cast("bigint").alias("lang_score"),
     )
 
 
@@ -101,7 +103,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFr
     return df.select(
         F.col(id_col),
         F.array_min(hashes).alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
+        F.size(sh).cast("bigint").alias("n_shingles"),
     )
 
 
@@ -122,6 +124,6 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
-        token_count(t).alias("n_ws_tokens"),
-        bpe_ish_token_count(t).alias("n_bpe_ish_tokens"),
+        token_count(t).cast("bigint").alias("n_ws_tokens"),
+        bpe_ish_token_count(t).cast("bigint").alias("n_bpe_ish_tokens"),
     )

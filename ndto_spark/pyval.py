@@ -17,7 +17,6 @@ through the registry, like the reference's mutually recursive modules).
 
 from __future__ import annotations
 
-import base64
 import re
 from datetime import datetime
 from typing import Any, Optional, Union
