@@ -90,3 +90,11 @@ def test_manifest_lineage_fields(spark, images_df, tmp_path):
     assert len(header["partition_spec"]["bounds"]) == 3
     rec = ck.read_bucket(0)
     assert {"n_rows", "n_violations", "pass", "wall_sec", "completed_at"} <= set(rec)
+
+
+def test_read_table_parquet_lineage(spark):
+    from ndto_spark.sources import read_table
+
+    df, lineage = read_table(spark, "/root/testdata/sf0.001/region.parquet")
+    assert lineage.kind == "parquet" and lineage.snapshot_id is None
+    assert df.count() == 5
