@@ -156,6 +156,11 @@ def run_resumable(
         pending = pending[:max_buckets_per_call]
 
     spark = df.sparkSession
+    metric_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("integer", "long", "double", "float")
+    ]
     for b in pending:
         t0 = time.time()
         sub = df.filter(bucket_expr == F.lit(b))
@@ -169,6 +174,17 @@ def run_resumable(
         verdicts = res.verdicts.collect()
         n_rows = sum(v.n_rows for v in verdicts)
         n_viol = sum(v.n_violations for v in verdicts)
+        # per-partition metrics (north_star: manifest carries metrics per
+        # partition): null counts + min/max of every numeric column
+        from .table_rules import column_stats
+
+        metrics: dict[str, float] = {}
+        if metric_cols:
+            for r in column_stats(sub, metric_cols).collect():
+                metrics[f"{r.column_name}.n_nulls"] = float(r.n_nulls)
+                if r.min_value is not None:
+                    metrics[f"{r.column_name}.min"] = float(r.min_value)
+                    metrics[f"{r.column_name}.max"] = float(r.max_value)
         ckpt.write_bucket(
             b,
             {
@@ -176,6 +192,7 @@ def run_resumable(
                 "n_rows": n_rows,
                 "n_violations": n_viol,
                 "pass": n_viol == 0,
+                "metrics": metrics,
                 "wall_sec": round(time.time() - t0, 3),
                 "completed_at": time.time(),
             },

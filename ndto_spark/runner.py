@@ -77,6 +77,42 @@ class RuleSet:
         return F.array_compact(F.array(*entries))
 
 
+def validate_row_object(
+    df: DataFrame,
+    schema: Schema,
+    key: str,
+    registry: Optional[dict[str, Schema]] = None,
+    options: Optional[CompileOptions] = None,
+) -> ValidationResult:
+    """Validate each ROW as one object value against an object schema.
+
+    The row is packed into a struct (properties = columns), so the object
+    keywords (properties / required / min_properties / pattern_properties /
+    additional_properties) apply to the row exactly as the reference applies
+    them to a map value; paths come out as '$.properties.<col>...'.
+    """
+    from .compiler import Compiler
+
+    cols = [c for c in df.columns]
+    row = F.struct(*[F.col(c).alias(c) for c in cols])
+    dtype = df.select(row.alias("_row")).schema["_row"].dataType
+    comp = Compiler(registry=registry, options=options)
+    compiled = comp.compile(schema, row, dtype, "$")
+    entry = F.when(
+        ~compiled.pred,
+        F.struct(
+            F.lit("$row").alias("column"),
+            F.coalesce(compiled.viol["schema_path"], F.lit("$")).alias("schema_path"),
+            F.coalesce(compiled.viol["keyword"], F.lit("unknown")).alias("keyword"),
+            compiled.viol["description"].alias("description"),
+        ),
+    )
+    annotated = df.withColumn(VIOLATIONS_COL, F.array_compact(F.array(entry))).withColumn(
+        PARTITION_COL, F.spark_partition_id()
+    )
+    return _result_from_annotated(annotated, key)
+
+
 def validate(
     df: DataFrame,
     rules: dict[str, Schema] | RuleSet,
@@ -88,6 +124,10 @@ def validate(
     annotated = df.withColumn(VIOLATIONS_COL, ruleset.violations_array(df)).withColumn(
         PARTITION_COL, F.spark_partition_id()
     )
+    return _result_from_annotated(annotated, key)
+
+
+def _result_from_annotated(annotated: DataFrame, key: str) -> ValidationResult:
     violations = annotated.select(
         F.col(key),
         F.explode(VIOLATIONS_COL).alias("v"),
