@@ -286,6 +286,35 @@ def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textfn.token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_validate_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the iso8601 / base64 format validators in the oracle gate.
+
+    Derives deterministic string columns from events (so both engines build
+    identical inputs): a strict ISO timestamp (every 3rd row corrupted to a
+    bad month) and a base64 payload (every 5th row length-corrupted).
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("2024-13-01T"), F.date_format("ts", "HH:mm:ss")),
+        )
+        .otherwise(F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .alias("ts_str"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.base64(F.encode(F.col("event_type"), "utf-8")), F.lit("x")),
+        )
+        .otherwise(F.base64(F.encode(F.col("event_type"), "utf-8")))
+        .alias("b64"),
+    )
+    rules = {
+        "ts_str": {"type": "string", "format": "iso8601"},
+        "b64": {"type": "string", "format": "base64"},
+    }
+    return _violations(ev, rules, "event_id")
+
+
 def q_validate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image pipeline (metadata + Arrow batch + uniqueness) on the
     deterministic synthetic images table, sized by the scale factor.
@@ -323,6 +352,7 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "hll_distinct_events": q_hll_distinct_events,
     "validate_images": q_validate_images,
+    "validate_formats": q_validate_formats,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "token_counts_documents": q_token_counts_documents,
@@ -535,6 +565,16 @@ SELECT doc_id,
        ELSE 'fr' END AS lang_pred,
   greatest(s_en, s_es, s_de, s_fr) AS lang_score
 FROM s
+""",
+    "validate_formats": """
+-- which rows violate is determined by the deterministic event_id residues;
+-- the violation tuples themselves are constants
+SELECT event_id, 'ts_str' AS column_name, '$.format' AS schema_path,
+       'format' AS keyword, 'String is not a valid ISO8601 date' AS description
+FROM events WHERE event_id % 3 = 0
+UNION ALL
+SELECT event_id, 'b64', '$.format', 'format', 'String length is not a multiple of 4'
+FROM events WHERE event_id % 5 = 0
 """,
     "embedding_near_dup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
