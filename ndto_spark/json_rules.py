@@ -1,0 +1,123 @@
+"""Validation of JSON-encoded string columns.
+
+The reference validates dynamically-typed values; in a typed table the one
+place dynamic documents survive is a JSON string column. This module closes
+that gap:
+
+- ``spec_to_spark_type``: derive the narrowest Spark type a spec describes
+  (object→struct from properties, array→array, scalars→primitives) — the
+  compile-time analog of ndto's guard-based dynamic dispatch.
+- ``validate_json_column``: ``from_json`` the column with the derived type,
+  then run the compiled rules over the parsed value. Malformed JSON (parse
+  returns NULL for a non-null input) is its own violation class at
+  ``$.json`` — a failure mode the single-value reference surfaces as a type
+  error, surfaced here before type checks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .compiler import CompileOptions, Compiler
+from .runner import PARTITION_COL, VIOLATIONS_COL, ValidationResult, _result_from_annotated
+from .spec import Schema, SpecError, normalize
+
+
+def spec_to_spark_type(schema: Schema) -> T.DataType:
+    """Narrowest Spark type for a spec (for from_json parsing)."""
+    schema = normalize(schema)
+    if schema is True or schema is False:
+        return T.StringType()
+    assert isinstance(schema, dict)
+    t = schema.get("type")
+    if t == "string":
+        return T.StringType()
+    if t == "integer":
+        return T.LongType()
+    if t == "float":
+        return T.DoubleType()
+    if t == "boolean":
+        return T.BooleanType()
+    if t == "array":
+        items = schema.get("items", True)
+        if isinstance(items, list):
+            inner = spec_to_spark_type(items[0]) if items else T.StringType()
+        else:
+            inner = spec_to_spark_type(items)
+        return T.ArrayType(inner)
+    if t == "object":
+        props = schema.get("properties")
+        if props:
+            return T.StructType(
+                [T.StructField(k, spec_to_spark_type(v)) for k, v in props.items()]
+            )
+        # open object: map with a common value type derived from
+        # pattern/additional property schemas (string fallback)
+        sub = schema.get("additional_properties")
+        pp = schema.get("pattern_properties", {})
+        cand = sub if isinstance(sub, dict) else next(iter(pp.values()), True)
+        return T.MapType(T.StringType(), spec_to_spark_type(cand))
+    if "enum" in schema:
+        vals = [v for v in schema["enum"] if v is not None]
+        if vals and all(isinstance(v, str) for v in vals):
+            return T.StringType()
+        if vals and all(isinstance(v, bool) for v in vals):
+            return T.BooleanType()
+        if vals and all(isinstance(v, int) for v in vals):
+            return T.LongType()
+        if vals and all(isinstance(v, float) for v in vals):
+            return T.DoubleType()
+        return T.StringType()
+    for comb in ("any_of", "one_of", "all_of"):
+        if comb in schema and schema[comb]:
+            return spec_to_spark_type(schema[comb][0])
+    raise SpecError(f"cannot derive a Spark type for spec {schema!r}")
+
+
+def validate_json_column(
+    df: DataFrame,
+    col: str,
+    schema: Schema,
+    key: str,
+    registry: Optional[dict[str, Schema]] = None,
+    options: Optional[CompileOptions] = None,
+) -> ValidationResult:
+    dtype = spec_to_spark_type(schema)
+    parsed = F.from_json(F.col(col), dtype)
+    comp = Compiler(registry=registry, options=options)
+    compiled = comp.compile(schema, parsed, dtype, "$")
+    # PERMISSIVE from_json yields an all-null STRUCT (not NULL) on malformed
+    # input, so probe with try_parse_json (VARIANT, NULL on bad JSON)
+    bad_json = F.col(col).isNotNull() & F.try_parse_json(F.col(col)).isNull()
+    entry = (
+        F.when(
+            bad_json,
+            F.struct(
+                F.lit(col).alias("column"),
+                F.lit("$.json").alias("schema_path"),
+                F.lit("json").alias("keyword"),
+                F.lit("Value is not parseable JSON").alias("description"),
+            ),
+        )
+        .when(
+            ~bad_json & ~compiled.pred,
+            F.struct(
+                F.lit(col).alias("column"),
+                F.coalesce(compiled.viol["schema_path"], F.lit("$")).alias(
+                    "schema_path"
+                ),
+                F.coalesce(compiled.viol["keyword"], F.lit("unknown")).alias(
+                    "keyword"
+                ),
+                compiled.viol["description"].alias("description"),
+            ),
+        )
+    )
+    annotated = df.withColumn(
+        VIOLATIONS_COL, F.array_compact(F.array(entry))
+    ).withColumn(PARTITION_COL, F.spark_partition_id())
+    return _result_from_annotated(annotated, key)

@@ -315,6 +315,23 @@ def q_validate_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _violations(ev, rules, "event_id")
 
 
+def q_validate_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-document validation: events.props is a JSON string column."""
+    from .json_rules import validate_json_column
+
+    schema = {
+        "type": "object",
+        "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 89}},
+        "required": ["k"],
+    }
+    ev = _read(spark, sf_dir, "events")
+    res = validate_json_column(ev, "props", schema, key="event_id")
+    return res.violations.select(
+        "event_id", F.col("column").alias("column_name"), "schema_path",
+        "keyword", "description",
+    )
+
+
 def q_validate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image pipeline (metadata + Arrow batch + uniqueness) on the
     deterministic synthetic images table, sized by the scale factor.
@@ -353,6 +370,7 @@ QUERIES = {
     "hll_distinct_events": q_hll_distinct_events,
     "validate_images": q_validate_images,
     "validate_formats": q_validate_formats,
+    "validate_json_props": q_validate_json_props,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "token_counts_documents": q_token_counts_documents,
@@ -575,6 +593,17 @@ FROM events WHERE event_id % 3 = 0
 UNION ALL
 SELECT event_id, 'b64', '$.format', 'format', 'String length is not a multiple of 4'
 FROM events WHERE event_id % 5 = 0
+""",
+    "validate_json_props": """
+SELECT event_id, 'props' AS column_name, v[1] AS schema_path, v[2] AS keyword, v[3] AS description
+FROM (SELECT event_id, CASE
+  WHEN props IS NULL OR json_extract(props, '$.k') IS NULL
+    THEN ['$.required', 'required', '$ is missing required property <<"k">>']
+  WHEN json_extract(props, '$.k')::BIGINT > 89
+    THEN ['$.properties.k.maximum', 'maximum', 'Number is not lower or equal to 89']
+  WHEN json_extract(props, '$.k')::BIGINT < 10
+    THEN ['$.properties.k.minimum', 'minimum', 'Value is not a number greater or equal to 10']
+  END AS v FROM events) WHERE v IS NOT NULL
 """,
     "embedding_near_dup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
