@@ -183,3 +183,75 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse quantize, probe lists.
+
+    Centroids are a deterministic sample of the corpus (hash-selected —
+    at real scale you'd k-means them; the IVF mechanics are identical):
+    every vector is assigned to its nearest centroid (one 'list'); a query
+    scans only its ``n_probe`` nearest lists. The candidate scan becomes an
+    equi-join on list id — the 100 TB replacement for the cross join.
+    """
+    from pyspark.sql.window import Window
+
+    # deterministic centroid pick: smallest crc32(id) values
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+            F.crc32(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_lists)
+        .drop("h")
+    )
+    cents_b = F.broadcast(cents)
+
+    def assign(df: DataFrame, idname: str, n: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).cast("array<double>").alias(f"{idname}_vec"),
+        ).join(cents_b, F.lit(True))
+        sim = cosine(F.col(f"{idname}_vec"), F.col("cvec"))
+        w = Window.partitionBy(idname).orderBy(F.desc(sim.alias("s")), F.col("cid"))
+        ranked = scored.select(
+            idname, f"{idname}_vec", "cid", sim.alias("csim")
+        ).withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(idname).orderBy(F.desc("csim"), "cid")
+            ),
+        )
+        return ranked.filter(F.col("rk") <= n).select(idname, f"{idname}_vec", "cid")
+
+    corpus_lists = assign(corpus, "neighbor_id", 1)  # each vector in 1 list
+    query_lists = F.broadcast(assign(queries, "query_id", n_probe))
+    cands = corpus_lists.join(query_lists, "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")).alias("cosine_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -245,6 +245,31 @@ def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann.ivf_topk(emb, queries, k=3, n_lists=16, n_probe=4).select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4"),
+    )
+
+
+def q_drift_per_partition_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition KS/PSI vs the even-orderkey half as reference profile."""
+    li = _read(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    profile = table_rules.reference_profile(ref, "l_extendedprice", 0.0, 120000.0, 20)
+    out = table_rules.drift_per_partition(
+        li.repartition(8, "l_orderkey"), "l_extendedprice", profile, 0.0, 120000.0, 20
+    )
+    # partition ids are not stable across engines → rows-only gate check;
+    # per-partition correctness is pinned by tests/test_drift_ivf.py
+    return out
+
+
 def q_text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textfn.quality_metrics(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -364,6 +389,8 @@ QUERIES = {
     "simhash_documents": q_simhash_documents,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
+    "ann_ivf_embeddings": q_ann_ivf_embeddings,
+    "drift_per_partition_lineitem": q_drift_per_partition_lineitem,
     "text_quality_documents": q_text_quality_documents,
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,

@@ -198,3 +198,79 @@ def approx_distinct_hll(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("approx_distinct")
     )
     return merged.select(F.lit(col).alias("column_name"), "approx_distinct")
+
+
+def reference_profile(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """(bucket, ref_n): the stored clean-run histogram drift compares against."""
+    return histogram(df, col, lo, hi, nbins).withColumnRenamed("n", "ref_n")
+
+
+def drift_per_partition(
+    df: DataFrame,
+    col: str,
+    ref_profile: DataFrame,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """KS + PSI per Spark partition against a reference profile.
+
+    (partition_id, ks, psi) — the north-star per-partition drift check.
+    Each partition reduces to an nbins-row histogram (partial agg), the
+    reference profile is broadcast, and the metric math runs on the tiny
+    joined histograms — cost independent of partition size.
+    """
+    from pyspark.sql.window import Window
+
+    hist = (
+        df.select(
+            F.spark_partition_id().alias("partition_id"),
+            bucketize(F.col(col), lo, hi, nbins).alias("bucket"),
+        )
+        .groupBy("partition_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    parts = hist.select("partition_id").distinct()
+    bins = df.sparkSession.range(nbins).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    grid = parts.crossJoin(F.broadcast(bins))
+    full = (
+        grid.join(hist, ["partition_id", "bucket"], "left")
+        .join(F.broadcast(ref_profile), "bucket", "left")
+        .select(
+            "partition_id",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        )
+    )
+    wp = Window.partitionBy("partition_id")
+    wo = (
+        Window.partitionBy("partition_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    props = full.select(
+        "partition_id",
+        "bucket",
+        (F.col("n") / F.sum("n").over(wp)).alias("p"),
+        (F.col("ref_n") / F.sum("ref_n").over(wp)).alias("q"),
+    )
+    cdf = props.select(
+        "partition_id",
+        "p",
+        "q",
+        F.sum("p").over(wo).alias("cp"),
+        F.sum("q").over(wo).alias("cq"),
+    )
+    return cdf.groupBy("partition_id").agg(
+        F.max(F.abs(F.col("cp") - F.col("cq"))).alias("ks"),
+        F.sum(
+            (F.col("p") - F.col("q"))
+            * F.log((F.col("p") + F.lit(eps)) / (F.col("q") + F.lit(eps)))
+        ).alias("psi"),
+    )

@@ -1,0 +1,60 @@
+"""Per-partition drift vs reference profile + IVF ANN."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndto_spark import ann, table_rules
+
+
+def test_drift_per_partition_detects_shift(spark):
+    # reference: uniform 0..100; partition 1 of the test df is shifted +40
+    ref = spark.range(10000).select((F.col("id") % 100).cast("double").alias("x"))
+    profile = table_rules.reference_profile(ref, "x", 0.0, 100.0, 10)
+    test_df = spark.range(10000).select(
+        F.when(F.spark_partition_id() == 0, (F.col("id") % 60).cast("double"))
+        .otherwise(((F.col("id") % 60) + 40).cast("double"))
+        .alias("x")
+    ).repartition(2).select(
+        F.when(F.spark_partition_id() == 0, F.col("x"))
+        .otherwise(F.least(F.col("x") + 40.0, F.lit(99.0)))
+        .alias("x")
+    )
+    out = {
+        r.partition_id: r
+        for r in table_rules.drift_per_partition(
+            test_df, "x", profile, 0.0, 100.0, 10
+        ).collect()
+    }
+    assert len(out) == 2
+    # the shifted partition must show clearly larger drift
+    parts = sorted(out.values(), key=lambda r: r.ks)
+    assert parts[1].ks > parts[0].ks
+    assert parts[1].psi > parts[0].psi
+    assert parts[1].ks > 0.3
+
+
+def test_ivf_topk_matches_brute_force_on_top1(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in ann.brute_force_topk(df, queries, k=1).collect()
+    }
+    approx = ann.ivf_topk(df, queries, k=3, n_lists=8, n_probe=6).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    # with 6 of 8 lists probed, the true top-1 should be found for most
+    # queries (recall tolerance: at least 3 of 5)
+    hits = sum(1 for q, n in exact.items() if n in got.get(q, []))
+    assert hits >= 3
+    # every query returns k results
+    assert all(len(v) == 3 for v in got.values())
