@@ -1,0 +1,32 @@
+"""Package ndto_spark for spark-submit --py-files.
+
+Usage: python tools/make_pyfiles.py  →  dist/ndto_spark.zip
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    out_dir = os.path.join(ROOT, "dist")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "ndto_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(ROOT, "ndto_spark")
+        for dirpath, _dirs, files in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, ROOT))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
