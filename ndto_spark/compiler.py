@@ -263,14 +263,22 @@ class Compiler:
                 F.lit(None).cast(dtype.elementType) if e is None else e for e in elems
             ]
             return F.array(*cast)
-        if isinstance(v, dict) and isinstance(dtype, T.MapType):
-            parts: list[Column] = []
-            for k, mv in v.items():
-                lv = self._lit_value(mv, dtype.valueType)
-                if lv is None and mv is not None:
-                    return None
-                parts += [F.lit(str(k)), lv if lv is not None else F.lit(None).cast(dtype.valueType)]
-            return F.create_map(*parts)
+        if isinstance(v, dict) and isinstance(dtype, T.StructType):
+            fields: list[Column] = []
+            for f in dtype.fields:
+                lv = self._lit_value(v.get(f.name), f.dataType)
+                fields.append(
+                    (lv if lv is not None else F.lit(None).cast(f.dataType)).alias(
+                        f.name
+                    )
+                )
+            # only a full match counts: extra keys in the literal can't exist
+            # in a closed struct
+            if set(v) - {f.name for f in dtype.fields}:
+                return None
+            return F.struct(*fields)
+        # dict literal vs MapType: Spark forbids equality on maps
+        # (EqualTo(MapType) is an analysis error) — no comparable literal
         return None
 
     def _enum(self, schema: dict, value: Column, dtype: T.DataType, path: str) -> Compiled:
