@@ -289,7 +289,9 @@ def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact mode (the oracle-checkable
     baseline; the LSH candidate path is q_embedding_near_dup_lsh)."""
-    emb = _read(spark, sf_dir, "embeddings")
+    # bounded to vec_id < 1000: covers ALL vectors at the sf0.01 gate (500)
+    # while keeping the O(n²) oracle query affordable at larger sf
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     pairs = dedup.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.5, exact=True)
     return pairs.select(
         "id_a", "id_b", F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4")
@@ -297,7 +299,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     pairs = dedup.embedding_near_dups(
         emb, "vec_id", "embedding", threshold=0.5, exact=False,
         num_planes=6, num_tables=8,
@@ -633,7 +635,7 @@ FROM (SELECT event_id, CASE
   END AS v FROM events) WHERE v IS NOT NULL
 """,
     "embedding_near_dup": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(floor(list_cosine_similarity(a.v, b.v) * 1e4) AS BIGINT) AS sim_e4
 FROM e a JOIN e b ON a.vec_id < b.vec_id
