@@ -166,6 +166,81 @@ def _corpus():
     return cases
 
 
+def _nested_corpus():
+    """Seeded random (schema, value) pairs for array and struct dtypes."""
+    rng = random.Random(11)
+    arr_cases, obj_cases = [], []
+    for _ in range(30):
+        v = [rng.randint(-5, 5) for _ in range(rng.randint(0, 6))]
+        arr_cases.append(
+            (
+                {
+                    "type": "array",
+                    "items": {"type": "integer", "minimum": rng.randint(-4, 1)},
+                    "min_items": rng.randint(0, 3),
+                    "max_items": rng.randint(3, 7),
+                    **({"unique_items": True} if rng.random() < 0.5 else {}),
+                },
+                v,
+            )
+        )
+        name = rng.choice(["abc", "a", "zz!", ""])
+        num = rng.randint(-10, 10)
+        obj_cases.append(
+            (
+                {
+                    "type": "object",
+                    "properties": {
+                        "name": {"type": "string", "min_length": rng.randint(0, 3)},
+                        "num": {"type": "integer", "maximum": rng.randint(-5, 8)},
+                    },
+                    "required": rng.choice([[], ["name"], ["name", "num"]]),
+                },
+                {"name": name, "num": num},
+            )
+        )
+    return arr_cases, obj_cases
+
+
+def test_compiler_matches_pyval_on_nested_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from ndto_spark.compiler import Compiler
+
+    arr_cases, obj_cases = _nested_corpus()
+    for dtype, pairs, to_py in (
+        ("array<bigint>", arr_cases, lambda v: v),
+        ("struct<name:string,num:bigint>", obj_cases, lambda v: v),
+    ):
+        rows = []
+        for _, v in pairs:
+            rows.append(((v["name"], v["num"]),) if isinstance(v, dict) else (v,))
+        df = spark.createDataFrame(rows, schema=f"v {dtype}")
+        df = df.withColumn("i", F.monotonically_increasing_id())
+        comp = Compiler()
+        cols = [
+            F.struct(
+                c.pred.alias("p"),
+                c.viol["schema_path"].alias("sp"),
+                c.viol["description"].alias("d"),
+            ).alias(f"c{j}")
+            for j, c in enumerate(
+                comp.compile(s, F.col("v"), df.schema["v"].dataType, "$")
+                for s, _ in pairs
+            )
+        ]
+        out = df.select(F.col("i"), *cols).orderBy("i").collect()
+        for j, ((schema, value), row) in enumerate(zip(pairs, out)):
+            got = row[f"c{j}"]
+            want = pyval.is_valid(schema, to_py(value))
+            ctx = f"dtype={dtype} case={j} schema={schema} value={value!r}"
+            if want is True:
+                assert got.p, f"compiler rejected, pyval accepted: {ctx} got={got}"
+            else:
+                assert not got.p, f"compiler accepted, pyval rejected: {ctx}"
+                assert (got.sp, got.d) == want, f"{ctx}: {(got.sp, got.d)} != {want}"
+
+
 def test_compiler_matches_pyval_on_corpus(spark):
     from pyspark.sql import functions as F
 
