@@ -114,12 +114,15 @@ def _one_of(schema: dict, value: Any, path: str, reg: dict) -> Result:
 
 
 def _deep_eq(a: Any, b: Any) -> bool:
+    """Erlang-term equality: booleans are atoms (never equal to ints),
+    ints and floats are distinct types, deep through lists/maps."""
     if isinstance(a, bool) or isinstance(b, bool):
         return a is b
-    return type(a) == type(b) and a == b or (
-        isinstance(a, (int, float)) and isinstance(b, (int, float)) and
-        type(a) == type(b) and a == b
-    )
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_deep_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_deep_eq(v, b[k]) for k, v in a.items())
+    return type(a) == type(b) and a == b
 
 
 def _typed(schema: dict, value: Any, path: str, reg: dict) -> Result:
