@@ -155,3 +155,46 @@ def test_attempt_type_distributes_keywords():
     # no explicit type → any_of with a typed string schema
     assert pyval.is_valid(s, "abcd") is True
     assert pyval.is_valid(s, "a") is not True
+
+
+def test_parsed_spec_compiles_to_columns(spark, tmp_path):
+    """Parser → registry → Column compiler integration (acyclic refs)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ndto_spark.compiler import Compiler
+    from ndto_spark.parser import parse
+
+    spec = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "type": "object",
+        "properties": {
+            "name": {"$ref": "#/definitions/ShortName"},
+            "score": {"type": "number", "minimum": 0},
+        },
+        "required": ["name"],
+        "definitions": {
+            "ShortName": {"type": "string", "maxLength": 5}
+        },
+    }
+    p = tmp_path / "spec.json"
+    p.write_text(_json.dumps(spec))
+    schemas = dict(parse(str(p), name="myspec"))
+    assert "myspec_ShortName" in schemas
+
+    df = spark.createDataFrame(
+        [(1, "bob", 3.0), (2, "toolongname", 1.0), (3, "al", -2.0), (4, None, 1.0)],
+        "id bigint, name string, score double",
+    )
+    comp = Compiler(registry=schemas)
+    row = F.struct(F.col("name"), F.col("score"))
+    dtype = df.select(row.alias("r")).schema["r"].dataType
+    c = comp.compile(schemas["myspec"], row, dtype, "$")
+    rows = {r.id: r for r in df.select("id", c.pred.alias("p"), c.viol.alias("v")).collect()}
+    assert rows[1].p
+    # ref'd validator reports at its own '$' root (module-per-ref parity)
+    assert not rows[2].p and rows[2].v.schema_path == "$.max_length"
+    # 'number' → any_of[integer, float]; a failing double fails both branches
+    assert not rows[3].p and rows[3].v.schema_path == "$.properties.score.any_of"
+    assert not rows[4].p and rows[4].v.schema_path == "$.required"
