@@ -78,6 +78,10 @@ def spec_to_spark_type(schema: Schema) -> T.DataType:
     raise SpecError(f"cannot derive a Spark type for spec {schema!r}")
 
 
+_PARSED_COL = "__ndto_json_parsed"
+_BAD_JSON_COL = "__ndto_json_bad"
+
+
 def validate_json_column(
     df: DataFrame,
     col: str,
@@ -87,12 +91,27 @@ def validate_json_column(
     options: Optional[CompileOptions] = None,
 ) -> ValidationResult:
     dtype = spec_to_spark_type(schema)
-    parsed = F.from_json(F.col(col), dtype)
+    # PLAN NOTE: parse ONCE. Compiling the rule tree directly against the
+    # from_json(...) expression duplicates the parse into every reference
+    # (one per keyword check — measured 48 from_json nodes / ~30x slowdown
+    # for a 1-property schema). Projecting the parsed struct as a named
+    # column and compiling against the attribute keeps a single parse:
+    # CollapseProject refuses to inline a non-cheap producer expression
+    # that is consumed more than once, so the plan carries exactly one
+    # from_json (asserted by tests/test_json_rules.py::test_single_parse).
+    parsed_df = df.withColumns(
+        {
+            _PARSED_COL: F.from_json(F.col(col), dtype),
+            # PERMISSIVE from_json yields an all-null STRUCT (not NULL) on
+            # malformed input, so probe with try_parse_json (VARIANT, NULL
+            # on bad JSON) — also materialized once here.
+            _BAD_JSON_COL: F.col(col).isNotNull()
+            & F.try_parse_json(F.col(col)).isNull(),
+        }
+    )
     comp = Compiler(registry=registry, options=options)
-    compiled = comp.compile(schema, parsed, dtype, "$")
-    # PERMISSIVE from_json yields an all-null STRUCT (not NULL) on malformed
-    # input, so probe with try_parse_json (VARIANT, NULL on bad JSON)
-    bad_json = F.col(col).isNotNull() & F.try_parse_json(F.col(col)).isNull()
+    compiled = comp.compile(schema, F.col(_PARSED_COL), dtype, "$")
+    bad_json = F.col(_BAD_JSON_COL)
     entry = (
         F.when(
             bad_json,
@@ -117,7 +136,9 @@ def validate_json_column(
             ),
         )
     )
-    annotated = df.withColumn(
-        VIOLATIONS_COL, F.array_compact(F.array(entry))
-    ).withColumn(PARTITION_COL, F.spark_partition_id())
+    annotated = (
+        parsed_df.withColumn(VIOLATIONS_COL, F.array_compact(F.array(entry)))
+        .withColumn(PARTITION_COL, F.spark_partition_id())
+        .drop(_PARSED_COL, _BAD_JSON_COL)
+    )
     return _result_from_annotated(annotated, key)

@@ -128,17 +128,32 @@ def validate(
 
 
 def _result_from_annotated(annotated: DataFrame, key: str) -> ValidationResult:
-    violations = annotated.select(
-        F.col(key),
-        F.explode(VIOLATIONS_COL).alias("v"),
-        F.col(PARTITION_COL),
-    ).select(
-        key,
-        F.col("v.column").alias("column"),
-        F.col("v.schema_path").alias("schema_path"),
-        F.col("v.keyword").alias("keyword"),
-        F.col("v.description").alias("description"),
-        PARTITION_COL,
+    # PLAN NOTE: explode_outer + post-filter, NOT a plain explode. For
+    # explode(arr) the optimizer infers Filter(size(arr) > 0) below the
+    # Generate (InferFiltersFromGenerate) and then pushes it through the
+    # producing projections, EXPANDING the violations alias into the filter
+    # predicate — the whole compiled rule tree gets re-evaluated per row a
+    # second time, and any parse-once barrier upstream is defeated (measured:
+    # from_json ×48 in the filter for a 1-property JSON rule, ~30x slowdown).
+    # explode_outer emits one NULL row for empty arrays instead (same row
+    # count as the input — a streamed narrow op), the inferred filter never
+    # materializes, and the cheap v IS NOT NULL filter cannot cross the
+    # Generate, so every rule expression is evaluated exactly once per row.
+    violations = (
+        annotated.select(
+            F.col(key),
+            F.explode_outer(VIOLATIONS_COL).alias("v"),
+            F.col(PARTITION_COL),
+        )
+        .filter(F.col("v").isNotNull())
+        .select(
+            key,
+            F.col("v.column").alias("column"),
+            F.col("v.schema_path").alias("schema_path"),
+            F.col("v.keyword").alias("keyword"),
+            F.col("v.description").alias("description"),
+            PARTITION_COL,
+        )
     )
     verdicts = annotated.groupBy(PARTITION_COL).agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -46,3 +46,24 @@ def test_validate_json_column(spark):
     assert viols[3] == ("$.properties.k.maximum", "maximum")
     assert viols[4] == ("$.json", "json")
     assert viols[5] == ("$.required", "required")
+
+
+def test_single_parse(spark):
+    """The physical plan must parse the JSON column exactly once.
+
+    Two regressions are pinned here: (a) compiling the rule tree directly
+    against the from_json expression duplicates the parse per keyword check;
+    (b) InferFiltersFromGenerate + predicate pushdown expanding the
+    violations alias into a pre-Generate filter re-duplicates it (the
+    explode_outer fix in runner._result_from_annotated).
+    """
+    df = spark.createDataFrame([(1, '{"k": 5}')], "id bigint, props string")
+    schema = {
+        "type": "object",
+        "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 89}},
+        "required": ["k"],
+    }
+    res = validate_json_column(df, "props", schema, key="id")
+    final = res.violations.select("id", "keyword")
+    plan = final._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") == 1, plan
