@@ -65,11 +65,16 @@ def brute_force_topk(
             cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
         )
     )
-    # partial top-k inside the aggregation: collect per query, sort by
-    # (-sim, id), keep k. With AQE + partial aggregation the shuffle carries
-    # at most one partially-reduced list per (partition, query).
-    topk = (
-        scored.groupBy("query_id")
+    # PLAN NOTE: two-phase top-k. A single groupBy(query).collect_list holds
+    # the ENTIRE corpus per query in one reducer (partial aggregation merges
+    # but never truncates collect_list) — O(|corpus|) state per key, OOM at
+    # scale. Phase 1 takes top-k per (query, input partition): each group
+    # lives in exactly one map task, so its list is bounded by partition
+    # size and is sliced to k before the shuffle. Phase 2 merges the ≤k-item
+    # per-partition survivors — O(k · n_partitions) state per query.
+    local = (
+        scored.withColumn("_part", F.spark_partition_id())
+        .groupBy("query_id", "_part")
         .agg(
             F.slice(
                 F.array_sort(
@@ -82,6 +87,14 @@ def brute_force_topk(
                 ),
                 1,
                 k,
+            ).alias("top")
+        )
+    )
+    topk = (
+        local.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("top"))), 1, k
             ).alias("top")
         )
         .select("query_id", F.explode("top").alias("t"))
@@ -203,37 +216,68 @@ def ivf_topk(
     scans only its ``n_probe`` nearest lists. The candidate scan becomes an
     equi-join on list id — the 100 TB replacement for the cross join.
     """
-    from pyspark.sql.window import Window
+    import math
 
-    # deterministic centroid pick: smallest crc32(id) values
+    # deterministic centroid pick: smallest md5(id) hex strings (portable —
+    # the DuckDB oracle reproduces the same pick). The collect is
+    # n_lists rows (the coarse codebook) — at real scale this is the k-means
+    # model you would fit offline; either way it is driver-side metadata of
+    # size O(n_lists · dim), broadcast into the assignment expressions below.
     cents = (
         corpus.select(
             F.col(id_col).alias("cid"),
             F.col(vec_col).cast("array<double>").alias("cvec"),
-            F.crc32(F.col(id_col).cast("string")).alias("h"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
         )
-        .orderBy("h")
+        .orderBy("h", "cid")
         .limit(n_lists)
-        .drop("h")
+        .select("cid", "cvec")
+        .collect()
     )
-    cents_b = F.broadcast(cents)
+    cent_norms = [math.sqrt(sum(x * x for x in r.cvec)) or 1.0 for r in cents]
 
     def assign(df: DataFrame, idname: str, n: int) -> DataFrame:
-        scored = df.select(
+        # PLAN NOTE: list assignment is pure expression-side — one projection
+        # computing n_lists dot products against literal centroid vectors,
+        # then an array argmax. The previous implementation cross-joined the
+        # corpus with the broadcast centroids and ranked with a Window
+        # partitioned by vector id: a full shuffle of n_lists× the corpus
+        # just to take an argmax. This version has NO Exchange at all.
+        base = df.select(
             F.col(id_col).alias(idname),
             F.col(vec_col).cast("array<double>").alias(f"{idname}_vec"),
-        ).join(cents_b, F.lit(True))
-        sim = cosine(F.col(f"{idname}_vec"), F.col("cvec"))
-        w = Window.partitionBy(idname).orderBy(F.desc(sim.alias("s")), F.col("cid"))
-        ranked = scored.select(
-            idname, f"{idname}_vec", "cid", sim.alias("csim")
-        ).withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy(idname).orderBy(F.desc("csim"), "cid")
-            ),
+        ).withColumn("_nrm", norm(F.col(f"{idname}_vec")))
+        sims = F.array(
+            *[
+                F.struct(
+                    (
+                        -dot(
+                            F.col(f"{idname}_vec"),
+                            F.array(*[F.lit(float(x)) for x in r.cvec]),
+                        )
+                        / (F.col("_nrm") * F.lit(cn))
+                    ).alias("neg"),
+                    F.lit(r.cid).alias("cid"),
+                )
+                for r, cn in zip(cents, cent_norms)
+            ]
         )
-        return ranked.filter(F.col("rk") <= n).select(idname, f"{idname}_vec", "cid")
+        if n == 1:
+            out = base.select(
+                idname, f"{idname}_vec", F.array_min(sims)["cid"].alias("cid")
+            )
+        else:
+            # the sims array is the generator input itself (evaluated once
+            # per row); sibling columns are plain attributes, so nothing
+            # heavy collapses into the Generate (cf. dedup.py PLAN NOTEs)
+            out = base.select(
+                idname,
+                f"{idname}_vec",
+                F.explode(
+                    F.slice(F.array_sort(sims), 1, n)["cid"]
+                ).alias("cid"),
+            )
+        return out
 
     corpus_lists = assign(corpus, "neighbor_id", 1)  # each vector in 1 list
     query_lists = F.broadcast(assign(queries, "query_id", n_probe))

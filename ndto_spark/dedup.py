@@ -23,13 +23,25 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# universal-hash modulus: the first prime ABOVE 2^32 (the crc32 value range).
+# universal-hash modulus: the first prime ABOVE 2^32 (the base-hash range).
 # The modulus must be comparable to the input range: with a huge modulus
 # (e.g. Mersenne-61) and a*x+b < modulus, h(x) is MONOTONE in x and every
 # "permutation" selects the same min-crc32 shingle — degenerate signatures
 # (observed: 1/32 component agreement at Jaccard 0.57). With p ≈ 2^32 the
 # product wraps ~2^30 times and the family mixes properly.
 HASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def md5_low32(col: Column) -> Column:
+    """Engine-portable 32-bit base hash: the first 8 hex chars of md5.
+
+    Chosen over crc32 so the DuckDB correctness oracles can reproduce the
+    MinHash/SimHash pipelines bit-for-bit (DuckDB has md5 + hex casts but no
+    crc32): Spark ``conv(substr(md5(x),1,8),16,10)`` ==
+    DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT``. Range [0, 2^32), same
+    as crc32, so HASH_PRIME stays just above the value range (see above).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def tokens(col: Column) -> Column:
@@ -132,12 +144,12 @@ def minhash_signature(
 ) -> Column:
     """array<bigint> MinHash signature, computed fully expression-side.
 
-    Base hash = crc32(shingle) (JVM built-in); permutations via
-    (a*x + b) mod Mersenne-61. array_min per hash function — zero shuffle,
-    zero Python.
+    Base hash = md5_low32(shingle) (portable, see md5_low32); permutations
+    via (a*x + b) mod HASH_PRIME. array_min per hash function — zero
+    shuffle, zero Python.
     """
     sh = word_shingles(text_col, k)
-    base = F.transform(sh, lambda s: F.crc32(s))
+    base = F.transform(sh, md5_low32)
 
     def perm(a: int, b: int):
         return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)
@@ -178,9 +190,7 @@ def minhash_lsh_pairs(
     # downstream shuffles anyway, so the barriers cost almost nothing.
     base = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(word_shingles(F.col(text_col), k), lambda s: F.crc32(s)).alias(
-            "hv"
-        ),
+        F.transform(word_shingles(F.col(text_col), k), md5_low32).alias("hv"),
     ).repartition(F.col("doc"))
 
     def perm(a: int, b: int):
@@ -266,11 +276,12 @@ def minhash_lsh_pairs(
 def simhash(text_col: Column, bits: int = 16) -> Column:
     """SimHash of the token multiset, expression-side.
 
-    Token hash = crc32; bit j of the simhash is 1 iff the sum over tokens of
-    (+1 when token-hash bit j set, else -1) is positive.
+    Token hash = md5_low32 (portable, oracle-reproducible); bit j of the
+    simhash is 1 iff the sum over tokens of (+1 when token-hash bit j set,
+    else -1) is positive.
     """
     toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.crc32(t))
+    hashes = F.transform(toks, md5_low32)
 
     def voter(j: int):
         return lambda acc, h: acc + F.when(

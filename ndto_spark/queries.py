@@ -408,10 +408,204 @@ QUERIES = {
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (ANSI-ish; runs on pre-registered parquet views)
+#
+# The approximate operators (MinHash LSH, SimHash, hyperplane LSH, IVF) get
+# oracles that REPLICATE the algorithm, not its exact twin: the same plane /
+# centroid / universal-hash constants the Spark side derives are embedded
+# into generated SQL, so the oracle checks the bucketing + verification
+# pipeline bit-for-bit instead of assuming recall == 1.
 
 _DOC_TOKS = (
     "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
 )
+
+# Spark md5_low32 == DuckDB ('0x' || substr(md5(x),1,8))::BIGINT
+def _md5_low32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def _hyperplane_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB expression mirroring ann.lsh_bucket for one table's planes."""
+    terms = []
+    for j, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _lsh_tables_cte(
+    src: str, vec: str, dim: int, num_planes: int, num_tables: int, seed: int
+) -> str:
+    """UNION ALL of (id, v, t, bucket) per LSH table over ``src``."""
+    selects = []
+    for t in range(num_tables):
+        planes = ann._planes(dim, num_planes, seed + t * 1000)
+        selects.append(
+            f"SELECT vec_id, v, {t} AS t,"
+            f" {_hyperplane_bucket_sql(vec, planes)} AS bucket FROM {src}"
+        )
+    return "\n  UNION ALL ".join(selects)
+
+
+def _minhash_lsh_sql(
+    k: int, num_hashes: int, bands: int, seed: int, threshold: float
+) -> str:
+    params = dedup._hash_params(num_hashes, seed)
+    r = num_hashes // bands
+    sig_terms = ",\n    ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {dedup.HASH_PRIME}))"
+        for a, b in params
+    )
+    band_selects = []
+    for i in range(bands):
+        parts = " || ',' || ".join(
+            f"sg[{i * r + j + 1}]::VARCHAR" for j in range(r)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {i} AS band, md5({parts}) AS bucket FROM sig"
+        )
+    banded = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH {_shingle_cte(k)},
+hv AS (SELECT doc_id, list_transform(shingles, s -> {_md5_low32_sql('s')}) AS hs FROM sh),
+sig AS (SELECT doc_id, [
+    {sig_terms}
+  ] AS sg FROM hv),
+banded AS (
+  {banded}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, inter AS jaccard_num, na + nb - inter AS jaccard_den
+FROM cands c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+WHERE inter >= {threshold} * (na + nb - inter)
+"""
+
+
+def _simhash_sql(bits: int) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) > len(hs)"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform({_DOC_TOKS}, x -> {_md5_low32_sql('x')}) AS hs
+  FROM documents
+),
+s AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM t)
+SELECT simhash, count(*)::BIGINT AS n_docs
+FROM s GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _ann_lsh_sql(dim: int, k: int, num_planes: int, num_tables: int, seed: int) -> str:
+    tables = _lsh_tables_cte("e", "v", dim, num_planes, num_tables, seed)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  {tables}
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM b qb JOIN b cb USING (t, bucket)
+  WHERE qb.vec_id < 5 AND cb.vec_id != qb.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(eq.v, en.v) AS sim
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(floor(sim * 1e4) AS BIGINT) AS sim_e4
+FROM ranked WHERE rk <= {k}
+"""
+
+
+def _ann_ivf_sql(k: int, n_lists: int, n_probe: int) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cvec FROM e
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {n_lists}
+),
+ca AS (
+  SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cvec) AS s
+  FROM e CROSS JOIN cents c
+),
+ranked_assign AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+  FROM ca
+),
+corpus_assign AS (SELECT vec_id, cid FROM ranked_assign WHERE rk = 1),
+query_assign AS (
+  SELECT vec_id AS query_id, cid FROM ranked_assign
+  WHERE rk <= {n_probe} AND vec_id < 5
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM query_assign q JOIN corpus_assign a USING (cid)
+  WHERE a.vec_id != q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(eq.v, en.v) AS sim
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(floor(sim * 1e4) AS BIGINT) AS sim_e4
+FROM ranked WHERE rk <= {k}
+"""
+
+
+def _near_dup_lsh_sql(
+    dim: int, num_planes: int, num_tables: int, seed: int, threshold: float
+) -> str:
+    tables = _lsh_tables_cte("e", "v", dim, num_planes, num_tables, seed)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000),
+b AS (
+  {tables}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c USING (t, bucket)
+  WHERE a.vec_id < c.vec_id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b, list_cosine_similarity(ea.v, eb.v) AS sim
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.id_a
+  JOIN e eb ON eb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, CAST(floor(sim * 1e4) AS BIGINT) AS sim_e4
+FROM scored WHERE sim >= {threshold}
+"""
 
 
 def _shingle_cte(k: int) -> str:
@@ -568,6 +762,17 @@ pairs AS (
 SELECT id_a, id_b, inter AS jaccard_num, na + nb - inter AS jaccard_den
 FROM pairs WHERE inter >= 0.1 * (na + nb - inter)
 """,
+    "minhash_lsh_documents": _minhash_lsh_sql(
+        k=5, num_hashes=32, bands=16, seed=42, threshold=0.1
+    ),
+    "simhash_documents": _simhash_sql(bits=16),
+    "ann_lsh_embeddings": _ann_lsh_sql(
+        dim=64, k=3, num_planes=6, num_tables=4, seed=42
+    ),
+    "ann_ivf_embeddings": _ann_ivf_sql(k=3, n_lists=16, n_probe=4),
+    "embedding_near_dup_lsh": _near_dup_lsh_sql(
+        dim=64, num_planes=6, num_tables=8, seed=7, threshold=0.5
+    ),
     "ann_topk_embeddings": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
