@@ -79,6 +79,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 5,
     threshold: float = 0.5,
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with k-token-shingle Jaccard ≥ threshold.
 
@@ -86,6 +87,15 @@ def ngram_jaccard_pairs(
     count co-occurrences, then jaccard = |∩| / (|A| + |B| - |∩|).
     Returns (id_a, id_b, jaccard_num, jaccard_den) with the exact integer
     numerator/denominator (engine-independent, no float rounding).
+
+    ``max_shingle_df`` caps shingle document frequency: a shingle shared by
+    d docs yields d² join rows, so ONE ubiquitous shingle ("of the and of
+    the") makes the self-join quadratic in its DF. Shingles with DF > cap
+    are removed from the universe BEFORE the join — both intersections and
+    set sizes are computed over the filtered sets (stopword-removal
+    semantics, so jaccard stays a true ratio over the kept universe). The
+    hot set is tiny by construction and is broadcast into an anti-join. At
+    scale, set this; the MinHash+LSH path remains the real scale answer.
     """
     # PLAN NOTE: the generator input must be the ONLY occurrence of the
     # heavy shingle expression in its projection — a sibling
@@ -98,6 +108,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.select(F.col("doc").alias("id_a"), "shingle")
     b = ex.select(F.col("doc").alias("id_b"), "shingle")
@@ -270,6 +288,63 @@ def minhash_lsh_pairs(
     )
     return inter.filter(
         F.col("jaccard_num") >= F.lit(verify_threshold) * F.col("jaccard_den")
+    )
+
+
+def near_dup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, keeper_id): connected components over a near-dup pair graph.
+
+    Pipelines need "which rows to drop", not just pairs: every doc is
+    assigned the MIN id of its connected component (the deterministic
+    keeper, matching exact_dedup_groups' keeper = min id). Singletons keep
+    themselves.
+
+    Algorithm: iterative min-label propagation — label(v) ← min(label(v),
+    min over neighbors of their labels) until fixpoint, O(component
+    diameter) rounds. Near-dup components are small and dense (duplicate
+    clusters), so this converges in a handful of rounds; each round is one
+    distributed join + partial-aggregated groupBy. The driver sees only a
+    1-row convergence probe per round. Edges and labels are
+    localCheckpoint()ed so the iterative plan's lineage stays flat (and the
+    upstream pair-generation pipeline runs once, not once per round).
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels, F.col("a") == F.col("id"))
+            .groupBy("b")
+            .agg(F.min("label").alias("nmin"))
+        )
+        upd = (
+            labels.join(nmin, labels["id"] == nmin["b"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("new_label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "_chg"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = upd.filter(F.col("_chg")).limit(1).count()
+        labels = upd.select(F.col("id"), F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("keeper_id")
     )
 
 

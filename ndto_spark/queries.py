@@ -198,7 +198,12 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "doc_id", "text", k=5, threshold=0.1
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=5,
+        threshold=0.1,
+        max_shingle_df=100,
     )
 
 
@@ -212,6 +217,17 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         verify_threshold=0.1,
     )
+
+
+def q_near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper assignment over the MinHash-LSH near-dup graph: every doc →
+    min doc_id of its connected component (singletons keep themselves)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=5, num_hashes=32, bands=16,
+        verify_threshold=0.1,
+    )
+    return dedup.near_dup_groups(docs, pairs, "doc_id")
 
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,16 +274,29 @@ def q_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_drift_per_partition_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition KS/PSI vs the even-orderkey half as reference profile."""
+    """Per-partition KS/PSI vs the even-orderkey half as reference profile.
+
+    The partition key is a deterministic pmod(l_orderkey, 8) — reproducible
+    in any engine (physical spark_partition_id() would be layout-dependent);
+    ks/psi come out of bucket-ordered folds and are quantized to 1e-6.
+    """
     li = _read(spark, sf_dir, "lineitem")
     ref = li.filter(F.col("l_orderkey") % 2 == 0)
     profile = table_rules.reference_profile(ref, "l_extendedprice", 0.0, 120000.0, 20)
     out = table_rules.drift_per_partition(
-        li.repartition(8, "l_orderkey"), "l_extendedprice", profile, 0.0, 120000.0, 20
+        li,
+        "l_extendedprice",
+        profile,
+        0.0,
+        120000.0,
+        20,
+        partition_col=F.pmod(F.col("l_orderkey"), F.lit(8)),
     )
-    # partition ids are not stable across engines → rows-only gate check;
-    # per-partition correctness is pinned by tests/test_drift_ivf.py
-    return out
+    return out.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        F.floor(F.col("ks") * 1e6).cast("bigint").alias("ks_e6"),
+        F.floor(F.col("psi") * 1e6).cast("bigint").alias("psi_e6"),
+    )
 
 
 def q_text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,7 +312,14 @@ def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table_rules.approx_distinct_hll(_read(spark, sf_dir, "events"), "user_id")
+    """Portable first-principles HLL (md5 hashing) — fully oracle-checkable.
+
+    table_rules.approx_distinct_hll (Datasketches) stays the production
+    variant; this one proves the estimator itself against DuckDB.
+    """
+    return table_rules.approx_distinct_hll_portable(
+        _read(spark, sf_dir, "events"), "user_id", p=10
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,6 +424,7 @@ QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
+    "near_dup_groups_documents": q_near_dup_groups_documents,
     "simhash_documents": q_simhash_documents,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
@@ -450,9 +487,11 @@ def _lsh_tables_cte(
     return "\n  UNION ALL ".join(selects)
 
 
-def _minhash_lsh_sql(
+def _minhash_lsh_ctes(
     k: int, num_hashes: int, bands: int, seed: int, threshold: float
 ) -> str:
+    """CTE chain ending in ``mh_pairs`` (id_a, id_b, jaccard_num/den) —
+    embeddable into larger queries (the near-dup-groups oracle reuses it)."""
     params = dedup._hash_params(num_hashes, seed)
     r = num_hashes // bands
     sig_terms = ",\n    ".join(
@@ -468,8 +507,7 @@ def _minhash_lsh_sql(
             f"SELECT doc_id, {i} AS band, md5({parts}) AS bucket FROM sig"
         )
     banded = "\n  UNION ALL ".join(band_selects)
-    return f"""
-WITH {_shingle_cte(k)},
+    return f"""{_shingle_cte(k)},
 hv AS (SELECT doc_id, list_transform(shingles, s -> {_md5_low32_sql('s')}) AS hs FROM sh),
 sig AS (SELECT doc_id, [
     {sig_terms}
@@ -489,10 +527,43 @@ inter AS (
   FROM ex a JOIN ex b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+mh_pairs AS (
+  SELECT c.id_a, c.id_b, inter AS jaccard_num, na + nb - inter AS jaccard_den
+  FROM cands c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+  WHERE inter >= {threshold} * (na + nb - inter)
+)"""
+
+
+def _minhash_lsh_sql(
+    k: int, num_hashes: int, bands: int, seed: int, threshold: float
+) -> str:
+    return (
+        "WITH "
+        + _minhash_lsh_ctes(k, num_hashes, bands, seed, threshold)
+        + "\nSELECT id_a, id_b, jaccard_num, jaccard_den FROM mh_pairs"
+    )
+
+
+def _near_dup_groups_sql(
+    k: int, num_hashes: int, bands: int, seed: int, threshold: float
+) -> str:
+    """Connected components (min-id) over the MinHash-LSH near-dup graph,
+    via a recursive transitive closure — keeper_id = min reachable doc_id.
+    Singleton docs keep themselves."""
+    return f"""
+WITH RECURSIVE {_minhash_lsh_ctes(k, num_hashes, bands, seed, threshold)},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 )
-SELECT c.id_a, c.id_b, inter AS jaccard_num, na + nb - inter AS jaccard_den
-FROM cands c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
-WHERE inter >= {threshold} * (na + nb - inter)
+SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY 1
 """
 
 
@@ -580,6 +651,35 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(floor(sim * 1e4) AS BIGINT) AS sim_e4
 FROM ranked WHERE rk <= {k}
+"""
+
+
+def _hll_portable_sql(table: str, col: str, p: int) -> str:
+    m = 1 << p
+    w_bits = 32 - p
+    mask = (1 << w_bits) - 1
+    alpha = table_rules.hll_alpha(m)
+    return f"""
+WITH h AS (
+  SELECT {_md5_low32_sql(f"{col}::VARCHAR")} AS x
+  FROM {table} WHERE {col} IS NOT NULL
+),
+regs AS (
+  SELECT (x >> {w_bits}) AS reg,
+         max(CASE WHEN (x & {mask}) = 0 THEN {w_bits + 1}
+                  ELSE {w_bits + 1} - length(bin(x & {mask})) END) AS mrho
+  FROM h GROUP BY 1
+),
+stats AS (
+  SELECT count(*) AS seen, sum(power(2.0, -mrho)) AS s FROM regs
+)
+SELECT '{col}' AS column_name,
+  floor(CASE WHEN ({alpha!r}::DOUBLE * {m} * {m}) / ({m}.0 - seen + s) <= {2.5 * m}
+              AND ({m} - seen) > 0
+         THEN {m}.0 * ln({m}.0 / ({m} - seen))
+         ELSE ({alpha!r}::DOUBLE * {m} * {m}) / ({m}.0 - seen + s) END)::BIGINT
+    AS approx_distinct
+FROM stats
 """
 
 
@@ -745,24 +845,81 @@ SELECT 'psi',
     )
   ))::DOUBLE
 """,
+    "drift_per_partition_lineitem": """
+WITH ref AS (
+  SELECT least(greatest(CAST(floor(l_extendedprice / 6000.0) AS INT), 0), 19) AS bucket,
+         count(*) AS ref_n
+  FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1
+),
+hist AS (
+  SELECT l_orderkey % 8 AS partition_id,
+         least(greatest(CAST(floor(l_extendedprice / 6000.0) AS INT), 0), 19) AS bucket,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.partition_id, b.bucket
+  FROM (SELECT DISTINCT partition_id FROM hist) p
+  CROSS JOIN (SELECT unnest(range(20))::INT AS bucket) b
+),
+full_h AS (
+  SELECT g.partition_id, g.bucket, coalesce(h.n, 0) AS n, coalesce(r.ref_n, 0) AS ref_n
+  FROM grid g
+  LEFT JOIN hist h ON h.partition_id = g.partition_id AND h.bucket = g.bucket
+  LEFT JOIN ref r ON r.bucket = g.bucket
+),
+tot AS (SELECT partition_id, sum(n) AS t, sum(ref_n) AS tr FROM full_h GROUP BY 1),
+terms AS (
+  SELECT f.partition_id, f.bucket, f.n / t.t AS p, f.ref_n / t.tr AS q
+  FROM full_h f JOIN tot t USING (partition_id)
+),
+cdf AS (
+  SELECT partition_id, bucket, p, q,
+         sum(p) OVER (PARTITION BY partition_id ORDER BY bucket) AS cp,
+         sum(q) OVER (PARTITION BY partition_id ORDER BY bucket) AS cq
+  FROM terms
+),
+ks AS (SELECT partition_id, max(abs(cp - cq)) AS ks FROM cdf GROUP BY 1),
+psi AS (
+  SELECT partition_id,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list((p - q) * ln((p + 1e-6) / (q + 1e-6)) ORDER BY bucket)),
+           (a, b) -> a + b) AS psi
+  FROM terms GROUP BY 1
+)
+SELECT k.partition_id,
+       floor(1e6 * k.ks)::BIGINT AS ks_e6,
+       floor(1e6 * s.psi)::BIGINT AS psi_e6
+FROM ks k JOIN psi s USING (partition_id)
+""",
     "dedup_exact_documents": """
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """,
     "ngram_jaccard_documents": f"""
 WITH {_shingle_cte(5)},
-ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+keep AS (SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= 100),
+exf AS (SELECT ex.* FROM ex JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM exf GROUP BY 1),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
-         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
-  FROM ex a JOIN ex b USING (shingle)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM exf a JOIN exf b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, inter AS jaccard_num, na + nb - inter AS jaccard_den
-FROM pairs WHERE inter >= 0.1 * (na + nb - inter)
+SELECT id_a, id_b, inter AS jaccard_num,
+       sa.n_sh + sb.n_sh - inter AS jaccard_den
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter >= 0.1 * (sa.n_sh + sb.n_sh - inter)
 """,
     "minhash_lsh_documents": _minhash_lsh_sql(
+        k=5, num_hashes=32, bands=16, seed=42, threshold=0.1
+    ),
+    "near_dup_groups_documents": _near_dup_groups_sql(
         k=5, num_hashes=32, bands=16, seed=42, threshold=0.1
     ),
     "simhash_documents": _simhash_sql(bits=16),
@@ -770,6 +927,7 @@ FROM pairs WHERE inter >= 0.1 * (na + nb - inter)
         dim=64, k=3, num_planes=6, num_tables=4, seed=42
     ),
     "ann_ivf_embeddings": _ann_ivf_sql(k=3, n_lists=16, n_probe=4),
+    "hll_distinct_events": _hll_portable_sql("events", "user_id", p=10),
     "embedding_near_dup_lsh": _near_dup_lsh_sql(
         dim=64, num_planes=6, num_tables=8, seed=7, threshold=0.5
     ),

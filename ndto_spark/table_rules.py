@@ -200,6 +200,65 @@ def approx_distinct_hll(
     return merged.select(F.lit(col).alias("column_name"), "approx_distinct")
 
 
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m >= 128 registers."""
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def approx_distinct_hll_portable(df: DataFrame, col: str, p: int = 10) -> DataFrame:
+    """HyperLogLog from first principles with engine-portable hashing.
+
+    Unlike ``approx_distinct_hll`` (Spark's opaque Datasketches estimate),
+    every step here is reproducible in any engine with md5 — the DuckDB
+    oracle reimplements it bit-for-bit:
+
+    - 32-bit hash = md5-low32 of the value's string form
+    - register index = top ``p`` bits; rho = leading zeros + 1 of the
+      remaining ``32-p`` bits (computed exactly via length(bin(w)))
+    - groupBy(register).max(rho): partial aggregation IS the treewise
+      sketch merge — each map task reduces to ≤ m rows, merged up the tree
+    - raw estimate alpha·m²/Σ2^-M_j with the standard linear-counting
+      small-range correction. The Σ is a float sum of exact powers of two
+      bounded by m — every partial sum is exactly representable, so the
+      result is order-independent (deterministic without an ordered fold).
+
+    Returns (column_name, approx_distinct bigint).
+    """
+    m = 1 << p
+    w_bits = 32 - p
+    mask = (1 << w_bits) - 1
+    x = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = x.bitwiseAND(F.lit(mask))
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(F.shiftright(x, w_bits).alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    stats = regs.agg(
+        F.count(F.lit(1)).alias("seen"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mrho"))).alias("s"),
+    )
+    alpha = hll_alpha(m)
+    e_raw = F.lit(alpha * m * m) / (
+        F.lit(float(m)) - F.col("seen") + F.col("s")
+    )
+    zeros = F.lit(m) - F.col("seen")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return stats.select(
+        F.lit(col).alias("column_name"),
+        F.floor(est).cast("bigint").alias("approx_distinct"),
+    )
+
+
 def reference_profile(
     df: DataFrame, col: str, lo: float, hi: float, nbins: int
 ) -> DataFrame:
@@ -215,19 +274,29 @@ def drift_per_partition(
     hi: float,
     nbins: int = 10,
     eps: float = 1e-6,
+    partition_col: Optional[Column] = None,
 ) -> DataFrame:
-    """KS + PSI per Spark partition against a reference profile.
+    """KS + PSI per partition against a reference profile.
 
     (partition_id, ks, psi) — the north-star per-partition drift check.
     Each partition reduces to an nbins-row histogram (partial agg), the
     reference profile is broadcast, and the metric math runs on the tiny
     joined histograms — cost independent of partition size.
-    """
-    from pyspark.sql.window import Window
 
+    ``partition_col`` defines the partition key; the default is the physical
+    ``spark_partition_id()`` (per-task lineage). Pass a DETERMINISTIC key
+    (``pmod`` of a stable id, an Iceberg partition value, a file path) when
+    results must be reproducible across runs/engines — physical partition
+    ids are stable only for a fixed input layout.
+
+    Float reductions run as bucket-ordered folds (not unordered SQL SUMs),
+    so ks/psi are bit-deterministic for a given histogram — the property the
+    DuckDB oracle relies on.
+    """
+    pcol = partition_col if partition_col is not None else F.spark_partition_id()
     hist = (
         df.select(
-            F.spark_partition_id().alias("partition_id"),
+            pcol.alias("partition_id"),
             bucketize(F.col(col), lo, hi, nbins).alias("bucket"),
         )
         .groupBy("partition_id", "bucket")
@@ -248,29 +317,36 @@ def drift_per_partition(
             F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
         )
     )
-    wp = Window.partitionBy("partition_id")
-    wo = (
-        Window.partitionBy("partition_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # nbins rows per partition → one sorted array per partition; the counts
+    # are exact longs, every float op below happens in bucket order
+    folded = full.groupBy("partition_id").agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "n", "ref_n"))).alias(
+            "rows"
+        ),
+        F.sum("n").alias("t"),
+        F.sum("ref_n").alias("tr"),
     )
-    props = full.select(
-        "partition_id",
-        "bucket",
-        (F.col("n") / F.sum("n").over(wp)).alias("p"),
-        (F.col("ref_n") / F.sum("ref_n").over(wp)).alias("q"),
+    rows, t, tr = F.col("rows"), F.col("t"), F.col("tr")
+    p = lambda r: r["n"] / t  # noqa: E731
+    q = lambda r: r["ref_n"] / tr  # noqa: E731
+    ks = F.aggregate(
+        rows,
+        F.struct(
+            F.lit(0.0).alias("cp"), F.lit(0.0).alias("cq"), F.lit(0.0).alias("ks")
+        ),
+        lambda acc, r: F.struct(
+            (acc["cp"] + p(r)).alias("cp"),
+            (acc["cq"] + q(r)).alias("cq"),
+            F.greatest(
+                acc["ks"], F.abs(acc["cp"] + p(r) - acc["cq"] - q(r))
+            ).alias("ks"),
+        ),
+        lambda acc: acc["ks"],
     )
-    cdf = props.select(
-        "partition_id",
-        "p",
-        "q",
-        F.sum("p").over(wo).alias("cp"),
-        F.sum("q").over(wo).alias("cq"),
+    psi = F.aggregate(
+        rows,
+        F.lit(0.0),
+        lambda acc, r: acc
+        + (p(r) - q(r)) * F.log((p(r) + F.lit(eps)) / (q(r) + F.lit(eps))),
     )
-    return cdf.groupBy("partition_id").agg(
-        F.max(F.abs(F.col("cp") - F.col("cq"))).alias("ks"),
-        F.sum(
-            (F.col("p") - F.col("q"))
-            * F.log((F.col("p") + F.lit(eps)) / (F.col("q") + F.lit(eps)))
-        ).alias("psi"),
-    )
+    return folded.select("partition_id", ks.alias("ks"), psi.alias("psi"))

@@ -35,6 +35,35 @@ def test_ngram_jaccard_finds_near_dups(spark, docs):
     assert not any(4 in p or 5 in p for p in got)
 
 
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """A hot shingle shared by every doc is dropped from the universe.
+
+    Docs 1-4 share ONE ubiquitous 2-gram ('xx yy'); docs 1+2 additionally
+    share their full distinctive text. With the cap below the hot shingle's
+    DF, only the genuinely-similar (1,2) pair survives — and its jaccard is
+    computed over the FILTERED sets (hot shingle excluded on both sides).
+    """
+    rows = [
+        (1, "xx yy alpha beta gamma delta"),
+        (2, "xx yy alpha beta gamma delta"),
+        (3, "xx yy completely unrelated words here"),
+        (4, "xx yy other disjoint vocabulary entirely now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.05)
+    capped = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=2, threshold=0.05, max_shingle_df=3
+    )
+    got_un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    got_cap = {(r.id_a, r.id_b): (r.jaccard_num, r.jaccard_den) for r in capped.collect()}
+    # uncapped: the hot 'xx yy' shingle links every doc pair above 0.05
+    assert (1, 3) in got_un and (3, 4) in got_un
+    # capped: only the real near-dup pair remains
+    assert set(got_cap) == {(1, 2)}
+    # sizes exclude the dropped shingle: 5 2-grams per doc minus 'xx yy' = 4
+    assert got_cap[(1, 2)] == (4, 4)
+
+
 def test_minhash_lsh_agrees_with_exact(spark, docs):
     got = {
         (r.id_a, r.id_b)
@@ -43,6 +72,20 @@ def test_minhash_lsh_agrees_with_exact(spark, docs):
         ).collect()
     }
     assert (1, 2) in got and (1, 3) in got
+
+
+def test_near_dup_groups_connected_components(spark):
+    """Min-id propagation: chains collapse to the component min; singletons
+    keep themselves; convergence needs diameter rounds (chain 1-2-3-4)."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.doc_id: r.keeper_id
+        for r in dedup.near_dup_groups(nodes, pairs, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
 def test_simhash_identical_docs_collide(spark, docs):
