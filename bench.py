@@ -21,7 +21,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REQUESTED_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Each Arrow-UDF task uses TWO OS threads (JVM side + python worker):
+# local[32] on the 32-core box oversubscribes the Arrow stage 2x and was
+# measured 12x slower than the same stage at local[16] (1,946 vs 24,244
+# rows/s). local[16] saturates the box honestly for mixed workloads.
+CPUS = min(REQUESTED_CPUS, 16)
 N_IMAGES = int(os.environ.get("NDTO_BENCH_IMAGES", "120000"))
 SEED = 42
 
@@ -116,6 +121,7 @@ def main() -> None:
                 "images_violations": img_viols,
                 "images_validation_rows_per_sec": round(img_rows / img_sec, 1),
                 "cpus": CPUS,
+                "requested_cpus": REQUESTED_CPUS,
             }
         )
     )

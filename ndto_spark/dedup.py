@@ -97,17 +97,24 @@ def ngram_jaccard_pairs(
     hot set is tiny by construction and is broadcast into an anti-join. At
     scale, set this; the MinHash+LSH path remains the real scale answer.
     """
-    # PLAN NOTE: the generator input must be the ONLY occurrence of the
-    # heavy shingle expression in its projection — a sibling
-    # size(word_shingles(...)) column collapses into the Generate node and
-    # re-evaluates the shingling per exploded row (measured ~8x slowdown at
-    # sf0.1). Shingle counts are instead derived from the exploded rows
-    # (shingles are already distinct per doc) and joined back; AQE turns
-    # those joins into broadcasts when the sizes side is small.
+    # PLAN NOTE (two parts):
+    # 1. the generator input must be the ONLY occurrence of the heavy
+    #    shingle expression in its projection — a sibling
+    #    size(word_shingles(...)) column collapses into the Generate node
+    #    and re-evaluates the shingling per exploded row (measured ~8x at
+    #    sf0.1). Shingle counts are instead derived from the exploded rows
+    #    (shingles are already distinct per doc).
+    # 2. ``ex`` feeds 3-4 branches (DF counts, sizes, both self-join
+    #    sides). repartition(shingle) inserts ONE Exchange that
+    #    (a) ReuseExchange shares across all branches — the
+    #    tokenize+shingle+explode pass runs once, not per branch (measured
+    #    ~3x at sf0.1), and (b) pre-partitions both self-join sides and the
+    #    DF-count groupBy on their join/group key, so none of them add a
+    #    further shuffle of the exploded data.
     ex = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    )
+    ).repartition(F.col("shingle"))
     if max_shingle_df is not None:
         hot = (
             ex.groupBy("shingle")
@@ -309,17 +316,22 @@ def near_dup_groups(
     diameter) rounds. Near-dup components are small and dense (duplicate
     clusters), so this converges in a handful of rounds; each round is one
     distributed join + partial-aggregated groupBy. The driver sees only a
-    1-row convergence probe per round. Edges and labels are
-    localCheckpoint()ed so the iterative plan's lineage stays flat (and the
-    upstream pair-generation pipeline runs once, not once per round).
+    1-row convergence probe per round. Edges and the per-round labels are
+    persist()ed (edges: so the upstream pair-generation pipeline runs
+    once, not once per round; labels: so each round reads the previous
+    round's materialized result instead of replaying the chain) and every
+    superseded round is explicitly unpersist()ed — iterative operators must
+    not leak block-manager memory into whatever runs after them. Only the
+    final round's cache is left alive, backing the returned DataFrame.
     """
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    ).persist()
     labels = df.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     )
+    prev = None
     for _ in range(max_iter):
         nmin = (
             edges.join(labels, F.col("a") == F.col("id"))
@@ -337,26 +349,30 @@ def near_dup_groups(
                     "_chg"
                 ),
             )
-            .localCheckpoint()
+            .persist()
         )
         changed = upd.filter(F.col("_chg")).limit(1).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = upd
         labels = upd.select(F.col("id"), F.col("new_label").alias("label"))
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("keeper_id")
     )
 
 
-def simhash(text_col: Column, bits: int = 16) -> Column:
-    """SimHash of the token multiset, expression-side.
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash from a precomputed array<bigint> of token hashes.
 
-    Token hash = md5_low32 (portable, oracle-reproducible); bit j of the
-    simhash is 1 iff the sum over tokens of (+1 when token-hash bit j set,
-    else -1) is positive.
+    Bit j of the simhash is 1 iff the sum over tokens of (+1 when
+    token-hash bit j set, else -1) is positive. NOTE: ``hashes`` is
+    referenced ``bits`` times (one aggregate per bit) — pass an ATTRIBUTE
+    (a materialized column), not the hashing expression itself, or the
+    token hashing is re-evaluated per bit (measured 4x at sf0.1 with md5).
     """
-    toks = tokens(text_col)
-    hashes = F.transform(toks, md5_low32)
 
     def voter(j: int):
         return lambda acc, h: acc + F.when(
@@ -373,12 +389,33 @@ def simhash(text_col: Column, bits: int = 16) -> Column:
     return out.cast("long")
 
 
+def simhash(text_col: Column, bits: int = 16) -> Column:
+    """SimHash of the token multiset, expression-side.
+
+    Token hash = md5_low32 (portable, oracle-reproducible). Column-level
+    convenience — inlines the token hashing into every bit vote; prefer
+    simhash_dup_candidates (materializes the hash array once) in pipelines.
+    """
+    return simhash_from_hashes(F.transform(tokens(text_col), md5_low32), bits)
+
+
 def simhash_dup_candidates(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
-    """Docs sharing an identical simhash value: (simhash, n_docs, ids)."""
+    """Docs sharing an identical simhash value: (simhash, n_docs, ids).
+
+    PLAN NOTE: the token-hash array is projected behind a repartition
+    barrier so the ``bits`` per-bit votes read an attribute instead of
+    re-evaluating tokenize+md5 per bit (cf. the minhash barriers above).
+    The shuffled payload is (doc id, ~n_tokens longs) per row; the groupBy
+    downstream shuffles anyway.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(tokens(F.col(text_col)), md5_low32).alias("hv"),
+    ).repartition(F.col("doc"))
     return (
-        df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("simhash"))
+        hashed.select("doc", simhash_from_hashes(F.col("hv"), bits).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("ids"))
         .filter(F.col("n_docs") > 1)

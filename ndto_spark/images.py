@@ -44,7 +44,23 @@ def validate_images(
     key: str = "image_id",
     min_psnr: float = 40.0,
     check_uniqueness: bool = True,
+    phash_partitions: int | None = None,
 ) -> ImagesResult:
+    """Validate an image+caption table (see module docstring).
+
+    ``phash_partitions``: when set, the input is repartitionByRange'd on
+    ``phash`` into that many range buckets before validation (the north
+    rule's 'explicit repartitioning on phash ranges to bound skew').
+    repartitionByRange samples the key distribution, so hot ranges split
+    evenly; column pruning pushes through the exchange, so the metadata
+    branch shuffles only its narrow columns while the Arrow branch's
+    ``bytes`` shuffle is the price of a skew-balanced decode stage. Leave
+    None when the input layout is already balanced (e.g. the bench's
+    synthetic table) — checkpoint.run_resumable provides the same bounding
+    via stored phash quantile buckets for resumable runs.
+    """
+    if phash_partitions is not None:
+        df = df.repartitionByRange(phash_partitions, F.col("phash"))
     meta = validate(df, IMAGE_METADATA_RULES, key=key)
     batch_v = image_batch_violations(df, seed, key=key, min_psnr=min_psnr)
     violations = meta.violations.unionByName(batch_v)

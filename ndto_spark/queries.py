@@ -406,7 +406,7 @@ def q_validate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     n = max(1000, int(sf * 200_000))
     df = fixtures.synth_images(spark, n, n_partitions=8, seed=42)
-    res = validate_images(df, seed=42)
+    res = validate_images(df, seed=42, phash_partitions=8)
     return res.violations.select(
         "image_id", F.col("column").alias("column_name"), "schema_path",
         "keyword", "description",
