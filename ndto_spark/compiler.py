@@ -157,15 +157,33 @@ _BASE64_CHARS_RE = r"^[A-Za-z0-9+/]*$"
 # compiler
 
 
+def _dtype_depth(dt: T.DataType) -> int:
+    """Nesting depth of a Spark type (primitives = 1). Always finite."""
+    if isinstance(dt, T.StructType):
+        return 1 + max((_dtype_depth(f.dataType) for f in dt.fields), default=0)
+    if isinstance(dt, T.ArrayType):
+        return 1 + _dtype_depth(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return 1 + max(_dtype_depth(dt.keyType), _dtype_depth(dt.valueType))
+    return 1
+
+
 class Compiler:
     """Compiles normalized specs against a fixed Spark type.
 
     ``registry`` supplies named schemas for ``ref`` resolution
     (≈ ndto_generator_ref.erl:27-51 delegating to another module). Refs are
-    inlined; cycles raise CompileError (the reference supports cycles via
-    mutually recursive functions — unbounded recursion has no Column
-    equivalent; cyclic specs must be validated with the parser layer's
-    named sub-validators over bounded-depth data).
+    inlined. CYCLIC refs (the reference supports them via mutually
+    recursive modules, ndto_generator_ref.erl:27-51; the OAS 3.0
+    meta-schema fixture in test/ndto_SUITE.erl:445-483 is cyclic) are
+    unrolled against the column's Spark type: a Spark dtype is a finite
+    tree, so a cycle that descends the structure (linked-list 'next',
+    tree 'children') bottoms out where the dtype has no deeper field —
+    absent properties pass as optional, and a `required` recursive field
+    fails closed at the truncation level, exactly what a finite value can
+    exercise. Re-entering a ref WITHOUT structural progress (e.g.
+    a → ref b, b → ref a over the same type — a definition the reference's
+    generated modules would loop forever on at runtime) is a CompileError.
     """
 
     def __init__(
@@ -175,7 +193,7 @@ class Compiler:
     ) -> None:
         self.registry = {k: normalize(v) for k, v in (registry or {}).items()}
         self.options = options or CompileOptions()
-        self._resolving: list[str] = []
+        self._resolving_depth: dict[str, int] = {}
 
     # -- public entry ------------------------------------------------------
 
@@ -225,17 +243,29 @@ class Compiler:
         name = schema["ref"]
         if name not in self.registry:
             raise CompileError(f"unresolved ref {name!r}")
-        if name in self._resolving:
+        # cycle unrolling: re-entering the same ref is fine as long as the
+        # dtype got strictly SMALLER since the last entry (the cycle is
+        # consuming real structure and must bottom out — dtypes are finite
+        # trees). Equal-or-larger dtype = no structural progress = the
+        # generated Erlang modules would recurse forever on this spec too.
+        depth = _dtype_depth(dtype)
+        prev = self._resolving_depth.get(name)
+        if prev is not None and depth >= prev:
             raise CompileError(
-                f"cyclic ref {name!r}: cycles need bounded-depth unrolling"
+                f"cyclic ref {name!r} makes no structural progress "
+                f"(dtype depth {depth} >= {prev}); the spec recurses without "
+                "descending the value"
             )
-        self._resolving.append(name)
+        self._resolving_depth[name] = depth
         try:
             # the referenced validator reports paths rooted at its own '$'
             # (it is a standalone module in the reference)
             return self.compile(self.registry[name], value, dtype, "$")
         finally:
-            self._resolving.pop()
+            if prev is None:
+                del self._resolving_depth[name]
+            else:
+                self._resolving_depth[name] = prev
 
     # -- enum ----------------------------------------------------------------
 

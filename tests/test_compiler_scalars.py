@@ -329,9 +329,66 @@ def test_ref(spark):
     )
 
 
-def test_ref_cycle_raises(spark):
+def test_ref_degenerate_cycle_raises(spark):
+    """A cycle with no structural descent (a→b→a over the same type) is the
+    spec the reference's generated modules would loop forever on — reject."""
     from ndto_spark.compiler import CompileError
 
     registry = {"a": {"ref": "b"}, "b": {"ref": "a"}}
-    with pytest.raises(CompileError):
+    with pytest.raises(CompileError, match="structural progress"):
         check(spark, {"ref": "a"}, 1, "bigint", registry=registry)
+
+
+# linked-list spec: the canonical cyclic $ref shape (the reference's own OAS
+# 3.0 meta-schema E2E fixture is cyclic, test/ndto_SUITE.erl:445-483)
+_NODE_REGISTRY = {
+    "node": {
+        "type": "object",
+        "properties": {
+            "val": {"type": "integer", "minimum": 0},
+            "next": {"ref": "node"},
+        },
+        "required": ["val"],
+    }
+}
+_NODE_DTYPE = (
+    "struct<val:bigint,next:struct<val:bigint,next:struct<val:bigint>>>"
+)
+
+
+def test_ref_cycle_unrolls_against_finite_dtype(spark):
+    """Cycles that descend the structure unroll to the dtype's depth."""
+    ok = {"val": 1, "next": {"val": 2, "next": {"val": 3}}}
+    assert check(spark, {"ref": "node"}, ok, _NODE_DTYPE, registry=_NODE_REGISTRY) is True
+    # violation two levels deep is found and reported at the ref's own root
+    bad_deep = {"val": 1, "next": {"val": 2, "next": {"val": -3}}}
+    assert check(
+        spark, {"ref": "node"}, bad_deep, _NODE_DTYPE, registry=_NODE_REGISTRY
+    ) == ("$.properties.val.minimum", "Value is not a number greater or equal to 0")
+    # missing required at an inner level fails closed
+    bad_req = {"val": 1, "next": {"next": {"val": 3}}}
+    assert check(
+        spark, {"ref": "node"}, bad_req, _NODE_DTYPE, registry=_NODE_REGISTRY
+    ) == ("$.required", "$ is missing required property <<\"val\">>")
+
+
+def test_ref_cycle_compiler_agrees_with_pyval(spark):
+    from ndto_spark import pyval
+
+    cases = [
+        {"val": 1, "next": {"val": 2, "next": {"val": 3}}},
+        {"val": 1, "next": {"val": 2, "next": {"val": -3}}},
+        {"val": 1, "next": {"next": {"val": 3}}},
+        {"val": -1},
+        # NOTE: {"next": None} is NOT in the corpus — a Spark struct cannot
+        # distinguish explicit-null from absent (NULL field = absent = pass,
+        # compiler.py property handling), while pyval sees Python None as an
+        # explicit non-object value. Known representational difference.
+        {"val": 0},
+    ]
+    for v in cases:
+        spark_res = check(
+            spark, {"ref": "node"}, v, _NODE_DTYPE, registry=_NODE_REGISTRY
+        )
+        py_res = pyval.is_valid({"ref": "node"}, v, registry=_NODE_REGISTRY)
+        assert spark_res == py_res, (v, spark_res, py_res)
