@@ -984,25 +984,19 @@ _UDF_CACHE: dict[Any, Callable[..., Column]] = {}
 
 
 def _grapheme_len_udf() -> Callable[[Column], Column]:
-    """Grapheme-cluster string length ≈ Erlang string:length/1.
+    """Grapheme-cluster string length = Erlang string:length/1.
 
-    Pure-Python grapheme segmentation for the common cases (combining marks,
-    ZWJ sequences); exact for the fixture corpus.
+    Full UAX #29 extended-grapheme-cluster segmentation (regional
+    indicators, Hangul jamo, prepend, emoji ZWJ/modifier sequences) — see
+    ndto_spark.graphemes for the rule set and its one documented
+    approximation. Arrow-vectorized batches; the segmenter runs per string,
+    never per Spark row boundary.
     """
     key = "grapheme_len"
     if key not in _UDF_CACHE:
         from pyspark.sql.functions import pandas_udf
-        import unicodedata
 
-        def _count(s: str) -> int:
-            n = 0
-            prev_zwj = False
-            for ch in s:
-                combining = unicodedata.combining(ch) != 0 or ch == "‍"
-                if not (combining or prev_zwj):
-                    n += 1
-                prev_zwj = ch == "‍"
-            return n
+        from .graphemes import count as _count
 
         @pandas_udf(T.IntegerType())
         def grapheme_len(col: pd.Series) -> pd.Series:
