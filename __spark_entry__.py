@@ -3,10 +3,13 @@
 entry()       — flagship validation run on sf0.001.
 queries()     — one callable per implemented operator (SURVEY.md §2 +
                 training-pipeline ops), each (spark, sf_dir) → DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL per query; omitted for ops whose
-                outputs are estimates/candidates by design (HLL sketch,
-                LSH candidate sets, simhash buckets) — those get the
-                driver's rows-only check.
+oracle_sql()  — DuckDB-equivalent SQL per query. The approximate ops
+                (MinHash/SimHash/LSH/IVF/HLL) carry oracles that REPLICATE
+                the algorithm (same embedded plane/centroid/hash constants)
+                rather than assuming recall == 1 against an exact twin.
+                Only validate_images is rows-only: its Arrow binary-decode
+                stage is not SQL-expressible (content pinned by
+                tests/test_images_pipeline.py's seeded violation classes).
 """
 
 from __future__ import annotations

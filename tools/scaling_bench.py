@@ -31,7 +31,9 @@ path = bench.materialize_images(spark, n, 32)
 # paying a full pass
 validate_images(spark.read.parquet(path).limit(4000), seed=42).violations.count()
 best = None
-for _ in range(2):  # min-of-2: the box is shared; min is the least-interfered run
+# min-of-4: the box is shared and co-tenant bursts last minutes — the min
+# is the least-interfered run (observed same-leg spread 74s -> 18s)
+for _ in range(4):
     sec, rows, viols = bench.bench_images_validation(spark, path)
     best = sec if best is None else min(best, sec)
 
@@ -40,16 +42,17 @@ for _ in range(2):  # min-of-2: the box is shared; min is the least-interfered r
 from ndto_spark.runner import validate
 from ndto_spark.images import IMAGE_METADATA_RULES
 df = spark.read.parquet(path)
-# 20 passes so the JVM job is long enough to time (it is parquet-scan bound)
+# 20 passes so the JVM job is long enough to time (it is parquet-scan
+# bound, and the explode_outer violations fix halved per-pass cost)
 def meta_run():
     t0 = time.time()
-    for _ in range(5):
+    for _ in range(20):
         validate(df, IMAGE_METADATA_RULES, key="image_id").violations.count()
     return time.time() - t0
 meta_run()  # warm
 meta_best = meta_run()
 print(json.dumps({"cpus": cpus, "sec": best, "rows": rows, "viols": viols,
-                  "meta_sec": meta_best, "meta_rows": rows * 5}))
+                  "meta_sec": meta_best, "meta_rows": rows * 20}))
 """
 
 
