@@ -144,14 +144,13 @@ def drift_metrics(
             F.coalesce("nb", F.lit(0)).alias("nb"),
         )
     )
-    tot = joined.agg(
-        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
-    ).collect()[0]
-    ta, tb = float(tot.ta or 0), float(tot.tb or 0)
-    props = joined.select(
+    # totals stay lazy: a 1-row aggregate broadcast-cross-joined back in
+    # (no driver collect, no extra job — the whole metric is one plan)
+    tot = joined.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    props = joined.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        (F.col("na") / F.lit(ta)).alias("pa"),
-        (F.col("nb") / F.lit(tb)).alias("pb"),
+        (F.col("na") / F.col("ta")).alias("pa"),
+        (F.col("nb") / F.col("tb")).alias("pb"),
     )
     from pyspark.sql.window import Window
 
