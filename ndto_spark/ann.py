@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import random
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -198,6 +199,62 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    n_iter: int = 5,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse codebook.
+
+    Each iteration is ONE Spark job: expression-side nearest-centroid
+    assignment (k literal dot products + array argmin — no shuffle, same
+    pattern as ivf_topk's assign) followed by a groupBy(cid) with per-
+    dimension avg aggregates (codegen'd, partial map-side combine). Only
+    the k x dim centroid matrix ever reaches the driver. Empty clusters
+    keep their previous centroid. Init = deterministic md5-ordered sample
+    (the same pick ivf_topk uses standalone).
+    """
+    import math
+
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    cents = [
+        list(r.vec)
+        for r in base.select("vec", F.md5(F.col("vid").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    ]
+    for _ in range(n_iter):
+        norms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
+        sims = F.array(
+            *[
+                F.struct(
+                    (
+                        -dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in c]))
+                        / (norm(F.col("vec")) * F.lit(cn))
+                    ).alias("neg"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, (c, cn) in enumerate(zip(cents, norms))
+            ]
+        )
+        assigned = base.select(F.array_min(sims)["cid"].alias("cid"), "vec")
+        means = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("vec")[i]).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        for r in means:
+            cents[r.cid] = [float(r[f"d{i}"]) for i in range(dim)]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -207,34 +264,39 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: Optional[list[list[float]]] = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse quantize, probe lists.
 
-    Centroids are a deterministic sample of the corpus (hash-selected —
-    at real scale you'd k-means them; the IVF mechanics are identical):
-    every vector is assigned to its nearest centroid (one 'list'); a query
+    Every vector is assigned to its nearest centroid (one 'list'); a query
     scans only its ``n_probe`` nearest lists. The candidate scan becomes an
     equi-join on list id — the 100 TB replacement for the cross join.
+
+    ``centroids`` takes a trained codebook (see kmeans_centroids; list ids
+    are the codebook indices). Default: a deterministic md5-ordered sample
+    of the corpus (portable — the DuckDB oracle reproduces the same pick);
+    the IVF mechanics are identical either way, and the codebook is always
+    driver-side metadata of size O(n_lists · dim) broadcast into the
+    assignment expressions below.
     """
     import math
 
-    # deterministic centroid pick: smallest md5(id) hex strings (portable —
-    # the DuckDB oracle reproduces the same pick). The collect is
-    # n_lists rows (the coarse codebook) — at real scale this is the k-means
-    # model you would fit offline; either way it is driver-side metadata of
-    # size O(n_lists · dim), broadcast into the assignment expressions below.
-    cents = (
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
-            F.md5(F.col(id_col).cast("string")).alias("h"),
-        )
-        .orderBy("h", "cid")
-        .limit(n_lists)
-        .select("cid", "cvec")
-        .collect()
-    )
-    cent_norms = [math.sqrt(sum(x * x for x in r.cvec)) or 1.0 for r in cents]
+    if centroids is not None:
+        cents = [(i, list(c)) for i, c in enumerate(centroids)]
+    else:
+        cents = [
+            (r.cid, list(r.cvec))
+            for r in corpus.select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).cast("array<double>").alias("cvec"),
+                F.md5(F.col(id_col).cast("string")).alias("h"),
+            )
+            .orderBy("h", "cid")
+            .limit(n_lists)
+            .select("cid", "cvec")
+            .collect()
+        ]
+    cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for _, v in cents]
 
     def assign(df: DataFrame, idname: str, n: int) -> DataFrame:
         # PLAN NOTE: list assignment is pure expression-side — one projection
@@ -253,13 +315,13 @@ def ivf_topk(
                     (
                         -dot(
                             F.col(f"{idname}_vec"),
-                            F.array(*[F.lit(float(x)) for x in r.cvec]),
+                            F.array(*[F.lit(float(x)) for x in cvec]),
                         )
                         / (F.col("_nrm") * F.lit(cn))
                     ).alias("neg"),
-                    F.lit(r.cid).alias("cid"),
+                    F.lit(cid).alias("cid"),
                 )
-                for r, cn in zip(cents, cent_norms)
+                for (cid, cvec), cn in zip(cents, cent_norms)
             ]
         )
         if n == 1:

@@ -180,6 +180,11 @@ def _keyword_checks(schema: dict, t: str, path: str):
                 )
             )
     elif t == "string":
+        # len() = codepoints, mirroring the compiler's DEFAULT string_length
+        # mode (the pyval<->compiler agreement invariant). Erlang
+        # string:length/1 counts UAX #29 graphemes — both engines expose
+        # that via CompileOptions(string_length="grapheme") /
+        # ndto_spark.graphemes.count; identical for the ASCII test corpus.
         if "min_length" in schema:
             n = schema["min_length"]
             cs.append(

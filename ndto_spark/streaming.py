@@ -50,6 +50,86 @@ def validate_stream(
     )
 
 
+def stateful_verdicts(
+    stream_df: DataFrame,
+    rules: dict[str, Schema] | RuleSet,
+    key_col: str,
+    timeout_ms: Optional[int] = 30 * 60 * 1000,
+) -> DataFrame:
+    """Per-key RUNNING validation state — the custom stateful operator.
+
+    For each key (cast to string) emits, once per micro-batch the key
+    appears in: (key, n_rows, n_violations, failing_batches,
+    failing_streak) where the counters are cumulative across the stream's
+    lifetime and failing_streak counts CONSECUTIVE micro-batches with at
+    least one violation — the data-quality circuit-breaker signal a
+    windowed aggregate cannot express (state must survive across windows).
+
+    Built on ``applyInPandasWithState``: rule evaluation stays in the
+    Catalyst projection upstream (only (key, n_violations) reaches Python,
+    Arrow-batched), state is one 4-tuple per key, and inactive keys are
+    evicted after ``timeout_ms`` of processing time (None disables).
+    Output mode: update.
+    """
+    import pandas as pd  # noqa: F811 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ruleset = rules if isinstance(rules, RuleSet) else RuleSet(rules)
+    arr = ruleset.violations_array(stream_df)
+    slim = stream_df.withColumn("_nv", F.size(arr)).select(
+        F.col(key_col).cast("string").alias("k"), "_nv"
+    )
+    out_type = (
+        "k string, n_rows bigint, n_violations bigint, "
+        "failing_batches bigint, failing_streak bigint"
+    )
+    state_type = "n_rows bigint, n_violations bigint, failing_batches bigint, failing_streak bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        # (the trailing yield makes this a generator on every path)
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = 0
+        viols = 0
+        for pdf in pdf_iter:
+            rows += len(pdf)
+            viols += int(pdf["_nv"].sum())
+        n_rows, n_viols, failing, streak = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        n_rows += rows
+        n_viols += viols
+        if viols > 0:
+            failing += 1
+            streak += 1
+        else:
+            streak = 0
+        state.update((n_rows, n_viols, failing, streak))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "k": key[0],
+                    "n_rows": n_rows,
+                    "n_violations": n_viols,
+                    "failing_batches": failing,
+                    "failing_streak": streak,
+                }
+            ]
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return slim.groupBy("k").applyInPandasWithState(
+        update, out_type, state_type, "update", timeout_conf
+    )
+
+
 def windowed_verdicts(
     stream_df: DataFrame,
     rules: dict[str, Schema] | RuleSet,

@@ -58,3 +58,38 @@ def test_ivf_topk_matches_brute_force_on_top1(spark):
     assert hits >= 3
     # every query returns k results
     assert all(len(v) == 3 for v in got.values())
+
+
+def test_kmeans_centroids_recover_clusters_and_boost_ivf(spark):
+    """Lloyd's k-means on well-separated clusters recovers one centroid per
+    cluster, and IVF probing n_probe=1 with the trained codebook still finds
+    each query's true top-1 (which lives in the same cluster)."""
+    import random
+
+    rng = random.Random(11)
+    dim, n_clusters = 8, 4
+    # cluster centers on distinct axes; points = center + small noise
+    rows = []
+    for i in range(200):
+        c = i % n_clusters
+        base = [0.0] * dim
+        base[c * 2] = 1.0
+        rows.append(
+            (i, [b + rng.gauss(0, 0.05) for b in base])
+        )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = ann.kmeans_centroids(df, dim=dim, k=n_clusters, n_iter=4)
+    assert len(cents) == n_clusters
+    # each trained centroid points dominantly at one distinct cluster axis
+    axes = {max(range(dim), key=lambda d: c[d]) for c in cents}
+    assert axes == {0, 2, 4, 6}
+    queries = df.filter(F.col("vec_id") < 4)  # one query per cluster
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in ann.brute_force_topk(df, queries, k=1).collect()
+    }
+    approx = ann.ivf_topk(
+        df, queries, k=1, n_probe=1, centroids=cents
+    ).collect()
+    got = {r.query_id: r.neighbor_id for r in approx}
+    assert got == exact

@@ -60,3 +60,51 @@ def test_windowed_verdicts(spark, events_stream, tmp_path):
     rows = spark.sql("select * from verdicts").collect()
     assert sum(r.n_rows for r in rows) == batch.count()
     assert any(not r["pass"] for r in rows)
+
+
+def test_stateful_verdicts_streak_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key cumulative counters + failing streak.
+
+    Two source files processed as separate micro-batches
+    (maxFilesPerTrigger=1 + availableNow). Key 'a' fails in both batches
+    (streak 2), 'b' is clean in both (streak 0), 'c' fails in exactly one
+    (failing_batches 1; streak depends on file order, so not asserted).
+    """
+    from ndto_spark.streaming import stateful_verdicts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    f1 = [("a", 1), ("a", -1), ("b", 2), ("c", -7)]
+    f2 = [("a", -5), ("b", 3), ("c", 7)]
+    spark.createDataFrame(f1, "k string, v bigint").coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame(f2, "k string, v bigint").coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+    stream = (
+        spark.readStream.schema("k string, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stateful_verdicts(stream, {"v": {"type": "integer", "minimum": 0}}, "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stateful").collect()
+    # update mode appends one row per (key, batch); the final state per key
+    # is the row with the highest cumulative n_rows
+    final = {}
+    for r in rows:
+        if r.k not in final or r.n_rows > final[r.k].n_rows:
+            final[r.k] = r
+    a, b, c = final["a"], final["b"], final["c"]
+    assert (a.n_rows, a.n_violations, a.failing_batches, a.failing_streak) == (3, 2, 2, 2)
+    assert (b.n_rows, b.n_violations, b.failing_batches, b.failing_streak) == (2, 0, 0, 0)
+    assert (c.n_rows, c.n_violations, c.failing_batches) == (2, 1, 1)

@@ -31,9 +31,7 @@ path = bench.materialize_images(spark, n, 32)
 # paying a full pass
 validate_images(spark.read.parquet(path).limit(4000), seed=42).violations.count()
 best = None
-# min-of-4: the box is shared and co-tenant bursts last minutes — the min
-# is the least-interfered run (observed same-leg spread 74s -> 18s)
-for _ in range(4):
+for _ in range(2):
     sec, rows, viols = bench.bench_images_validation(spark, path)
     best = sec if best is None else min(best, sec)
 
@@ -74,8 +72,23 @@ def main() -> None:
     # local[8]). N=4 vs 4N=16 keeps both sizes within the core budget
     # (2*16 = 32) — the faithful analog of N vs 4N executor COUNTS, where
     # each executor brings its own cores.
+    #
+    # The box is SHARED and co-tenant bursts last minutes (observed the same
+    # leg at 74s and 18s ten minutes apart). Alternate the legs and take the
+    # per-leg min across rounds so each leg gets samples in more than one
+    # interference window — a back-to-back pair silently attributes a
+    # co-tenant burst to whichever leg it overlapped.
+    def _min_leg(a: dict, b: dict) -> dict:
+        out = dict(a)
+        out["sec"] = min(a["sec"], b["sec"])
+        out["meta_sec"] = min(a["meta_sec"], b["meta_sec"])
+        return out
+
     r8 = run(4)
     r32 = run(16)
+    for _ in range(2):
+        r8 = _min_leg(r8, run(4))
+        r32 = _min_leg(r32, run(16))
     tp8 = r8["rows"] / r8["sec"]
     tp32 = r32["rows"] / r32["sec"]
     eff = (tp32 / tp8) / 4.0
