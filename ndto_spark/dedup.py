@@ -262,10 +262,15 @@ def minhash_lsh_pairs(
     # intersections, and keep candidate pairs above the exact threshold.
     # This is what makes LSH the scale path: exact-Jaccard cost is
     # proportional to |candidates|, not |docs|^2.
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    )
+    #
+    # PLAN NOTE: verification runs over the HASHED shingle universe (the
+    # (doc, hv) frame `base` above) — ReuseExchange shares base's shuffle
+    # with the signature stage, saving a second tokenize+shingle pass over
+    # the full table. Jaccard over md5-32'd distinct shingles differs from
+    # string-shingle Jaccard only on 32-bit collisions within a doc pair
+    # (~|sh|²/2^33) — far below any usable threshold's resolution. The
+    # DuckDB oracle replicates the same hashed universe.
+    ex = base.select("doc", F.explode("hv").alias("shingle"))
     cand_docs = cands.select(
         F.explode(F.array("id_a", "id_b")).alias("doc")
     ).distinct()

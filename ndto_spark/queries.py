@@ -520,7 +520,7 @@ cands AS (
   FROM banded a JOIN banded b USING (band, bucket)
   WHERE a.doc_id < b.doc_id
 ),
-ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+ex AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS shingle FROM hv),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
          any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
