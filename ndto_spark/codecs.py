@@ -194,3 +194,65 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+# --- audio: REAL RIFF/WAVE PCM16 codec (pure stdlib, like the PNG codec) ----
+
+WAV_MAGIC = b"RIFF"
+
+
+def wav_encode(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """Encode int16 samples — shape (n,) mono or (n, ch) — as a standard
+    PCM16 WAV file readable by any audio tool."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    assert samples.dtype == np.int16
+    n_ch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return WAV_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM16 RIFF/WAVE payload → (sample_rate, samples (n, ch)).
+
+    Walks the chunk list (so extra chunks like LIST/INFO are skipped), PCM
+    format 1 / 16-bit only. Raises ValueError on anything else.
+    """
+    if len(data) < 12 or data[:4] != WAV_MAGIC or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = n_ch = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            if ln < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, n_ch, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if sample_rate is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    usable = (len(pcm) // (2 * n_ch)) * 2 * n_ch
+    x = np.frombuffer(pcm[:usable], dtype="<i2").reshape(-1, n_ch)
+    return int(sample_rate), x

@@ -2,19 +2,20 @@
 columns with typed metadata.
 
 The Spark-side machinery — schema contracts, Arrow batch shapes, iterator
-UDF signatures, partition sizing — is real and tested. The media decoding
-itself is environment-gated: this container has no image/audio/video
-libraries, so decode steps either use the pure-Python codecs (images, real)
-or a clearly-marked deterministic STUB (audio/video), switched to the real
-library via import-try when available (see codecs.HAVE_PIL pattern).
+UDF signatures, partition sizing — is real and tested. Decoding status:
 
-Operators:
-- ``decode_image_features``: mapInPandas over image bytes → per-image
-  feature rows (w, h, mean RGB, phash) using the real pure codec.
-- ``resize_images``: batch resize (nearest-neighbor, pure numpy — real).
-- ``sample_video_frames`` / ``extract_audio_features``: plumbing-complete
-  STUBS — deterministic fake decoders with honest schemas, raising
-  NotImplementedError when ``strict=True``.
+- ``decode_image_features``: REAL (pure-stdlib PNG codec) — mapInPandas
+  over image bytes → per-image feature rows (w, h, mean RGB, phash).
+- ``resize_images``: REAL batch resize (nearest-neighbor, pure numpy).
+- ``extract_audio_features``: REAL — standard RIFF/WAVE PCM16 decoding
+  needs no external library (codecs.wav_decode); per-clip sample-rate /
+  duration / rms / peak / zero-crossing features, vectorized numpy.
+- ``sample_video_frames``: the one remaining declared STUB — real video
+  containers require codec libraries this environment lacks; the payload
+  is a length-prefixed concatenation of real PNG frames, so the plumbing
+  (one output row per sampled frame, bounded batches) is exercised
+  honestly. ``strict=True`` raises NotImplementedError — the marker for
+  'wire in a real decoder here'.
 """
 
 from __future__ import annotations
@@ -96,38 +97,67 @@ def resize_images(
 
 
 AUDIO_FEATURES_SCHEMA = (
-    "clip_id string, ok boolean, n_samples int, rms double, peak double"
+    "clip_id string, ok boolean, err string, sample_rate int, n_channels int, "
+    "n_samples int, duration_sec double, rms double, peak double, "
+    "zero_cross_rate double"
 )
 VIDEO_FRAMES_SCHEMA = "clip_id string, frame_idx int, frame_png binary"
 
 
 def extract_audio_features(
-    df: DataFrame, id_col: str = "clip_id", strict: bool = False
+    df: DataFrame, id_col: str = "clip_id", allow_raw_pcm: bool = True
 ) -> DataFrame:
-    """STUB decode (no audio libs in this container): treats the payload as
-    16-bit PCM little-endian mono — a deterministic fake that keeps the
-    Arrow plumbing, schema and batch shape real. strict=True raises
-    NotImplementedError, the marker for 'wire in a real decoder here'."""
+    """REAL audio decode: standard RIFF/WAVE PCM16 (pure-stdlib codec in
+    codecs.py, same pattern as the real PNG codec — WAV needs no external
+    library). Emits per-clip (sample_rate, channels, frames, duration, rms,
+    peak, zero-crossing rate); feature math is vectorized numpy over the
+    decoded sample matrix, Arrow-batched via mapInPandas.
+
+    ``allow_raw_pcm``: payloads that are not RIFF/WAVE fall back to a
+    headerless 16-bit mono PCM interpretation (sample_rate NULL) — useful
+    for raw capture streams; set False to mark them ok=False instead.
+    """
     import pandas as pd
+
+    def feats(x: np.ndarray, sr, iid):
+        mono = x.astype(np.float64).mean(axis=1) / 32768.0
+        ok = mono.size > 0
+        return dict(
+            clip_id=iid, ok=ok, err=None,
+            sample_rate=sr, n_channels=int(x.shape[1]),
+            n_samples=int(x.shape[0]),
+            duration_sec=(float(x.shape[0]) / sr) if (ok and sr) else None,
+            rms=float(np.sqrt((mono**2).mean())) if ok else None,
+            peak=float(np.abs(mono).max()) if ok else None,
+            zero_cross_rate=(
+                float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
+                if mono.size > 1
+                else 0.0 if ok else None
+            ),
+        )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real audio decode requires an audio library (not in env)"
-                )
             out = []
             for iid, payload in zip(pdf[id_col], pdf["bytes"]):
-                raw = bytes(payload)[: (len(payload) // 2) * 2]
-                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-                ok = x.size > 0
-                out.append(
-                    dict(
-                        clip_id=iid, ok=ok, n_samples=int(x.size),
-                        rms=float(np.sqrt((x**2).mean())) if ok else None,
-                        peak=float(np.abs(x).max()) if ok else None,
-                    )
-                )
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    sr, x = codecs.wav_decode(data)
+                    out.append(feats(x, sr, iid))
+                except ValueError as e:
+                    if allow_raw_pcm and not data.startswith(codecs.WAV_MAGIC):
+                        raw = data[: (len(data) // 2) * 2]
+                        x = np.frombuffer(raw, dtype="<i2").reshape(-1, 1)
+                        out.append(feats(x, None, iid))
+                    else:
+                        out.append(
+                            dict(
+                                clip_id=iid, ok=False, err=str(e),
+                                sample_rate=None, n_channels=None,
+                                n_samples=None, duration_sec=None, rms=None,
+                                peak=None, zero_cross_rate=None,
+                            )
+                        )
             yield pd.DataFrame(out)
 
     return df.select(id_col, "bytes").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

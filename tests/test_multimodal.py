@@ -1,4 +1,4 @@
-"""Multimodal plumbing: real image feature/resize path, stub audio/video."""
+"""Multimodal plumbing: real image/audio paths, declared video stub."""
 
 from __future__ import annotations
 
@@ -35,19 +35,42 @@ def test_resize_images_roundtrip(spark, images_df):
         assert px.shape == (8, 8, 3)
 
 
-def test_audio_stub_features(spark):
-    import pandas as pd
+def test_audio_wav_roundtrip_features(spark):
+    """REAL WAV path: encode stereo PCM16 with the pure codec, decode via
+    the operator, check rate/channels/duration and vectorized features."""
+    sr = 8000
+    t = np.linspace(0, 2, 2 * sr, endpoint=False)
+    left = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    right = (np.sin(2 * np.pi * 220 * t) * 10000).astype(np.int16)
+    wav = codecs.wav_encode(np.stack([left, right], axis=1), sample_rate=sr)
+    # also a silent mono clip (zero rms/zcr) and a corrupt payload
+    silent = codecs.wav_encode(np.zeros(100, dtype=np.int16), sample_rate=sr)
+    df = spark.createDataFrame(
+        [("tone", bytearray(wav)), ("silent", bytearray(silent)),
+         ("bad", bytearray(b"RIFFxxxxWAVEjunk"))],
+        "clip_id string, bytes binary",
+    )
+    rows = {r.clip_id: r for r in multimodal.extract_audio_features(df).collect()}
+    tone = rows["tone"]
+    assert tone.ok and tone.sample_rate == sr and tone.n_channels == 2
+    assert tone.n_samples == 2 * sr and abs(tone.duration_sec - 2.0) < 1e-9
+    assert 0 < tone.rms < tone.peak <= 1.0
+    # 440 Hz dominant mix over 2 s → ~880 sign flips/s of 8000 samples
+    assert 0.09 < tone.zero_cross_rate < 0.13
+    s = rows["silent"]
+    assert s.ok and s.rms == 0.0 and s.zero_cross_rate == 0.0
+    bad = rows["bad"]
+    assert bad.ok is False and bad.err is not None
 
+
+def test_audio_raw_pcm_fallback(spark):
     pcm = (np.sin(np.linspace(0, 20, 1000)) * 20000).astype("<i2").tobytes()
     df = spark.createDataFrame([("a", bytearray(pcm))], "clip_id string, bytes binary")
     row = multimodal.extract_audio_features(df).collect()[0]
     assert row.ok and row.n_samples == 1000 and 0 < row.rms < row.peak <= 1.0
-
-
-def test_audio_strict_raises(spark):
-    df = spark.createDataFrame([("a", bytearray(b"xx"))], "clip_id string, bytes binary")
-    with pytest.raises(Exception, match="NotImplementedError|audio"):
-        multimodal.extract_audio_features(df, strict=True).collect()
+    assert row.sample_rate is None  # headerless: rate unknown
+    row2 = multimodal.extract_audio_features(df, allow_raw_pcm=False).collect()[0]
+    assert row2.ok is False
 
 
 def test_video_frame_sampling(spark):
