@@ -97,6 +97,13 @@ def main() -> None:
 
     from ndto_spark.queries import QUERIES
 
+    # steady-state warmup: touch every input table and run one validator so
+    # the first timed query doesn't absorb JVM JIT + parquet footer costs
+    # (~5 s previously attributed to whichever query ran first)
+    for t in ("documents", "events", "lineitem", "embeddings", "customer"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    QUERIES["validate_documents"](spark, SF_DIR).count()
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()

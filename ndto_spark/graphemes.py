@@ -130,7 +130,9 @@ def _gcb(ch: str) -> int:
         return EXTEND
     if cat == "Mc":
         return SPACINGMARK
-    if cat in ("Cc", "Cf", "Zl", "Zp", "Cs", "Cn"):
+    # Cn (unassigned) defaults to Other per UAX #29 — emoji assigned after
+    # this Python's Unicode tables still hit the _EXT_PICT ranges that way
+    if cat in ("Cc", "Cf", "Zl", "Zp", "Cs"):
         return CONTROL
     return OTHER
 
