@@ -378,6 +378,100 @@ def q_validate_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _violations(ev, rules, "event_id")
 
 
+def q_streaming_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the gate: events replayed as a file stream
+    through streaming.windowed_verdicts (1-hour event-time windows +
+    watermark), driven to completion with availableNow into a memory sink.
+    Window starts are rendered with date_format so the string equals the
+    wall-clock hour truncation for any whole-hour session timezone — the
+    DuckDB oracle recomputes the same windowed counters from the batch
+    table."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import windowed_verdicts
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a DIRECTORY source; the testdata table is a
+    # single parquet file → stage a symlink in a temp dir
+    src_dir = tempfile.mkdtemp(prefix="ndto_stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = windowed_verdicts(stream, EVENT_RULES, ts_col="ts", window_duration="1 hour")
+    qname = f"ndto_gate_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ndto_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "win_start"
+        ),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.col("pass").alias("pass"),
+    )
+
+
+def q_validate_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array keywords in the gate: items / min_items / unique_items over the
+    first-12-token array of each document. Priority (reverse declaration
+    order, ndto parity): unique_items > max_items > min_items > items."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.slice(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""), 1, 12
+        ).alias("toks"),
+    )
+    rules = {
+        "toks": {
+            "type": "array",
+            "items": {"type": "string", "max_length": 9},
+            "min_items": 12,
+            "unique_items": True,
+        }
+    }
+    return _violations(docs, rules, "doc_id")
+
+
+def q_validate_row_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row object validation in the gate: the row packs into a struct
+    and the object keywords apply to it (properties / required /
+    min_properties). Nulls are injected deterministically (event_id
+    residues) since the synthetic tables are null-free; priority (reverse
+    declaration order): min_properties > required > properties."""
+    from .runner import validate_row_object
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "event_type",
+    )
+    schema = {
+        "type": "object",
+        "properties": {"value": {"type": "float", "maximum": 300}},
+        "required": ["user_id"],
+        "min_properties": 3,
+    }
+    res = validate_row_object(ev, schema, key="event_id")
+    return res.violations.select(
+        "event_id", F.col("column").alias("column_name"), "schema_path",
+        "keyword", "description",
+    )
+
+
 def q_validate_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-document validation: events.props is a JSON string column."""
     from .json_rules import validate_json_column
@@ -436,6 +530,9 @@ QUERIES = {
     "hll_distinct_events": q_hll_distinct_events,
     "validate_images": q_validate_images,
     "validate_formats": q_validate_formats,
+    "validate_arrays": q_validate_arrays,
+    "validate_row_object": q_validate_row_object,
+    "streaming_verdicts": q_streaming_verdicts,
     "validate_json_props": q_validate_json_props,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -985,6 +1082,56 @@ FROM events WHERE event_id % 3 = 0
 UNION ALL
 SELECT event_id, 'b64', '$.format', 'format', 'String length is not a multiple of 4'
 FROM events WHERE event_id % 5 = 0
+""",
+    "streaming_verdicts": """
+WITH per_row AS (
+  SELECT date_trunc('hour', ts) AS win,
+    (CASE WHEN event_type IS NULL
+           OR event_type NOT IN ('click','view','purchase','signup')
+          THEN 1 ELSE 0 END)
+  + (CASE WHEN value IS NULL OR value <= 0 OR value > 400 THEN 1 ELSE 0 END)
+  + (CASE WHEN user_id IS NULL OR user_id % 7 != 0 OR user_id < 0
+          THEN 1 ELSE 0 END) AS nv
+  FROM events
+)
+SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*)::BIGINT AS n_rows,
+       sum(nv)::BIGINT AS n_violations,
+       (sum(nv) = 0) AS pass
+FROM per_row GROUP BY 1
+""",
+    "validate_arrays": f"""
+WITH t AS (SELECT doc_id, ({_DOC_TOKS})[1:12] AS toks FROM documents)
+SELECT doc_id, 'toks' AS column_name, v[1] AS schema_path, v[2] AS keyword,
+       v[3] AS description
+FROM (SELECT doc_id, CASE
+  WHEN toks IS NULL THEN ['$.type', 'type', 'Value is not an array']
+  WHEN len(list_distinct(toks)) != len(toks)
+    THEN ['$.unique_items', 'unique_items', 'Array has non unique items']
+  WHEN len(toks) < 12
+    THEN ['$.min_items', 'min_items', 'Array does not have at least 12 items']
+  WHEN len(list_filter(toks, x -> length(x) > 9)) > 0
+    THEN ['$.items[*].max_length', 'items',
+          'Item ' ||
+          ([i for i in range(1, len(toks) + 1) if length(toks[i]) > 9][1] - 1)::VARCHAR ||
+          ' in $ is invalid. String length "Length" is greater than 9']
+  END AS v FROM t) WHERE v IS NOT NULL
+""",
+    "validate_row_object": """
+-- derived row: user_id nulled on event_id%7=0, value nulled on %11=0;
+-- priority (reverse declaration order): min_properties > required > properties
+SELECT event_id, '$row' AS column_name, v[1] AS schema_path, v[2] AS keyword,
+       v[3] AS description
+FROM (SELECT event_id, CASE
+  WHEN event_id % 7 = 0 AND event_id % 11 = 0
+    THEN ['$.min_properties', 'min_properties',
+          'Object has less properties than required minimum (3)']
+  WHEN event_id % 7 = 0
+    THEN ['$.required', 'required', '$ is missing required property <<"user_id">>']
+  WHEN event_id % 11 != 0 AND value > 300
+    THEN ['$.properties.value.maximum', 'maximum',
+          'Number is not lower or equal to 300']
+  END AS v FROM events) WHERE v IS NOT NULL
 """,
     "validate_json_props": """
 SELECT event_id, 'props' AS column_name, v[1] AS schema_path, v[2] AS keyword, v[3] AS description
