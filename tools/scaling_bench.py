@@ -5,7 +5,8 @@ at two parallelism levels — local[8] vs local[32] — on the SAME
 pre-materialized input, in fresh JVMs (subprocesses), and we report
 throughput at both plus scaling efficiency = (T8 / T32) / 4.
 
-Writes BENCH/BASELINE.md. Usage: python tools/scaling_bench.py [n_images]
+Writes BENCH/SCALING_RUN.md (BASELINE.md is hand-curated and references
+it). Usage: python tools/scaling_bench.py [n_images]
 """
 
 from __future__ import annotations
@@ -100,7 +101,7 @@ def main() -> None:
     mtp8 = r8["meta_rows"] / r8["meta_sec"]
     mtp32 = r32["meta_rows"] / r32["meta_sec"]
     meff = (mtp32 / mtp8) / 4.0
-    md = f"""# BENCH/BASELINE.md — measured numbers
+    md = f"""# BENCH/SCALING_RUN.md — latest raw scaling run (see BASELINE.md for curated evidence)
 
 Date: {date.today()}  ·  job: full images validation pipeline (metadata
 rules + Arrow batch decode/dim/format/PSNR/caption checks + uniqueness)
@@ -137,7 +138,7 @@ multi-node scaling, where each executor brings its own cores, memory
 channels and disk.
 """
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/SCALING_RUN.md", "w") as f:
         f.write(md)
     print(md)
 
