@@ -170,9 +170,12 @@ def image_batch_violations(
         F.array_compact(F.array(*entries)).alias("violations"),
         "partition_id",
     )
+    # explode_outer + post-filter (cf. runner._result_from_annotated): keeps
+    # the optimizer from expanding the violations alias into an inferred
+    # pre-Generate filter and re-evaluating the entry expressions per row
     return annotated.select(
-        F.col(key), F.explode("violations").alias("v"), "partition_id"
-    ).select(
+        F.col(key), F.explode_outer("violations").alias("v"), "partition_id"
+    ).filter(F.col("v").isNotNull()).select(
         key,
         F.col("v.column").alias("column"),
         F.col("v.schema_path").alias("schema_path"),

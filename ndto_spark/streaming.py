@@ -37,9 +37,13 @@ def validate_stream(
     description) — append-mode friendly (stateless projection)."""
     ruleset = rules if isinstance(rules, RuleSet) else RuleSet(rules)
     arr = ruleset.violations_array(stream_df)
+    # explode_outer + post-filter: see runner._result_from_annotated — a
+    # plain explode lets the optimizer expand the violations alias into an
+    # inferred pre-Generate filter, evaluating every rule twice per record
     return (
         stream_df.withColumn("violations", arr)
-        .select(F.col(key), F.explode("violations").alias("v"))
+        .select(F.col(key), F.explode_outer("violations").alias("v"))
+        .filter(F.col("v").isNotNull())
         .select(
             key,
             F.col("v.column").alias("column"),
