@@ -472,6 +472,43 @@ def q_validate_row_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_map_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-object (MAP column) keywords in the gate: pattern_properties +
+    additional_properties: false over a deterministically derived map.
+    Every 13th event carries an unsupported 'xx' key (additional_properties,
+    higher priority — reverse declaration order); every 9th of the rest has
+    k1 = 3 violating the pattern-matched value schema (minimum 10)."""
+    ev = _read(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.array(F.lit("k1"), F.lit("k2"), F.lit("xx")),
+        ).otherwise(F.array(F.lit("k1"), F.lit("k2"))),
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.array(
+                F.col("user_id") % 100 + 10, F.col("event_id") % 50 + 10, F.lit(1)
+            ),
+        ).otherwise(
+            F.array(
+                F.when(F.col("event_id") % 9 == 0, F.lit(3)).otherwise(
+                    F.col("user_id") % 100 + 10
+                ),
+                F.col("event_id") % 50 + 10,
+            )
+        ),
+    )
+    df = ev.select("event_id", m.alias("m"))
+    rules = {
+        "m": {
+            "type": "object",
+            "pattern_properties": {"^k[0-9]$": {"type": "integer", "minimum": 10}},
+            "additional_properties": False,
+        }
+    }
+    return _violations(df, rules, "event_id")
+
+
 def q_validate_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-document validation: events.props is a JSON string column."""
     from .json_rules import validate_json_column
@@ -533,6 +570,7 @@ QUERIES = {
     "validate_arrays": q_validate_arrays,
     "validate_row_object": q_validate_row_object,
     "streaming_verdicts": q_streaming_verdicts,
+    "validate_map_object": q_validate_map_object,
     "validate_json_props": q_validate_json_props,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1082,6 +1120,18 @@ FROM events WHERE event_id % 3 = 0
 UNION ALL
 SELECT event_id, 'b64', '$.format', 'format', 'String length is not a multiple of 4'
 FROM events WHERE event_id % 5 = 0
+""",
+    "validate_map_object": """
+SELECT event_id, 'm' AS column_name, v[1] AS schema_path, v[2] AS keyword,
+       v[3] AS description
+FROM (SELECT event_id, CASE
+  WHEN event_id % 13 = 0
+    THEN ['$.additional_properties', 'additional_properties',
+          'Object has unsupported keys: "xx"']
+  WHEN event_id % 9 = 0
+    THEN ['$.pattern_properties.^k[0-9]$.minimum', 'pattern_properties',
+          'Property "k1" failed validation: Value is not a number greater or equal to 10']
+  END AS v FROM events) WHERE v IS NOT NULL
 """,
     "streaming_verdicts": """
 WITH per_row AS (
