@@ -509,6 +509,43 @@ def q_validate_map_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _violations(df, rules, "event_id")
 
 
+def q_validate_tuple_anyof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple-typed arrays + any_of in the gate: per-position item schemas
+    with additional_items: false over a derived 2/3-element array (every
+    13th event grows an unexpected third element), plus an any_of rule on
+    value whose branches are disjoint ranges. Positional items win over the
+    additional-item check (probed ndto priority)."""
+    ev = _read(spark, sf_dir, "events")
+    arr = F.when(
+        F.col("event_id") % 13 == 0,
+        F.array(
+            F.col("event_type"),
+            (F.col("user_id") % 100).cast("string"),
+            F.lit("extra"),
+        ),
+    ).otherwise(
+        F.array(F.col("event_type"), (F.col("user_id") % 100).cast("string"))
+    )
+    df = ev.select("event_id", arr.alias("tup"), "value")
+    rules = {
+        "tup": {
+            "type": "array",
+            "items": [
+                {"enum": ["click", "view"]},
+                {"type": "string", "min_length": 1},
+            ],
+            "additional_items": False,
+        },
+        "value": {
+            "any_of": [
+                {"type": "float", "maximum": 10},
+                {"type": "float", "minimum": 350},
+            ]
+        },
+    }
+    return _violations(df, rules, "event_id")
+
+
 def q_validate_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-document validation: events.props is a JSON string column."""
     from .json_rules import validate_json_column
@@ -571,6 +608,7 @@ QUERIES = {
     "validate_row_object": q_validate_row_object,
     "streaming_verdicts": q_streaming_verdicts,
     "validate_map_object": q_validate_map_object,
+    "validate_tuple_anyof": q_validate_tuple_anyof,
     "validate_json_props": q_validate_json_props,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1120,6 +1158,20 @@ FROM events WHERE event_id % 3 = 0
 UNION ALL
 SELECT event_id, 'b64', '$.format', 'format', 'String length is not a multiple of 4'
 FROM events WHERE event_id % 5 = 0
+""",
+    "validate_tuple_anyof": """
+SELECT event_id, 'tup' AS column_name, v[1] AS schema_path, v[2] AS keyword,
+       v[3] AS description
+FROM (SELECT event_id, CASE
+  WHEN event_type NOT IN ('click', 'view')
+    THEN ['$.items[0]', 'items', 'Item 0 in $ is invalid. Value is not one in the enum']
+  WHEN event_id % 13 = 0
+    THEN ['$.items', 'items', 'Item 2 in $ is invalid. Unexpected value for false schema']
+  END AS v FROM events) WHERE v IS NOT NULL
+UNION ALL
+SELECT event_id, 'value', '$.any_of', 'any_of',
+       'Value is not matching at least one condition. None matched.'
+FROM events WHERE value > 10 AND value < 350
 """,
     "validate_map_object": """
 SELECT event_id, 'm' AS column_name, v[1] AS schema_path, v[2] AS keyword,
