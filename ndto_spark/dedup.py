@@ -303,6 +303,27 @@ def minhash_lsh_pairs(
     )
 
 
+def apply_dedup(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str,
+    keeper_col: str = "keeper_id",
+) -> DataFrame:
+    """The 'apply' step: keep exactly the keeper row of every group.
+
+    ``groups`` is any frame carrying a ``keeper_col`` — the output of
+    exact_dedup_groups (one row per content hash) or near_dup_groups (one
+    row per doc). Left-semi join on the keeper ids, so the kept table keeps
+    its full schema and the join never widens rows; at scale the keeper set
+    shuffles once (or broadcasts when the dedup rate is high enough that
+    the keeper list is small — AQE decides).
+    """
+    keepers = groups.select(F.col(keeper_col).alias("_keeper")).dropDuplicates(
+        ["_keeper"]
+    )
+    return df.join(keepers, df[id_col] == keepers["_keeper"], "left_semi")
+
+
 def near_dup_groups(
     df: DataFrame,
     pairs: DataFrame,

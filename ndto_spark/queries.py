@@ -192,6 +192,31 @@ def q_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup / similarity / text ops
 
 
+def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column quantiles (linear interpolation — DuckDB
+    quantile_cont parity); the approx_percentile variant is the scale path
+    (column_quantiles(exact=False)), pinned by tests instead."""
+    out = table_rules.column_quantiles(
+        _read(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice"],
+        qs=(0.25, 0.5, 0.75),
+        exact=True,
+    )
+    return out.select(
+        "column_name",
+        F.floor(F.col("q") * 100).cast("bigint").alias("q_pct"),
+        F.floor(F.col("value") * 1e4).cast("bigint").alias("value_e4"),
+    )
+
+
+def q_dedup_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup 'apply' step: documents surviving exact dedup (one keeper
+    row per content hash)."""
+    docs = _read(spark, sf_dir, "documents")
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    return dedup.apply_dedup(docs, groups, "doc_id").select("doc_id", "lang")
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -590,6 +615,8 @@ QUERIES = {
     "ref_integrity_events": q_ref_integrity_events,
     "drift_lineitem": q_drift_lineitem,
     "dedup_exact_documents": q_dedup_exact_documents,
+    "dedup_apply_documents": q_dedup_apply_documents,
+    "quantiles_lineitem": q_quantiles_lineitem,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "near_dup_groups_documents": q_near_dup_groups_documents,
@@ -1065,6 +1092,21 @@ SELECT k.partition_id,
        floor(1e6 * k.ks)::BIGINT AS ks_e6,
        floor(1e6 * s.psi)::BIGINT AS psi_e6
 FROM ks k JOIN psi s USING (partition_id)
+""",
+    "quantiles_lineitem": """
+SELECT column_name, q_pct, value_e4 FROM (
+  SELECT 'l_quantity' AS column_name, 25 AS q_pct,
+         CAST(floor(quantile_cont(l_quantity, 0.25) * 1e4) AS BIGINT) AS value_e4 FROM lineitem
+  UNION ALL SELECT 'l_quantity', 50, CAST(floor(quantile_cont(l_quantity, 0.5) * 1e4) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 75, CAST(floor(quantile_cont(l_quantity, 0.75) * 1e4) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 25, CAST(floor(quantile_cont(l_extendedprice, 0.25) * 1e4) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 50, CAST(floor(quantile_cont(l_extendedprice, 0.5) * 1e4) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 75, CAST(floor(quantile_cont(l_extendedprice, 0.75) * 1e4) AS BIGINT) FROM lineitem
+)
+""",
+    "dedup_apply_documents": """
+SELECT doc_id, lang FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
 """,
     "dedup_exact_documents": """
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies

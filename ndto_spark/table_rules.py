@@ -56,6 +56,46 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select(F.explode(entries).alias("s")).select("s.*")
 
 
+def column_quantiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-column quantiles: (column_name, q, value).
+
+    Default is ``approx_percentile`` (t-digest-style sketch, one scan,
+    constant state per column — the 10^12-row path). ``exact=True`` uses
+    ``percentile`` (linear interpolation over a full sort — the small-scale
+    correctness oracle; DuckDB's quantile_cont matches it exactly).
+    """
+    fn = (
+        (lambda c: F.percentile(F.col(c).cast("double"), F.array(*[F.lit(q) for q in qs])))
+        if exact
+        else (
+            lambda c: F.approx_percentile(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(q) for q in qs]),
+                F.lit(accuracy),
+            )
+        )
+    )
+    wide = df.agg(*[fn(c).alias(f"{c}__q") for c in cols])
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(float(q)).alias("q"),
+                F.col(f"{c}__q")[i].alias("value"),
+            )
+            for c in cols
+            for i, q in enumerate(qs)
+        ]
+    )
+    return wide.select(F.explode(entries).alias("s")).select("s.*")
+
+
 def uniqueness(
     df: DataFrame, key: str, two_phase: bool = False
 ) -> DataFrame:

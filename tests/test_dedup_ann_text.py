@@ -172,3 +172,16 @@ def test_python_pattern_engine(spark):
         )
         is True
     )
+
+
+def test_apply_dedup_keeps_one_per_group(spark, docs):
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    kept = dedup.apply_dedup(docs, groups, "doc_id")
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 is the exact dup of 1
+    # near-dup groups shape works too: (doc_id, keeper_id)
+    nd = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)], "doc_id bigint, keeper_id bigint"
+    )
+    ids2 = sorted(r.doc_id for r in dedup.apply_dedup(docs, nd, "doc_id").collect())
+    assert ids2 == [1, 4, 5]

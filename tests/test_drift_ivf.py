@@ -93,3 +93,21 @@ def test_kmeans_centroids_recover_clusters_and_boost_ivf(spark):
     ).collect()
     got = {r.query_id: r.neighbor_id for r in approx}
     assert got == exact
+
+
+def test_column_quantiles_exact_and_approx(spark):
+    from ndto_spark import table_rules
+
+    df = spark.range(1, 1002).select(F.col("id").cast("double").alias("x"))
+    exact = {
+        (r.column_name, r.q): r.value
+        for r in table_rules.column_quantiles(df, ["x"], (0.25, 0.5), exact=True).collect()
+    }
+    assert exact[("x", 0.5)] == 501.0  # exact median of 1..1001
+    assert exact[("x", 0.25)] == 251.0
+    approx = {
+        (r.column_name, r.q): r.value
+        for r in table_rules.column_quantiles(df, ["x"], (0.5,), exact=False).collect()
+    }
+    # sketch path: within 1% of the true median
+    assert abs(approx[("x", 0.5)] - 501.0) <= 10
