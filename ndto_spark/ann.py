@@ -66,13 +66,23 @@ def brute_force_topk(
             cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
         )
     )
-    # PLAN NOTE: two-phase top-k. A single groupBy(query).collect_list holds
-    # the ENTIRE corpus per query in one reducer (partial aggregation merges
-    # but never truncates collect_list) — O(|corpus|) state per key, OOM at
-    # scale. Phase 1 takes top-k per (query, input partition): each group
-    # lives in exactly one map task, so its list is bounded by partition
-    # size and is sliced to k before the shuffle. Phase 2 merges the ≤k-item
-    # per-partition survivors — O(k · n_partitions) state per query.
+    return two_phase_topk(scored, k)
+
+
+def two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k of a (query_id, neighbor_id, cosine_sim) frame.
+
+    PLAN NOTE: two-phase top-k. A single groupBy(query).collect_list (or a
+    global Window over all candidates) holds the ENTIRE candidate set per
+    query in one reducer (partial aggregation merges but never truncates
+    collect_list) — O(|candidates|) state per key, OOM at scale. Phase 1
+    takes top-k per (query, input partition): each group lives in exactly
+    one map task, so its list is bounded by partition size and is sliced to
+    k BEFORE the shuffle. Phase 2 merges the ≤k-item per-partition
+    survivors — O(k · n_partitions) state per query. Ties broken by
+    neighbor id (deterministic). Callers must pre-deduplicate
+    (query, neighbor) pairs.
+    """
     local = (
         scored.withColumn("_part", F.spark_partition_id())
         .groupBy("query_id", "_part")
@@ -91,7 +101,7 @@ def brute_force_topk(
             ).alias("top")
         )
     )
-    topk = (
+    return (
         local.groupBy("query_id")
         .agg(
             F.slice(
@@ -105,7 +115,6 @@ def brute_force_topk(
             (-F.col("t.neg")).alias("cosine_sim"),
         )
     )
-    return topk
 
 
 def _planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
@@ -156,13 +165,15 @@ def lsh_topk(
         _planes(dim, num_planes, seed + t * 1000) for t in range(num_tables)
     ]
 
-    def with_buckets(df: DataFrame, idname: str) -> DataFrame:
-        # barrier (repartition) so the num_tables×num_planes projection
-        # expressions are evaluated once per row, not re-inlined into the
-        # explode generator (cf. dedup.py PLAN NOTEs)
+    def bucket_ids(df: DataFrame, idname: str) -> DataFrame:
+        # PLAN NOTE: ids + buckets ONLY — the vectors never enter the bucket
+        # join or the candidate-dedup shuffle (measured 2.4x on the sibling
+        # embedding_near_dups pipeline when 64-double payloads rode through
+        # both). The repartition barrier keeps the num_tables×num_planes
+        # projection evaluated once per row, not re-inlined into the explode
+        # generator (cf. dedup.py PLAN NOTEs).
         arr = df.select(
             F.col(id_col).alias(idname),
-            F.col(vec_col).alias(f"{idname}_vec"),
             F.array(
                 *[
                     F.concat_ws(":", F.lit(t), lsh_bucket(F.col(vec_col), planes))
@@ -170,33 +181,37 @@ def lsh_topk(
                 ]
             ).alias("bks"),
         ).repartition(F.col(idname))
-        return arr.select(
-            idname, f"{idname}_vec", F.explode("bks").alias("bucket")
-        )
+        return arr.select(idname, F.explode("bks").alias("bucket"))
 
-    qb = F.broadcast(with_buckets(queries, "query_id"))
-    cb = with_buckets(corpus, "neighbor_id")
+    qb = F.broadcast(bucket_ids(queries, "query_id"))
+    cb = bucket_ids(corpus, "neighbor_id")
+    # candidate pairs dedup'd on bare ids (one shuffle of 2 ids per pair)
     cands = (
         cb.join(qb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")).alias("cosine_sim"),
+    # join the vectors back ONCE: queries broadcast, corpus vectors shuffle
+    # a single time on neighbor_id (candidates only survive the join)
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
+    scored = (
+        cands.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
     )
+    return two_phase_topk(scored, k)
 
 
 def kmeans_centroids(
@@ -206,6 +221,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     n_iter: int = 5,
+    quantize: Optional[float] = None,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means for the IVF coarse codebook.
 
@@ -215,14 +231,22 @@ def kmeans_centroids(
     dimension avg aggregates (codegen'd, partial map-side combine). Only
     the k x dim centroid matrix ever reaches the driver. Empty clusters
     keep their previous centroid. Init = deterministic md5-ordered sample
-    (the same pick ivf_topk uses standalone).
+    (the same pick ivf_topk uses standalone). Null or short vectors are
+    excluded (they can't be assigned).
+
+    ``quantize``: when set (e.g. 1e6), every centroid coordinate is
+    truncated to floor(x * quantize) / quantize after each iteration.
+    Spark's partial-aggregation merge order makes float avg()
+    nondeterministic in the last ulps; quantizing the driver-side codebook
+    makes the whole training loop bit-reproducible across engines (the
+    DuckDB oracle replays the same truncation).
     """
     import math
 
     base = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    ).filter(F.col("vec").isNotNull() & (F.size("vec") >= dim))
     cents = [
         list(r.vec)
         for r in base.select("vec", F.md5(F.col("vid").cast("string")).alias("h"))
@@ -247,11 +271,17 @@ def kmeans_centroids(
         assigned = base.select(F.array_min(sims)["cid"].alias("cid"), "vec")
         means = (
             assigned.groupBy("cid")
-            .agg(*[F.avg(F.col("vec")[i]).alias(f"d{i}") for i in range(dim)])
+            # F.get (not []): ANSI mode throws on out-of-bounds GetArrayItem
+            .agg(*[F.avg(F.get(F.col("vec"), i)).alias(f"d{i}") for i in range(dim)])
             .collect()
         )
         for r in means:
-            cents[r.cid] = [float(r[f"d{i}"]) for i in range(dim)]
+            if r.cid is None:
+                continue
+            new = [float(r[f"d{i}"]) for i in range(dim)]
+            if quantize is not None:
+                new = [math.floor(x * quantize) / quantize for x in new]
+            cents[r.cid] = new
     return cents
 
 
@@ -331,18 +361,28 @@ def ivf_topk(
         else:
             # the sims array is the generator input itself (evaluated once
             # per row); sibling columns are plain attributes, so nothing
-            # heavy collapses into the Generate (cf. dedup.py PLAN NOTEs)
+            # heavy collapses into the Generate (cf. dedup.py PLAN NOTEs).
+            # explode_outer + post-filter, NOT plain explode:
+            # InferFiltersFromGenerate would infer size(...)>0 BELOW the
+            # Generate and predicate pushdown expands the whole sims
+            # expression into that filter (re-evaluating n_lists dot
+            # products per row) — the same measured pathology the runner
+            # pattern avoids.
             out = base.select(
                 idname,
                 f"{idname}_vec",
-                F.explode(
+                F.explode_outer(
                     F.slice(F.array_sort(sims), 1, n)["cid"]
                 ).alias("cid"),
-            )
+            ).filter(F.col("cid").isNotNull())
         return out
 
     corpus_lists = assign(corpus, "neighbor_id", 1)  # each vector in 1 list
     query_lists = F.broadcast(assign(queries, "query_id", n_probe))
+    # each corpus vector lives in exactly ONE list, so a (query, neighbor)
+    # pair occurs at most once — no dedup shuffle needed; with the broadcast
+    # list join and the map-side phase-1 of two_phase_topk, the corpus side
+    # has NO full-row Exchange at all
     cands = corpus_lists.join(query_lists, "cid").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -350,14 +390,5 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")).alias("cosine_sim"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
-    )
+    return two_phase_topk(scored, k)

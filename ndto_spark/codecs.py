@@ -248,6 +248,11 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
             )
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
+            if n_ch < 1 or n_ch > 64:
+                # a crafted fmt chunk with n_channels=0 would otherwise hit
+                # ZeroDivisionError below — which escapes callers' except
+                # ValueError and fails the whole job on one malformed clip
+                raise ValueError(f"invalid WAV channel count {n_ch}")
         elif tag == b"data":
             pcm = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned

@@ -358,6 +358,7 @@ def near_dup_groups(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     )
     prev = None
+    changed = 0
     for _ in range(max_iter):
         nmin = (
             edges.join(labels, F.col("a") == F.col("id"))
@@ -385,6 +386,14 @@ def near_dup_groups(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # silent non-convergence = under-dedup (one duplicate cluster split
+        # across several keepers) with no signal — a validation engine must
+        # fail loudly instead
+        raise RuntimeError(
+            f"near_dup_groups did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("keeper_id")
     )
@@ -492,13 +501,19 @@ def embedding_near_dups(
         )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        # PLAN NOTE: the bucket join and the cross-table candidate dedup
+        # carry BARE IDS only. Round 2 shipped the full 64-double vectors
+        # through both shuffles (each vector rides num_tables exploded rows
+        # into the self-join, then every candidate pair re-shuffles two
+        # vectors through dropDuplicates) — measured 2.4x slower at sf0.1
+        # and a scale-killer at wide embeddings. Vectors join back exactly
+        # once, after the id-level dedup, mirroring the minhash cand_docs
+        # semi-join shape above.
         tables = [
             ann._planes(dim, num_planes, seed + t * 1000) for t in range(num_tables)
         ]
         bucketed = v.select(
             "vid",
-            "vec",
-            "nrm",
             F.array(
                 *[
                     F.concat_ws(":", F.lit(t), ann.lsh_bucket(F.col("vec"), planes))
@@ -506,23 +521,24 @@ def embedding_near_dups(
                 ]
             ).alias("bks"),
         ).repartition(F.col("vid"))  # barrier: see PLAN NOTEs above
-        exploded = bucketed.select(
-            "vid", "vec", "nrm", F.explode("bks").alias("bucket")
-        )
-        a = exploded.select(
-            F.col("vid").alias("id_a"), F.col("vec").alias("va"),
-            F.col("nrm").alias("na"), "bucket",
-        )
-        b = exploded.select(
-            F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
-            F.col("nrm").alias("nb"), "bucket",
-        )
-        pairs = (
+        exploded = bucketed.select("vid", F.explode("bks").alias("bucket"))
+        a = exploded.select(F.col("vid").alias("id_a"), "bucket")
+        b = exploded.select(F.col("vid").alias("id_b"), "bucket")
+        cand = (
             a.join(b, "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
-            .drop("bucket")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
+        va = v.select(
+            F.col("vid").alias("id_a"), F.col("vec").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        vb = v.select(
+            F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
     from .ann import dot
 
     return pairs.select(

@@ -31,8 +31,7 @@ def distinct_token_count(col: Column) -> Column:
 
 
 def stopword_count(col: Column, stopwords: list[str]) -> Column:
-    sw = [F.lit(s) for s in stopwords]
-    return F.size(F.filter(tokens(col), lambda t: t.isin(*[s for s in stopwords])))
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
 
 
 def punct_count(col: Column) -> Column:

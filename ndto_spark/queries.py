@@ -417,32 +417,58 @@ def q_streaming_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import windowed_verdicts
 
+    import shutil
+
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # FileStreamSource requires a DIRECTORY source; the testdata table is a
     # single parquet file → stage a symlink in a temp dir
     src_dir = tempfile.mkdtemp(prefix="ndto_stream_src_")
-    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
-    stream = spark.readStream.schema(schema).parquet(src_dir)
-    out = windowed_verdicts(stream, EVENT_RULES, ts_col="ts", window_duration="1 hour")
+    ck_dir = tempfile.mkdtemp(prefix="ndto_stream_ck_")
     qname = f"ndto_gate_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ndto_stream_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(qname).select(
-        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
-            "win_start"
-        ),
-        F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("n_violations").cast("bigint").alias("n_violations"),
-        F.col("pass").alias("pass"),
-    )
+    q = None
+    try:
+        os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        out = windowed_verdicts(
+            stream, EVENT_RULES, ts_col="ts", window_duration="1 hour"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "streaming_verdicts did not finish within 300s — refusing to "
+                "read a partially-filled memory sink"
+            )
+        # materialize before dropping the memory-sink table: the returned
+        # DataFrame must outlive the cleanup below
+        rows = (
+            spark.table(qname)
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_violations").cast("bigint").alias("n_violations"),
+                F.col("pass").alias("pass"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "win_start string, n_rows bigint, n_violations bigint, pass boolean"
+        )
+    finally:
+        if q is not None:
+            q.stop()
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
 
 
 def q_validate_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
