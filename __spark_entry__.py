@@ -9,7 +9,9 @@ oracle_sql()  — DuckDB-equivalent SQL per query. The approximate ops
                 rather than assuming recall == 1 against an exact twin.
                 Only validate_images is rows-only: its Arrow binary-decode
                 stage is not SQL-expressible (content pinned by
-                tests/test_images_pipeline.py's seeded violation classes).
+                tests/test_images_pipeline.py's seeded violation classes);
+                the metadata+uniqueness half of the same pipeline is fully
+                oracled as validate_images_meta.
 """
 
 from __future__ import annotations

@@ -51,45 +51,62 @@ def image_check_udf(seed: int, min_psnr: float = 40.0):
 
     @pandas_udf(IMAGE_CHECK_TYPE)
     def check(image_id: pd.Series, data: pd.Series, caption: pd.Series) -> pd.DataFrame:
-        out = {k.name: [] for k in IMAGE_CHECK_TYPE.fields}
-        for iid, payload, cap in zip(image_id, data, caption):
-            decode_ok, err, fmtd, wa, ha, ps, cap_ok = (
-                False,
-                None,
-                None,
-                None,
-                None,
-                None,
-                None,
-            )
-            if payload is not None:
-                try:
-                    fmtd, pixels = codecs.decode(bytes(payload))
-                    decode_ok = True
-                    ha, wa = int(pixels.shape[0]), int(pixels.shape[1])
-                except Exception as e:  # zlib.error / ValueError / struct.error
-                    err = f"{type(e).__name__}: {e}"
-                    pixels = None
-            else:
-                err = "null payload"
-                pixels = None
-            rid: Optional[int] = None
-            if iid is not None and _ID_RE.match(iid):
-                rid = fixtures.row_id_of(iid)
-            if rid is not None and pixels is not None:
-                ref = fixtures.image_pixels(seed, rid)
-                p = codecs.psnr(ref, pixels)
-                ps = 1e9 if p == float("inf") else float(p)
-            if rid is not None:
-                cap_ok = cap == fixtures.caption_text(seed, rid)
-            out["decode_ok"].append(decode_ok)
-            out["err"].append(err)
-            out["fmt_detected"].append(fmtd)
-            out["w_actual"].append(wa)
-            out["h_actual"].append(ha)
-            out["psnr"].append(ps)
-            out["caption_ok"].append(cap_ok)
-        return pd.DataFrame(out)
+        # Per-row Python is kept to the three genuinely per-row steps:
+        # payload decode, reference-pixel regen + PSNR, reference-caption
+        # regen (each keyed by a per-row Philox stream). Everything else —
+        # output bookkeeping, the id-pattern check, caption equality — is
+        # preallocated-array / vectorized work (the round-2 row-at-a-time
+        # dict appends measurably widened the Python-side critical path).
+        n = len(image_id)
+        decode_ok = np.zeros(n, dtype=bool)
+        err = np.full(n, None, dtype=object)
+        fmtd = np.full(n, None, dtype=object)
+        wa = np.full(n, None, dtype=object)
+        ha = np.full(n, None, dtype=object)
+        ps = np.full(n, None, dtype=object)
+        cap_ok = np.full(n, None, dtype=object)
+        pixels_list: list[Optional[np.ndarray]] = [None] * n
+
+        payloads = data.to_numpy(dtype=object, copy=False)
+        caps = caption.to_numpy(dtype=object, copy=False)
+        for i in range(n):
+            payload = payloads[i]
+            if payload is None:
+                err[i] = "null payload"
+                continue
+            try:
+                f, pix = codecs.decode(bytes(payload))
+                pixels_list[i] = pix
+                decode_ok[i] = True
+                fmtd[i] = f
+                ha[i] = int(pix.shape[0])
+                wa[i] = int(pix.shape[1])
+            except Exception as e:  # zlib.error / ValueError / struct.error
+                err[i] = f"{type(e).__name__}: {e}"
+
+        # vectorized: which rows carry a parseable id (rid recovers the
+        # per-row reference stream; unparseable ids → psnr/caption NULL)
+        valid = (
+            image_id.fillna("").str.match(_ID_RE.pattern)
+        ).to_numpy(dtype=bool, copy=False)
+        for i in np.flatnonzero(valid):
+            rid = int(image_id.iat[i][4:], 16)
+            pix = pixels_list[i]
+            if pix is not None:
+                p = codecs.psnr(fixtures.image_pixels(seed, rid), pix)
+                ps[i] = 1e9 if p == float("inf") else float(p)
+            cap_ok[i] = bool(caps[i] == fixtures.caption_text(seed, rid))
+        return pd.DataFrame(
+            {
+                "decode_ok": decode_ok,
+                "err": err,
+                "fmt_detected": fmtd,
+                "w_actual": wa,
+                "h_actual": ha,
+                "psnr": ps,
+                "caption_ok": cap_ok,
+            }
+        )
 
     return check
 

@@ -163,28 +163,36 @@ def run_resumable(
     ]
     for b in pending:
         t0 = time.time()
-        sub = df.filter(bucket_expr == F.lit(b))
-        res = validate_fn(sub)
-        viol = res.violations.withColumn("bucket", F.lit(b))
-        # idempotent per-bucket output: dynamic partition overwrite
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        viol.write.mode("overwrite").partitionBy("bucket").parquet(
-            ckpt.violations_dir
-        )
-        verdicts = res.verdicts.collect()
-        n_rows = sum(v.n_rows for v in verdicts)
-        n_viol = sum(v.n_violations for v in verdicts)
-        # per-partition metrics (north_star: manifest carries metrics per
-        # partition): null counts + min/max of every numeric column
-        from .table_rules import column_stats
+        # ONE scan per bucket: three actions consume the subset (violations
+        # write, verdicts collect, column_stats collect) — without the
+        # persist each re-reads the bucket from the source (3x input I/O per
+        # bucket at 100 TB). MEMORY_AND_DISK so oversized buckets spill
+        # instead of OOMing; released before the next bucket starts.
+        sub = df.filter(bucket_expr == F.lit(b)).persist()
+        try:
+            res = validate_fn(sub)
+            viol = res.violations.withColumn("bucket", F.lit(b))
+            # idempotent per-bucket output: dynamic partition overwrite
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            viol.write.mode("overwrite").partitionBy("bucket").parquet(
+                ckpt.violations_dir
+            )
+            verdicts = res.verdicts.collect()
+            n_rows = sum(v.n_rows for v in verdicts)
+            n_viol = sum(v.n_violations for v in verdicts)
+            # per-partition metrics (north_star: manifest carries metrics per
+            # partition): null counts + min/max of every numeric column
+            from .table_rules import column_stats
 
-        metrics: dict[str, float] = {}
-        if metric_cols:
-            for r in column_stats(sub, metric_cols).collect():
-                metrics[f"{r.column_name}.n_nulls"] = float(r.n_nulls)
-                if r.min_value is not None:
-                    metrics[f"{r.column_name}.min"] = float(r.min_value)
-                    metrics[f"{r.column_name}.max"] = float(r.max_value)
+            metrics: dict[str, float] = {}
+            if metric_cols:
+                for r in column_stats(sub, metric_cols).collect():
+                    metrics[f"{r.column_name}.n_nulls"] = float(r.n_nulls)
+                    if r.min_value is not None:
+                        metrics[f"{r.column_name}.min"] = float(r.min_value)
+                        metrics[f"{r.column_name}.max"] = float(r.max_value)
+        finally:
+            sub.unpersist()
         ckpt.write_bucket(
             b,
             {

@@ -190,7 +190,11 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical arrays."""
     if a.shape != b.shape:
         return 0.0
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    # one float64 temp + in-place subtract + dot (no squared temp array)
+    d = a.astype(np.float64)
+    d -= b
+    d = d.ravel()
+    mse = float(d.dot(d)) / d.size
     if mse == 0.0:
         return float("inf")
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)

@@ -203,9 +203,14 @@ class Compiler:
         schema = normalize(schema)
         inner = self._dispatch(schema, value, dtype, path)
         if isinstance(schema, dict) and schema.get("nullable"):
-            # null_clause prepended (ndto_generator.erl:252-263)
-            pred = F.when(value.isNull(), F.lit(True)).otherwise(inner.pred)
-            viol = F.when(value.isNull(), _null_viol()).otherwise(inner.viol)
+            # null_clause prepended (ndto_generator.erl:252-263); a VARIANT
+            # value's JSON null (VOID) is the same "null value" to the
+            # reference as a missing one
+            is_null = value.isNull()
+            if isinstance(dtype, T.VariantType):
+                is_null = is_null | _b(F.is_variant_null(value))
+            pred = F.when(is_null, F.lit(True)).otherwise(inner.pred)
+            viol = F.when(is_null, _null_viol()).otherwise(inner.viol)
             return Compiled(pred, viol)
         return inner
 
@@ -312,6 +317,11 @@ class Compiler:
         return None
 
     def _enum(self, schema: dict, value: Column, dtype: T.DataType, path: str) -> Compiled:
+        if isinstance(dtype, T.VariantType):
+            raise CompileError(
+                f"enum over a VARIANT value is not supported at {path}; "
+                "use typed any_of branches instead"
+            )
         members = schema["enum"]
         null_ok = any(v is None for v in members)
         lits = [self._lit_value(v, dtype) for v in members if v is not None]
@@ -396,6 +406,11 @@ class Compiler:
     def _typed(self, schema: dict, value: Column, dtype: T.DataType, path: str) -> Compiled:
         t = schema["type"]
         type_viol = _viol(f"{path}.type", "type", M.type_msg(t))
+        if isinstance(dtype, T.VariantType):
+            # dynamically-typed value (mixed-type any_of/one_of in a JSON
+            # column): the type check becomes a runtime dispatch on the
+            # variant's actual type instead of a compile-time static verdict
+            return self._variant_typed(schema, value, t, path, type_viol)
         if not _type_compatible(t, dtype):
             # static mismatch: every value (incl. null — it fails the BEAM type
             # guard, ndto_generator.erl:274-288) is a type violation
@@ -416,6 +431,48 @@ class Compiler:
         chain_pred, chain_viol = _chain(checks)
         pred = F.when(value.isNull(), F.lit(False)).otherwise(_b(chain_pred))
         viol = F.when(value.isNull(), type_viol).otherwise(chain_viol)
+        return Compiled(pred, viol)
+
+    def _variant_typed(
+        self, schema: dict, value: Column, t: str, path: str, type_viol: Column
+    ) -> Compiled:
+        """Typed schema over a VARIANT value: runtime type dispatch.
+
+        Supports the scalar types (the mixed-any_of use case —
+        json_rules.spec_to_spark_type types a mixed scalar combinator as
+        VariantType). The type test inspects schema_of_variant (NOT a
+        try_variant_get success probe: variant casts coerce across types —
+        the string "7" casts to BIGINT 7 — which would erase exactly the
+        dynamic dispatch the reference's BEAM guards perform). The typed
+        projection is only read under the type guard, so its coercions are
+        unreachable. JSON null (variant VOID) and a missing property (SQL
+        NULL) both fail the type check, like any wrong-typed value.
+        """
+        vt = F.schema_of_variant(value)
+        if t == "integer":
+            type_ok = vt == F.lit("BIGINT")
+            typed = F.try_variant_get(value, "$", "bigint")
+            checks = self._numeric_checks(schema, typed, path, is_float=False)
+        elif t == "float":
+            type_ok = (vt == F.lit("DOUBLE")) | vt.startswith("DECIMAL")
+            typed = F.try_variant_get(value, "$", "double")
+            checks = self._numeric_checks(schema, typed, path, is_float=True)
+        elif t == "string":
+            type_ok = vt == F.lit("STRING")
+            typed = F.try_variant_get(value, "$", "string")
+            checks = self._string_checks(schema, typed, path)
+        elif t == "boolean":
+            type_ok = vt == F.lit("BOOLEAN")
+            checks = []
+        else:
+            raise CompileError(
+                f"variant-typed values support scalar types only, got {t!r} "
+                f"at {path} (use a single-type schema for array/object JSON)"
+            )
+        chain_pred, chain_viol = _chain(checks)
+        bad = value.isNull() | ~_b(type_ok)
+        pred = F.when(bad, F.lit(False)).otherwise(_b(chain_pred))
+        viol = F.when(bad, type_viol).otherwise(chain_viol)
         return Compiled(pred, viol)
 
     # numeric keywords, declaration order [minimum, maximum, multiple_of]

@@ -32,6 +32,37 @@ IMAGE_METADATA_RULES = {
 }
 
 
+def validate_images_metadata(
+    df: DataFrame, key: str = "image_id", check_uniqueness: bool = True
+) -> DataFrame:
+    """Metadata-half violations only: compiled Catalyst rules over
+    (image_id, fmt, w, h, caption) plus key uniqueness — everything in the
+    image pipeline that never touches ``bytes``. This half is fully
+    SQL-expressible, so the driver gate checks it against an independent
+    DuckDB oracle (the Arrow decode half stays rows-only; see
+    queries.q_validate_images).
+
+    Output: (key, column, schema_path, keyword, description).
+    """
+    meta = validate(df, IMAGE_METADATA_RULES, key=key)
+    violations = meta.violations.select(
+        key, "column", "schema_path", "keyword", "description"
+    )
+    if check_uniqueness:
+        dups = table_rules.uniqueness(df.filter(F.col(key).isNotNull()), key)
+        dup_v = dups.select(
+            F.col(key),
+            F.lit(key).alias("column"),
+            F.lit("$.unique").alias("schema_path"),
+            F.lit("unique").alias("keyword"),
+            F.format_string("Key appears %d times", F.col("n_dups")).alias(
+                "description"
+            ),
+        )
+        violations = violations.unionByName(dup_v)
+    return violations
+
+
 @dataclass
 class ImagesResult:
     violations: DataFrame  # image_id, column, schema_path, keyword, description, partition_id

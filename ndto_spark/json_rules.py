@@ -72,9 +72,29 @@ def spec_to_spark_type(schema: Schema) -> T.DataType:
         if vals and all(isinstance(v, float) for v in vals):
             return T.DoubleType()
         return T.StringType()
+    _SCALARS = (T.StringType, T.LongType, T.DoubleType, T.BooleanType)
     for comb in ("any_of", "one_of", "all_of"):
         if comb in schema and schema[comb]:
-            return spec_to_spark_type(schema[comb][0])
+            branch_types = [spec_to_spark_type(b) for b in schema[comb]]
+            if all(bt == branch_types[0] for bt in branch_types):
+                return branch_types[0]
+            # mixed-type branches: round-2 silently typed these by the FIRST
+            # branch, which parsed one type and nulled the others — skewing
+            # verdicts. all_of over disjoint types is unsatisfiable → error;
+            # mixed SCALAR any_of/one_of parse as VARIANT and the compiler
+            # dispatches on the runtime type (Compiler._variant_typed).
+            if comb == "all_of":
+                raise SpecError(
+                    f"all_of branches derive conflicting Spark types "
+                    f"{[t.simpleString() for t in branch_types]} — unsatisfiable"
+                )
+            if all(isinstance(bt, _SCALARS) for bt in branch_types):
+                return T.VariantType()
+            raise SpecError(
+                f"mixed-type {comb} with non-scalar branches is not "
+                f"supported for JSON columns (got "
+                f"{[t.simpleString() for t in branch_types]})"
+            )
     raise SpecError(f"cannot derive a Spark type for spec {schema!r}")
 
 

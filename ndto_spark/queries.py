@@ -298,6 +298,29 @@ def q_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a TRAINED k-means codebook (ann.kmeans_centroids →
+    ann.ivf_topk). The whole Lloyd's loop is deterministic — md5-ordered
+    init, fixed n_iter, centroid coordinates truncated to 1e-6 after each
+    update (burying partial-aggregation float-merge noise) — so the DuckDB
+    oracle replays training exactly, with the iterations unrolled as CTEs."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = ann.kmeans_centroids(
+        emb, dim=64, id_col="vec_id", vec_col="embedding", k=8, n_iter=2,
+        quantize=1e6,
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann.ivf_topk(
+        emb, queries, k=3, n_lists=8, n_probe=3, centroids=cents
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4"),
+    )
+
+
 def q_drift_per_partition_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition KS/PSI vs the even-orderkey half as reference profile.
 
@@ -614,6 +637,42 @@ def q_validate_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_json_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-type any_of over a JSON column: 'tag' is an integer on even
+    event_ids and a string otherwise. spec_to_spark_type types the branch
+    union as VARIANT and the compiler dispatches on schema_of_variant
+    (Compiler._variant_typed) — the round-2 behavior (typing by the FIRST
+    branch, silently nulling the others) is gone."""
+    from .json_rules import validate_json_column
+
+    ev = _read(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"tag": '),
+        F.when(
+            F.col("event_id") % 2 == 0, (F.col("user_id") % 20).cast("string")
+        ).otherwise(F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))),
+        F.lit("}"),
+    )
+    df = ev.select("event_id", js.alias("props"))
+    schema = {
+        "type": "object",
+        "properties": {
+            "tag": {
+                "any_of": [
+                    {"type": "integer", "minimum": 5},
+                    {"type": "string", "min_length": 5},
+                ]
+            }
+        },
+        "required": ["tag"],
+    }
+    res = validate_json_column(df, "props", schema, key="event_id")
+    return res.violations.select(
+        "event_id", F.col("column").alias("column_name"), "schema_path",
+        "keyword", "description",
+    )
+
+
 def q_validate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image pipeline (metadata + Arrow batch + uniqueness) on the
     deterministic synthetic images table, sized by the scale factor.
@@ -627,6 +686,113 @@ def q_validate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = fixtures.synth_images(spark, n, n_partitions=8, seed=42)
     res = validate_images(df, seed=42, phash_partitions=8)
     return res.violations.select(
+        "image_id", F.col("column").alias("column_name"), "schema_path",
+        "keyword", "description",
+    )
+
+
+def q_stateful_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator in the gate: events replayed
+    as THREE deterministic micro-batches (file source, one file per
+    trigger, batch b = event_id % 3, ordered by staged mtime) through
+    streaming.stateful_verdicts (applyInPandasWithState). The memory sink
+    in update mode keeps one snapshot row per (key, batch the key appeared
+    in), so the gate checks the full cumulative-counter history — n_rows /
+    n_violations / failing_batches / failing_streak — against a DuckDB
+    oracle that recomputes the same per-batch cumulative state with window
+    functions over the batch table."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import stateful_verdicts
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="ndto_stateful_src_")
+    ck_dir = tempfile.mkdtemp(prefix="ndto_stateful_ck_")
+    stage_dir = tempfile.mkdtemp(prefix="ndto_stateful_stage_")
+    qname = f"ndto_gate_stateful_{uuid.uuid4().hex[:8]}"
+    q = None
+    try:
+        ev = spark.read.parquet(path)
+        # stage one file per micro-batch; FileStreamSource takes oldest
+        # mtime first, so explicit utimes pin the batch order 0, 1, 2
+        for b in range(3):
+            out_dir = os.path.join(stage_dir, f"b{b}")
+            (
+                ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+            part = next(
+                f
+                for f in os.listdir(out_dir)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(src_dir, f"batch_{b}.parquet")
+            shutil.move(os.path.join(out_dir, part), dst)
+            t = 1_600_000_000 + b * 3600
+            os.utime(dst, (t, t))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = stateful_verdicts(
+            stream, EVENT_RULES, key_col="event_type", timeout_ms=None
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stateful_verdicts did not finish within 300s — refusing to "
+                "read a partially-filled memory sink"
+            )
+        rows = spark.table(qname).collect()
+        return spark.createDataFrame(
+            rows,
+            "k string, n_rows bigint, n_violations bigint, "
+            "failing_batches bigint, failing_streak bigint",
+        )
+    finally:
+        if q is not None:
+            q.stop()
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+_IMAGES_META_N = 5000  # fixed size: the oracle SQL is static, so the gate
+# input must not depend on sf (bench scale comes from validate_images)
+
+
+def q_validate_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata half of the image pipeline, ORACLE-CHECKED: the compiled
+    pattern/enum/bounds/length rules over (image_id, fmt, w, h, caption)
+    plus key uniqueness, on the deterministic synthetic images table. The
+    DuckDB oracle reproduces every violation from the seeded residue
+    classes (fixtures.make_row: row_id % 100 decides the violation), so the
+    rule engine — not the fixture — is what's cross-checked. The Arrow
+    decode half stays rows-only in q_validate_images."""
+    from . import fixtures
+    from .images import validate_images_metadata
+
+    df = fixtures.synth_images(spark, _IMAGES_META_N, n_partitions=8, seed=42)
+    # metadata-only: bytes never read (column pruning drops it at the source)
+    out = validate_images_metadata(
+        df.select("image_id", "w", "h", "fmt", "caption")
+    )
+    return out.select(
         "image_id", F.col("column").alias("column_name"), "schema_path",
         "keyword", "description",
     )
@@ -650,19 +816,23 @@ QUERIES = {
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
+    "ann_ivf_trained_embeddings": q_ann_ivf_trained_embeddings,
     "drift_per_partition_lineitem": q_drift_per_partition_lineitem,
     "text_quality_documents": q_text_quality_documents,
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "hll_distinct_events": q_hll_distinct_events,
     "validate_images": q_validate_images,
+    "validate_images_meta": q_validate_images_meta,
     "validate_formats": q_validate_formats,
     "validate_arrays": q_validate_arrays,
     "validate_row_object": q_validate_row_object,
     "streaming_verdicts": q_streaming_verdicts,
+    "stateful_verdicts_events": q_stateful_verdicts,
     "validate_map_object": q_validate_map_object,
     "validate_tuple_anyof": q_validate_tuple_anyof,
     "validate_json_props": q_validate_json_props,
+    "validate_json_mixed": q_validate_json_mixed,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "token_counts_documents": q_token_counts_documents,
@@ -878,6 +1048,96 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(floor(sim * 1e4) AS BIGINT) AS sim_e4
 FROM ranked WHERE rk <= {k}
 """
+
+
+def _ann_ivf_trained_sql(
+    k: int, n_lists: int, n_probe: int, dim: int, n_iter: int
+) -> str:
+    """IVF over a trained codebook: Lloyd's iterations unrolled as CTEs.
+
+    Replays ann.kmeans_centroids exactly — md5-ordered init, cosine-argmax
+    assignment (ties → lower cid), per-dimension avg means truncated to
+    floor(x*1e6)/1e6, empty clusters keeping the previous centroid — then
+    the same IVF probe/rank as _ann_ivf_sql over the trained centroids.
+    """
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid, v AS cvec
+  FROM e QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {n_lists}
+)""",
+    ]
+    mean_terms = ",\n    ".join(
+        f"floor(avg(v[{i + 1}]) * 1e6) / 1e6" for i in range(dim)
+    )
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rk
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rk = 1
+)"""
+        )
+        ctes.append(
+            f"""m{it} AS (
+  SELECT cid, [
+    {mean_terms}
+  ] AS cvec FROM a{it} GROUP BY cid
+)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT p.cid, coalesce(m.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN m{it} m USING (cid)
+)"""
+        )
+    trained = f"c{n_iter}"
+    ctes.append(
+        f"""assign_all AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rk
+  FROM e CROSS JOIN {trained} c
+)"""
+    )
+    ctes.append("corpus_assign AS (SELECT vec_id, cid FROM assign_all WHERE rk = 1)")
+    ctes.append(
+        f"""query_assign AS (
+  SELECT vec_id AS query_id, cid FROM assign_all
+  WHERE rk <= {n_probe} AND vec_id < 5
+)"""
+    )
+    ctes.append(
+        """cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM query_assign q JOIN corpus_assign a USING (cid)
+  WHERE a.vec_id != q.query_id
+)"""
+    )
+    ctes.append(
+        """scored AS (
+  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(eq.v, en.v) AS sim
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+)"""
+    )
+    ctes.append(
+        """ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, neighbor_id, CAST(floor(sim * 1e4) AS BIGINT) AS sim_e4"
+        f"\nFROM ranked WHERE rk <= {k}"
+    )
 
 
 def _hll_portable_sql(table: str, col: str, p: int) -> str:
@@ -1168,6 +1428,9 @@ WHERE inter >= 0.1 * (sa.n_sh + sb.n_sh - inter)
         dim=64, k=3, num_planes=6, num_tables=4, seed=42
     ),
     "ann_ivf_embeddings": _ann_ivf_sql(k=3, n_lists=16, n_probe=4),
+    "ann_ivf_trained_embeddings": _ann_ivf_trained_sql(
+        k=3, n_lists=8, n_probe=3, dim=64, n_iter=2
+    ),
     "hll_distinct_events": _hll_portable_sql("events", "user_id", p=10),
     "embedding_near_dup_lsh": _near_dup_lsh_sql(
         dim=64, num_planes=6, num_tables=8, seed=7, threshold=0.5
@@ -1226,6 +1489,75 @@ FROM events WHERE event_id % 3 = 0
 UNION ALL
 SELECT event_id, 'b64', '$.format', 'format', 'String length is not a multiple of 4'
 FROM events WHERE event_id % 5 = 0
+""",
+    "stateful_verdicts_events": """
+-- replays the per-key cumulative state of the stateful operator: batch
+-- b = event_id % 3, processed in order 0,1,2; one snapshot row per
+-- (key, batch the key appeared in). failing_streak = consecutive failing
+-- batches ending at b (gaps-and-islands via last clean row_number).
+WITH pr AS (
+  SELECT event_type AS k, event_id % 3 AS b,
+    (CASE WHEN event_type IS NULL
+           OR event_type NOT IN ('click','view','purchase','signup')
+          THEN 1 ELSE 0 END)
+  + (CASE WHEN value IS NULL OR value <= 0 OR value > 400 THEN 1 ELSE 0 END)
+  + (CASE WHEN user_id IS NULL OR user_id % 7 != 0 OR user_id < 0
+          THEN 1 ELSE 0 END) AS nv
+  FROM events
+),
+per_batch AS (
+  SELECT k, b, count(*) AS rows_b, sum(nv) AS viols_b FROM pr GROUP BY 1, 2
+),
+seq AS (
+  SELECT k, b, rows_b, viols_b,
+         row_number() OVER (PARTITION BY k ORDER BY b) AS rn
+  FROM per_batch
+),
+snap AS (
+  SELECT k, rn,
+    sum(rows_b) OVER (PARTITION BY k ORDER BY b) AS n_rows,
+    sum(viols_b) OVER (PARTITION BY k ORDER BY b) AS n_violations,
+    sum(CASE WHEN viols_b > 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY k ORDER BY b) AS failing_batches,
+    max(CASE WHEN viols_b = 0 THEN rn END)
+      OVER (PARTITION BY k ORDER BY b) AS last_clean_rn
+  FROM seq
+)
+SELECT k, n_rows::BIGINT AS n_rows, n_violations::BIGINT AS n_violations,
+       failing_batches::BIGINT AS failing_batches,
+       (rn - coalesce(last_clean_rn, 0))::BIGINT AS failing_streak
+FROM snap
+""",
+    "validate_images_meta": f"""
+-- the synthetic images table seeds one violation class per row_id % 100
+-- (fixtures.make_row); the oracle regenerates the metadata-visible classes
+-- from the residues and the invertible id scheme img_%016x
+WITH cls AS (
+  SELECT i, i % 100 AS v, printf('img_%016x', i) AS iid
+  FROM (SELECT unnest(range({_IMAGES_META_N})) AS i)
+)
+SELECT CASE WHEN v = 9 THEN NULL ELSE iid END AS image_id,
+       c[1] AS column_name, c[2] AS schema_path, c[3] AS keyword,
+       c[4] AS description
+FROM (
+  SELECT v, iid, CASE
+    WHEN v = 9 THEN ['image_id', '$.type', 'type', 'Value is not a string']
+    WHEN v = 6 THEN ['fmt', '$', 'enum', 'Value is not one in the enum']
+    WHEN v = 7 THEN ['w', '$.minimum', 'minimum',
+                     'Value is not a number greater or equal to 1']
+    WHEN v = 5 THEN ['caption', '$.type', 'type', 'Value is not a string']
+    WHEN v = 4 THEN ['caption', '$.max_length', 'max_length',
+                     'String length "Length" is greater than 256']
+    WHEN v = 3 THEN ['caption', '$.min_length', 'min_length',
+                     'String length "Length" is less than 1']
+    END AS c
+  FROM cls
+) WHERE c IS NOT NULL
+UNION ALL
+-- row_id % 100 = 8 (row_id >= 12) duplicates the clean row at row_id-12
+SELECT printf('img_%016x', i - 12), 'image_id', '$.unique', 'unique',
+       'Key appears 2 times'
+FROM cls WHERE v = 8 AND i >= 12
 """,
     "validate_tuple_anyof": """
 SELECT event_id, 'tup' AS column_name, v[1] AS schema_path, v[2] AS keyword,
@@ -1313,6 +1645,17 @@ FROM (SELECT event_id, CASE
   WHEN json_extract(props, '$.k')::BIGINT < 10
     THEN ['$.properties.k.minimum', 'minimum', 'Value is not a number greater or equal to 10']
   END AS v FROM events) WHERE v IS NOT NULL
+""",
+    "validate_json_mixed": """
+-- tag is an integer (user_id % 20) on even event_ids, a string
+-- (event_type) otherwise; the integer branch needs >= 5, the string branch
+-- length >= 5 ('view' is the only too-short event_type)
+SELECT event_id, 'props' AS column_name,
+       '$.properties.tag.any_of' AS schema_path, 'any_of' AS keyword,
+       'Value is not matching at least one condition. None matched.' AS description
+FROM events
+WHERE (event_id % 2 = 0 AND user_id % 20 < 5)
+   OR (event_id % 2 != 0 AND event_type = 'view')
 """,
     "embedding_near_dup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000)

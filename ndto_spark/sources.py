@@ -6,6 +6,16 @@ import-gated: when the session has an Iceberg catalog configured the reader
 pins a snapshot and the checkpoint header records it; otherwise plain
 parquet paths are read and lineage falls back to (path, row-count) — the
 same degradation the checkpoint layer documents.
+
+Runtime-jar status (checked round 3): no ``org.apache.iceberg`` artifacts
+exist anywhere in this sandbox (no ~/.ivy2 or ~/.m2 cache, nothing in
+/opt/spark/jars) and the container is offline, so the Iceberg branch
+cannot be smoke-tested here. On a real deployment add
+``org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>`` (the
+Spark-4 runtime artifact line) via ``--packages`` plus a catalog config
+(``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``);
+``iceberg_available`` below then flips the reader onto the snapshot-pinned
+path with no code change.
 """
 
 from __future__ import annotations

@@ -98,3 +98,23 @@ def test_read_table_parquet_lineage(spark):
     df, lineage = read_table(spark, "/root/testdata/sf0.001/region.parquet")
     assert lineage.kind == "parquet" and lineage.snapshot_id is None
     assert df.count() == 5
+
+
+def test_bucket_subset_is_persisted_for_one_scan(spark, images_df, tmp_path):
+    """Each bucket's subset must be cached while its three consuming actions
+    run (violations write, verdicts collect, metrics collect) — one input
+    scan per bucket, not three — and released before the next bucket."""
+    from pyspark.storagelevel import StorageLevel
+
+    seen: list = []
+
+    def probe(sub):
+        seen.append(sub)
+        assert sub.storageLevel != StorageLevel.NONE, "bucket subset not persisted"
+        return _validate(sub)
+
+    ck = CheckpointManager(str(tmp_path / "run"))
+    run_resumable(images_df, ck, probe, "synth300", "rules-v1", n_buckets=4)
+    assert len(seen) == 4
+    # all bucket caches explicitly released by the time the run returns
+    assert all(s.storageLevel == StorageLevel.NONE for s in seen)

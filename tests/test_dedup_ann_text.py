@@ -88,6 +88,20 @@ def test_near_dup_groups_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
+def test_near_dup_groups_raises_on_non_convergence(spark):
+    """A component wider than max_iter rounds must fail loudly — silently
+    splitting one duplicate cluster across several keepers is under-dedup
+    with no signal."""
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id bigint")
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_groups(nodes, chain, "doc_id", max_iter=1)
+
+
 def test_simhash_identical_docs_collide(spark, docs):
     rows = dedup.simhash_dup_candidates(docs, "doc_id", "text").collect()
     groups = [set(r.ids) for r in rows]

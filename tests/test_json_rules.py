@@ -67,3 +67,60 @@ def test_single_parse(spark):
     final = res.violations.select("id", "keyword")
     plan = final._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("from_json") == 1, plan
+
+
+def test_mixed_anyof_types_as_variant():
+    from ndto_spark.spec import SpecError
+
+    mixed = {"any_of": [{"type": "integer"}, {"type": "string"}]}
+    assert spec_to_spark_type(mixed) == T.VariantType()
+    # same-typed branches keep the concrete type
+    same = {"any_of": [{"type": "integer", "minimum": 1}, {"type": "integer"}]}
+    assert spec_to_spark_type(same) == T.LongType()
+    # mixed all_of is unsatisfiable; mixed non-scalars unsupported
+    with pytest.raises(SpecError, match="unsatisfiable"):
+        spec_to_spark_type({"all_of": [{"type": "integer"}, {"type": "string"}]})
+    with pytest.raises(SpecError, match="non-scalar"):
+        spec_to_spark_type(
+            {"any_of": [{"type": "integer"}, {"type": "array", "items": {"type": "integer"}}]}
+        )
+
+
+def test_validate_json_column_mixed_anyof(spark):
+    rows = [
+        (1, '{"tag": 7}'),        # int branch ok
+        (2, '{"tag": 3}'),        # int < 5, string branch type-fails → any_of
+        (3, '{"tag": "hello"}'),  # string branch ok
+        (4, '{"tag": "hi"}'),     # string too short → any_of
+        (5, '{"tag": "7"}'),      # STRING "7": must NOT coerce into the int branch
+        (6, '{"tag": 1.5}'),      # float: neither branch → any_of
+        (7, '{"tag": null}'),     # JSON null: neither branch → any_of
+        (8, '{}'),                # missing → required
+    ]
+    df = spark.createDataFrame(rows, "id bigint, props string")
+    schema = {
+        "type": "object",
+        "properties": {
+            "tag": {
+                "any_of": [
+                    {"type": "integer", "minimum": 5},
+                    {"type": "string", "min_length": 5},
+                ]
+            }
+        },
+        "required": ["tag"],
+    }
+    res = validate_json_column(df, "props", schema, key="id")
+    got = {
+        r.id: (r.schema_path, r.keyword)
+        for r in res.violations.collect()
+    }
+    anyof = ("$.properties.tag.any_of", "any_of")
+    assert got == {
+        2: anyof,
+        4: anyof,  # len("hi") < 5
+        5: anyof,  # "7" stays a string; the int branch must not claim it
+        6: anyof,
+        7: anyof,
+        8: ("$.required", "required"),
+    }
