@@ -117,6 +117,7 @@ def run_resumable(
     n_buckets: int = 16,
     bucket_col: str = "phash",
     max_buckets_per_call: Optional[int] = None,
+    plan: Optional[dict] = None,
 ) -> dict:
     """Run (or resume) a bucketed validation job.
 
@@ -124,10 +125,18 @@ def run_resumable(
     ``verdicts`` DataFrames (images.validate_images signature). Returns the
     run summary dict. Call again after a crash to continue; completed
     buckets are skipped.
+
+    ``plan``: an exported compiled plan (plan_export.export_ruleset) to
+    persist as ``plan.json`` next to the run header — the inspectable
+    record of exactly which compiled rules this run executed (the
+    ndto:write/2 artifact in the lineage story). Written once, on the run
+    that creates the header.
     """
     header = ckpt.read_header()
     sh = schema_hash(df, rules_repr)
     if header is None:
+        if plan is not None:
+            _atomic_write_json(os.path.join(ckpt.root, "plan.json"), plan)
         bounds = phash_bounds(df, n_buckets, bucket_col)
         header = {
             "input": input_desc,

@@ -609,7 +609,18 @@ class Compiler:
             )
         if schema.get("unique_items") is True:
             # sets-based dedup, deep equality (ndto_generator_array.erl:507-555)
-            pred = _b(F.size(F.array_distinct(value)) == F.size(value))
+            uniq_val = value
+            if isinstance(et, T.VariantType):
+                # Spark has no equality over VARIANT: canonicalize each
+                # element to its JSON text first. This is the typed-engine
+                # answer to the reference's HETEROGENEOUS unique_items case
+                # (test/ndto_SUITE.erl:410-421 dedups a list mixing
+                # strings/ints/maps): 5 and "5" render as '5' vs '"5"' —
+                # distinct, like Erlang term equality. Caveat: two JSON
+                # objects with identical pairs in different KEY ORDER render
+                # differently and are treated as distinct.
+                uniq_val = F.transform(value, lambda x: F.to_json(x))
+            pred = _b(F.size(F.array_distinct(uniq_val)) == F.size(uniq_val))
             checks.append(
                 (
                     pred,

@@ -27,6 +27,22 @@ from .runner import PARTITION_COL, VIOLATIONS_COL, ValidationResult, _result_fro
 from .spec import Schema, SpecError, normalize
 
 
+_SCALAR_TYPES = (T.StringType, T.LongType, T.DoubleType, T.BooleanType)
+
+
+def _common_type(branch_types: list[T.DataType], what: str) -> T.DataType:
+    """One type for a union of branch types: identical → it; mixed scalars →
+    VARIANT (runtime dispatch in Compiler._variant_typed); else SpecError."""
+    if all(bt == branch_types[0] for bt in branch_types):
+        return branch_types[0]
+    if all(isinstance(bt, _SCALAR_TYPES) for bt in branch_types):
+        return T.VariantType()
+    raise SpecError(
+        f"mixed-type {what} with non-scalar branches is not supported for "
+        f"JSON columns (got {[t.simpleString() for t in branch_types]})"
+    )
+
+
 def spec_to_spark_type(schema: Schema) -> T.DataType:
     """Narrowest Spark type for a spec (for from_json parsing)."""
     schema = normalize(schema)
@@ -45,7 +61,13 @@ def spec_to_spark_type(schema: Schema) -> T.DataType:
     if t == "array":
         items = schema.get("items", True)
         if isinstance(items, list):
-            inner = spec_to_spark_type(items[0]) if items else T.StringType()
+            # tuple form: heterogeneous positional types parse as VARIANT
+            # elements (per-position runtime dispatch)
+            if not items:
+                return T.ArrayType(T.StringType())
+            inner = _common_type(
+                [spec_to_spark_type(b) for b in items], "tuple items"
+            )
         else:
             inner = spec_to_spark_type(items)
         return T.ArrayType(inner)
@@ -72,29 +94,22 @@ def spec_to_spark_type(schema: Schema) -> T.DataType:
         if vals and all(isinstance(v, float) for v in vals):
             return T.DoubleType()
         return T.StringType()
-    _SCALARS = (T.StringType, T.LongType, T.DoubleType, T.BooleanType)
     for comb in ("any_of", "one_of", "all_of"):
         if comb in schema and schema[comb]:
             branch_types = [spec_to_spark_type(b) for b in schema[comb]]
-            if all(bt == branch_types[0] for bt in branch_types):
-                return branch_types[0]
-            # mixed-type branches: round-2 silently typed these by the FIRST
-            # branch, which parsed one type and nulled the others — skewing
-            # verdicts. all_of over disjoint types is unsatisfiable → error;
-            # mixed SCALAR any_of/one_of parse as VARIANT and the compiler
-            # dispatches on the runtime type (Compiler._variant_typed).
-            if comb == "all_of":
+            if comb == "all_of" and not all(
+                bt == branch_types[0] for bt in branch_types
+            ):
+                # mixed-type branches: round-2 silently typed these by the
+                # FIRST branch, which parsed one type and nulled the others —
+                # skewing verdicts. all_of over disjoint types is
+                # unsatisfiable → error; mixed SCALAR any_of/one_of parse as
+                # VARIANT with runtime dispatch (Compiler._variant_typed).
                 raise SpecError(
                     f"all_of branches derive conflicting Spark types "
                     f"{[t.simpleString() for t in branch_types]} — unsatisfiable"
                 )
-            if all(isinstance(bt, _SCALARS) for bt in branch_types):
-                return T.VariantType()
-            raise SpecError(
-                f"mixed-type {comb} with non-scalar branches is not "
-                f"supported for JSON columns (got "
-                f"{[t.simpleString() for t in branch_types]})"
-            )
+            return _common_type(branch_types, comb)
     raise SpecError(f"cannot derive a Spark type for spec {schema!r}")
 
 

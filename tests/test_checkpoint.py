@@ -118,3 +118,20 @@ def test_bucket_subset_is_persisted_for_one_scan(spark, images_df, tmp_path):
     assert len(seen) == 4
     # all bucket caches explicitly released by the time the run returns
     assert all(s.storageLevel == StorageLevel.NONE for s in seen)
+
+
+def test_plan_artifact_written_next_to_header(spark, images_df, tmp_path):
+    from ndto_spark.images import IMAGE_METADATA_RULES
+    from ndto_spark.plan_export import export_ruleset
+
+    plan = export_ruleset(images_df, IMAGE_METADATA_RULES)
+    ck = CheckpointManager(str(tmp_path / "run"))
+    run_resumable(
+        images_df, ck, _validate, "synth300", "rules-v1",
+        n_buckets=4, max_buckets_per_call=1, plan=plan,
+    )
+    on_disk = json.load(open(tmp_path / "run" / "plan.json"))
+    assert on_disk["plan_hash"] == plan["plan_hash"]
+    # resume must not rewrite (or require) the plan
+    run_resumable(images_df, ck, _validate, "synth300", "rules-v1", n_buckets=4)
+    assert json.load(open(tmp_path / "run" / "plan.json")) == on_disk

@@ -124,3 +124,43 @@ def test_validate_json_column_mixed_anyof(spark):
         7: anyof,
         8: ("$.required", "required"),
     }
+
+
+def test_heterogeneous_array_unique_items(spark):
+    """The reference's heterogeneous unique_items case (ndto_SUITE.erl:
+    410-421 dedups a list mixing types): VARIANT elements canonicalized to
+    JSON text — 1 and "1" stay distinct, like Erlang term equality."""
+    rows = [
+        (1, '[1, "1", 2]'),      # unique: the int 1 and the string "1" differ
+        (2, '[1, 2, 1]'),        # duplicate int
+        (3, '["a", "b", "a"]'),  # duplicate string
+    ]
+    df = spark.createDataFrame(rows, "id bigint, props string")
+    schema = {
+        "type": "array",
+        "items": {"any_of": [{"type": "integer"}, {"type": "string"}]},
+        "unique_items": True,
+    }
+    res = validate_json_column(df, "props", schema, key="id")
+    got = {r.id: r.keyword for r in res.violations.collect()}
+    assert got == {2: "unique_items", 3: "unique_items"}
+
+
+def test_tuple_items_mixed_types_variant(spark):
+    """Tuple-typed arrays with heterogeneous positional types parse as
+    array<variant>; each position dispatches on its runtime type."""
+    rows = [(1, '["ok", 5]'), (2, '[5, "ok"]'), (3, '["ok", 2]')]
+    df = spark.createDataFrame(rows, "id bigint, props string")
+    schema = {
+        "type": "array",
+        "items": [
+            {"type": "string", "min_length": 2},
+            {"type": "integer", "minimum": 3},
+        ],
+        "additional_items": False,
+    }
+    res = validate_json_column(df, "props", schema, key="id")
+    got = {r.id: (r.keyword, r.description) for r in res.violations.collect()}
+    assert set(got) == {2, 3}
+    assert got[2][0] == "items" and "Item 0" in got[2][1]
+    assert got[3][0] == "items" and "Item 1" in got[3][1]
