@@ -265,3 +265,130 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
     usable = (len(pcm) // (2 * n_ch)) * 2 * n_ch
     x = np.frombuffer(pcm[:usable], dtype="<i2").reshape(-1, n_ch)
     return int(sample_rate), x
+
+
+# --- video: REAL RIFF/AVI container codec (pure stdlib, like WAV/PNG) -------
+#
+# AVI is the RIFF sibling of WAV: the *container* is what a demuxer library
+# would otherwise provide, and it needs nothing beyond struct. Frames inside
+# the '00dc' chunks use this module's image codecs: PNG frames (fccHandler
+# 'MPNG' — a real, standard AVI video codec fourcc) decode with the real
+# PNG decoder; fake-JPEG frames ride under 'MJPG'. Files avi_encode writes
+# are spec-conformant (hdrl/avih/strl/strh/strf + movi + idx1) and open in
+# any AVI-aware tool; avi_decode_frames walks the chunk tree so it also
+# reads third-party MJPG/MPNG AVIs (including 'rec '-grouped movi entries).
+
+AVI_MAGIC = b"RIFF"
+
+
+def _avi_fourcc_for(frame: bytes) -> bytes:
+    return b"MPNG" if frame[: len(PNG_MAGIC)] == PNG_MAGIC else b"MJPG"
+
+
+def avi_encode(frames: list[bytes], fps: int = 30) -> bytes:
+    """Pack encoded image frames (PNG or JPEG bytes, identical dims) into a
+    standard MJPG/MPNG AVI file."""
+    if not frames:
+        raise ValueError("avi_encode needs at least one frame")
+    handler = _avi_fourcc_for(frames[0])
+    _, px0 = decode(frames[0])
+    h, w = px0.shape[:2]
+    max_sz = max(len(f) for f in frames)
+
+    movi_body = b"movi"
+    idx_entries = []
+    for f in frames:
+        # idx1 offsets are from the 'movi' fourcc to the chunk fourcc
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, len(movi_body), len(f)))
+        movi_body += b"00dc" + struct.pack("<I", len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        max_sz * fps,              # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0x10,                      # dwFlags: AVIF_HASINDEX
+        len(frames), 0, 1,         # dwTotalFrames, dwInitialFrames, dwStreams
+        max_sz, w, h, 0, 0, 0, 0,  # dwSuggestedBufferSize, dwWidth, dwHeight, rsvd
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", handler, 0, 0, 0, 0,
+        1, fps,                    # dwScale / dwRate → fps frames per second
+        0, len(frames), max_sz, -1 & 0xFFFFFFFF, 0,
+        0, 0, w, h,                # rcFrame
+    )
+    strf = struct.pack(  # BITMAPINFOHEADER
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, handler, w * h * 3, 0, 0, 0, 0
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+    idx1 = b"".join(idx_entries)
+    body = (
+        b"AVI "
+        + chunk(b"LIST", hdrl)
+        + chunk(b"LIST", movi_body)
+        + chunk(b"idx1", idx1)
+    )
+    return AVI_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def _avi_chunks(data: bytes, pos: int, end: int):
+    """Iterate (tag, body_start, body_len) over a RIFF chunk run."""
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + ln > end:
+            raise ValueError("truncated AVI chunk")
+        yield tag, pos + 8, ln
+        pos += 8 + ln + (ln & 1)  # word-aligned
+
+
+def avi_decode_frames(data: bytes) -> tuple[dict, list[bytes]]:
+    """Parse an AVI payload → (meta, frame chunk bytes in stream order).
+
+    meta: {"fps", "n_frames", "w", "h", "handler"} from avih/strh. Frames
+    are the raw '00dc'/'00db' chunk bodies of stream 0 — feed each to
+    ``decode`` for pixels. Raises ValueError on non-AVI / malformed input.
+    """
+    if len(data) < 12 or data[:4] != AVI_MAGIC or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    meta = {"fps": None, "n_frames": None, "w": None, "h": None, "handler": None}
+    frames: list[bytes] = []
+
+    def walk_movi(pos: int, end: int) -> None:
+        for tag, bpos, ln in _avi_chunks(data, pos, end):
+            if tag == b"LIST" and data[bpos : bpos + 4] == b"rec ":
+                walk_movi(bpos + 4, bpos + ln)
+            elif tag in (b"00dc", b"00db"):
+                frames.append(data[bpos : bpos + ln])
+
+    def walk_hdrl(pos: int, end: int) -> None:
+        for tag, bpos, ln in _avi_chunks(data, pos, end):
+            if tag == b"avih" and ln >= 40:
+                vals = struct.unpack("<10I", data[bpos : bpos + 40])
+                meta["n_frames"], meta["w"], meta["h"] = vals[4], vals[8], vals[9]
+            elif tag == b"LIST" and data[bpos : bpos + 4] == b"strl":
+                for t2, b2, l2 in _avi_chunks(data, bpos + 4, bpos + ln):
+                    if t2 == b"strh" and l2 >= 32:
+                        typ, handler = data[b2 : b2 + 4], data[b2 + 4 : b2 + 8]
+                        scale, rate = struct.unpack("<II", data[b2 + 20 : b2 + 28])
+                        if typ == b"vids":
+                            meta["handler"] = handler.decode("ascii", "replace")
+                            if scale:
+                                meta["fps"] = rate // scale
+
+    for tag, bpos, ln in _avi_chunks(data, 12, len(data)):
+        if tag == b"LIST":
+            ltype = data[bpos : bpos + 4]
+            if ltype == b"hdrl":
+                walk_hdrl(bpos + 4, bpos + ln)
+            elif ltype == b"movi":
+                walk_movi(bpos + 4, bpos + ln)
+    if meta["n_frames"] is None or not frames:
+        raise ValueError("AVI missing hdrl or movi frames")
+    return meta, frames

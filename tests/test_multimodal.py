@@ -85,3 +85,37 @@ def test_video_frame_sampling(spark):
     assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 10, 20]
     _, px = codecs.decode(bytes(out[0].frame_png))
     assert px.ndim == 3
+
+
+def test_avi_codec_roundtrip():
+    px = [fixtures.image_pixels(42, 7) for _ in range(6)]  # constant dims
+    frames = [codecs.png_encode(p) for p in px]
+    blob = codecs.avi_encode(frames, fps=12)
+    meta, out = codecs.avi_decode_frames(blob)
+    assert out == frames
+    assert meta["handler"] == "MPNG" and meta["fps"] == 12
+    assert meta["n_frames"] == 6
+    assert (meta["h"], meta["w"]) == px[0].shape[:2]
+    _, dec = codecs.decode(out[3])
+    assert np.array_equal(dec, px[3])
+
+
+def test_video_frame_sampling_avi(spark):
+    frames = [
+        codecs.png_encode(fixtures.image_pixels(42, 7)) for _ in range(25)
+    ]
+    good = codecs.avi_encode(frames, fps=30)
+    rows = [
+        ("v1", bytearray(good)),
+        ("bad", bytearray(b"RIFF\x04\x00\x00\x00AVI ")),  # no hdrl/movi
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = multimodal.sample_video_frames(df, every_n=10).collect()
+    # malformed clip skipped (no rows), good clip sampled at 0/10/20
+    assert sorted((r.clip_id, r.frame_idx) for r in out) == [
+        ("v1", 0), ("v1", 10), ("v1", 20)
+    ]
+    _, px = codecs.decode(bytes(out[0].frame_png))
+    assert np.array_equal(px, fixtures.image_pixels(42, 7))
+    with pytest.raises(Exception, match="AVI missing hdrl"):
+        multimodal.sample_video_frames(df, every_n=10, strict=True).collect()
