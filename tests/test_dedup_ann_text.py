@@ -199,3 +199,20 @@ def test_apply_dedup_keeps_one_per_group(spark, docs):
     )
     ids2 = sorted(r.doc_id for r in dedup.apply_dedup(docs, nd, "doc_id").collect())
     assert ids2 == [1, 4, 5]
+
+
+def test_near_dup_groups_pointer_doubling_log_rounds(spark):
+    """A 40-node path (diameter 39) must converge within max_iter=8: plain
+    propagation needs 39 rounds, propagate+shortcut needs 6 — the
+    O(log diameter) guarantee that keeps long chains from stalling at
+    scale."""
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.doc_id: r.keeper_id
+        for r in dedup.near_dup_groups(nodes, chain, "doc_id", max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
