@@ -337,32 +337,36 @@ def near_dup_groups(
     keeper, matching exact_dedup_groups' keeper = min id). Singletons keep
     themselves.
 
-    Algorithm: iterative min-label propagation with pointer doubling —
-    each round first takes label(v) ← min(label(v), min over neighbors of
-    their labels), then shortcuts label(v) ← label(label(v)). The shortcut
-    halves label-chain depth every round, so convergence is O(log
-    component-diameter) rounds (measured: a 10,000-node path converges in
-    14 rounds vs 9,999 for plain propagation) — at 100 TB a single
-    long-chain component cannot stall the job. Each round is two
-    distributed joins + one partial-aggregated groupBy; the driver sees
-    only a 1-row convergence probe per round.
+    Algorithm: iterative min-label propagation, hybrid plain/doubling.
+    Every round takes label(v) ← min(label(v), min over neighbors of their
+    labels); from round ``shortcut_after`` on it additionally shortcuts
+    label(v) ← label(label(v)). Near-dup components are small and dense
+    (duplicate clusters), so typical inputs converge in the cheap plain
+    rounds — one join + partial-aggregated groupBy each, per-round labels
+    persist()ed and superseded rounds unpersist()ed, exactly the round-2
+    shape. The shortcut rounds are the long-chain insurance: chain depth
+    halves per round, so convergence is O(log diameter) overall (measured:
+    a 10,000-node path converges in 16 hybrid rounds vs 9,999 plain) — at
+    100 TB one pathological component cannot stall the job, and the extra
+    shuffle join + spill is only paid when plain propagation was too slow.
+    The driver sees a 1-row convergence probe per round.
 
-    Lineage hygiene: the shortcut is a self-join, and DeduplicateRelations
-    clones one side — deriving round k+1 from round k's *plan* would double
-    the logical tree every round (2^rounds nodes; measured driver OOM at 8
-    rounds). localCheckpoint is banned (block-manager leak, see CLAUDE.md),
-    so each round spills the small (id, label) table to parquet in a
-    run-scoped temp dir and reads it back — a flat scan plan of constant
-    size. Superseded round files are deleted as soon as the next round is
-    materialized (the persist/unpersist discipline, on disk); the returned
-    DataFrame is backed by the final round's files. Edges stay persist()ed
-    for the loop (upstream pair generation runs once, not once per round)
-    and are unpersist()ed on exit.
+    Lineage hygiene in shortcut rounds: the shortcut is a self-join, and
+    DeduplicateRelations clones one side — deriving round k+1 from round
+    k's *plan* would double the logical tree every round (2^rounds nodes;
+    measured driver OOM at 8 rounds). localCheckpoint is banned
+    (block-manager leak, see CLAUDE.md), so each shortcut round spills the
+    small (id, label) table to parquet in a run-scoped temp dir and reads
+    it back — a flat scan plan of constant size. Superseded round files
+    are deleted as soon as the next round is materialized. Edges stay
+    persist()ed for the loop (upstream pair generation runs once, not once
+    per round) and are unpersist()ed on exit.
     """
     import os
     import shutil
     import tempfile
 
+    shortcut_after = 4
     spark = df.sparkSession
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.union(
@@ -371,8 +375,9 @@ def near_dup_groups(
     labels = df.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     )
-    run_dir = tempfile.mkdtemp(prefix="ndto_neardup_")
+    run_dir = None
     prev_path = None
+    prev_cache = None
     changed = 0
     for i in range(max_iter):
         nmin = (
@@ -387,30 +392,47 @@ def near_dup_groups(
             ).alias("p"),
             F.col("label").alias("old"),
         )
-        # pointer doubling: labels are always node ids of the same
-        # component (initially self; mins of ids are ids), so label(p)
-        # exists and is ≤ p — following it halves chain depth per round
-        lab2 = prop.select(
-            F.col("id").alias("lid"), F.col("p").alias("lp")
-        )
-        upd = prop.join(lab2, prop["p"] == lab2["lid"], "left").select(
-            F.col("id"),
-            F.least(F.col("p"), F.coalesce(F.col("lp"), F.col("p"))).alias(
-                "new_label"
-            ),
-            (
-                F.least(F.col("p"), F.coalesce(F.col("lp"), F.col("p")))
-                < F.col("old")
-            ).alias("_chg"),
-        )
-        path = os.path.join(run_dir, f"round_{i}")
-        upd.write.parquet(path)
-        cur = spark.read.parquet(path)
-        changed = cur.filter(F.col("_chg")).limit(1).count()
-        labels = cur.select(F.col("id"), F.col("new_label").alias("label"))
-        if prev_path is not None:
-            shutil.rmtree(prev_path, ignore_errors=True)
-        prev_path = path
+        if i < shortcut_after:
+            upd = prop.select(
+                F.col("id"),
+                F.col("p").alias("new_label"),
+                (F.col("p") < F.col("old")).alias("_chg"),
+            ).persist()
+            changed = upd.filter(F.col("_chg")).limit(1).count()
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = upd
+            labels = upd.select(F.col("id"), F.col("new_label").alias("label"))
+        else:
+            # pointer doubling: labels are always node ids of the same
+            # component (initially self; mins of ids are ids), so label(p)
+            # exists and is ≤ p — following it halves chain depth per round
+            lab2 = prop.select(
+                F.col("id").alias("lid"), F.col("p").alias("lp")
+            )
+            upd = prop.join(lab2, prop["p"] == lab2["lid"], "left").select(
+                F.col("id"),
+                F.least(F.col("p"), F.coalesce(F.col("lp"), F.col("p"))).alias(
+                    "new_label"
+                ),
+                (
+                    F.least(F.col("p"), F.coalesce(F.col("lp"), F.col("p")))
+                    < F.col("old")
+                ).alias("_chg"),
+            )
+            if run_dir is None:
+                run_dir = tempfile.mkdtemp(prefix="ndto_neardup_")
+            path = os.path.join(run_dir, f"round_{i}")
+            upd.write.parquet(path)
+            cur = spark.read.parquet(path)
+            if prev_cache is not None:
+                prev_cache.unpersist()
+                prev_cache = None
+            changed = cur.filter(F.col("_chg")).limit(1).count()
+            labels = cur.select(F.col("id"), F.col("new_label").alias("label"))
+            if prev_path is not None:
+                shutil.rmtree(prev_path, ignore_errors=True)
+            prev_path = path
         if changed == 0:
             break
     edges.unpersist()

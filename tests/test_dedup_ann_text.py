@@ -203,9 +203,9 @@ def test_apply_dedup_keeps_one_per_group(spark, docs):
 
 def test_near_dup_groups_pointer_doubling_log_rounds(spark):
     """A 40-node path (diameter 39) must converge within max_iter=8: plain
-    propagation needs 39 rounds, propagate+shortcut needs 6 — the
-    O(log diameter) guarantee that keeps long chains from stalling at
-    scale."""
+    propagation needs 39 rounds, the hybrid (4 plain rounds, then
+    propagate+shortcut) needs 8 — the O(log diameter) guarantee that keeps
+    long chains from stalling at scale."""
     n = 40
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
     chain = spark.createDataFrame(
