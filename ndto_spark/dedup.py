@@ -218,18 +218,32 @@ def minhash_lsh_pairs(
         F.transform(word_shingles(F.col(text_col), k), md5_low32).alias("hv"),
     ).repartition(F.col("doc"))
 
-    def perm(a: int, b: int):
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)
-
-    sigs = base.select(
-        "doc",
-        F.array(
+    # PLAN NOTE: signatures as explode_outer + num_hashes min() AGGREGATES,
+    # not array_min(transform(...)) per hash — higher-order functions are
+    # interpreted per element (no whole-stage codegen), so 32 HOF passes
+    # over every shingle array dominated the stage; min() aggregates are
+    # codegen'd with map-side partial aggregation. base is already hash
+    # partitioned by doc, so the groupBy adds NO shuffle. explode_outer
+    # keeps shingle-less docs as a null row → all-null mins, bit-identical
+    # to array_min over an empty array (and the rule-safe explode flavor,
+    # see CLAUDE.md). min() skips nulls, so mixed rows are unaffected.
+    exh = base.select("doc", F.explode_outer("hv").alias("x"))
+    params = _hash_params(num_hashes, seed)
+    sigs = (
+        exh.groupBy("doc")
+        .agg(
             *[
-                F.array_min(F.transform(F.col("hv"), perm(a, b)))
-                for a, b in _hash_params(num_hashes, seed)
+                F.min(
+                    (F.col("x") * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)
+                ).alias(f"m{i}")
+                for i, (a, b) in enumerate(params)
             ]
-        ).alias("sig"),
-    ).repartition(F.col("doc"))
+        )
+        .select(
+            "doc",
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
     band_idx = list(range(bands))
     banded = sigs.select(
         "doc",
