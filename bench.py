@@ -64,15 +64,10 @@ def get_spark(cpus: int):
 
 def materialize_images(spark, n_rows: int, parts: int) -> str:
     """Write the deterministic images table once; reuse across runs."""
-    path = f"/tmp/ndto_bench_images_n{n_rows}_s{SEED}"
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        from ndto_spark import fixtures
+    from ndto_spark import fixtures
 
-        fixtures.synth_images(spark, n_rows, parts, SEED).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return path
+    fixtures.synth_images_cached(spark, n_rows, parts, SEED)
+    return f"/tmp/ndto_bench_images_n{n_rows}_s{SEED}"
 
 
 def bench_images_validation(spark, path: str) -> tuple[float, int, int]:

@@ -163,6 +163,28 @@ def synth_images(spark, n_rows: int, n_partitions: int = 8, seed: int = 42):
     return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
 
 
+def synth_images_cached(
+    spark, n_rows: int, n_partitions: int = 8, seed: int = 42
+):
+    """synth_images materialized once to /tmp parquet and reused.
+
+    Synthesis is mapInPandas work that would otherwise be re-executed by
+    every action on the returned frame (and re-timed by every benchmark of
+    a downstream pipeline); a real deployment reads the images table from
+    storage, so the cached-parquet read IS the representative input path.
+    The cache key (n_rows, seed) matches bench.py's convention — gate
+    queries and the bench share one cache."""
+    import os
+
+    path = f"/tmp/ndto_bench_images_n{n_rows}_s{seed}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth_images(spark, n_rows, n_partitions, seed).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def expected_violation_classes(n_rows: int) -> dict[int, list[int]]:
     """violation class → sorted row_ids seeded with it (for golden tests)."""
     out: dict[int, list[int]] = {v: [] for v in list(range(10)) + [11]}

@@ -683,7 +683,7 @@ def q_validate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     n = max(1000, int(sf * 200_000))
-    df = fixtures.synth_images(spark, n, n_partitions=8, seed=42)
+    df = fixtures.synth_images_cached(spark, n, n_partitions=8, seed=42)
     res = validate_images(df, seed=42, phash_partitions=8)
     return res.violations.select(
         "image_id", F.col("column").alias("column_name"), "schema_path",
@@ -787,7 +787,9 @@ def q_validate_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import fixtures
     from .images import validate_images_metadata
 
-    df = fixtures.synth_images(spark, _IMAGES_META_N, n_partitions=8, seed=42)
+    df = fixtures.synth_images_cached(
+        spark, _IMAGES_META_N, n_partitions=8, seed=42
+    )
     # metadata-only: bytes never read (column pruning drops it at the source)
     out = validate_images_metadata(
         df.select("image_id", "w", "h", "fmt", "caption")
