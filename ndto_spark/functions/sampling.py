@@ -1,0 +1,63 @@
+"""Deterministic sampling for training-data pipelines.
+
+Hash-based keep/drop: a row is kept iff md5_low32(key ":" seed) mod 10^6
+falls below fraction * 10^6. Unlike ``df.sample``, the decision is a pure
+function of the KEY — reproducible across runs, engines (the DuckDB
+oracles replicate it exactly), cluster sizes, and partitionings, and
+consistent across tables sharing the key (sample a join consistently by
+sampling both sides with the same key). Expression-side, zero shuffle,
+zero Python: at 100 TB this is a parquet scan with a pushed-down-ish
+filter, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..dedup import md5_low32
+
+_DENOM = 1_000_000
+
+
+def sample_bucket(key: Column, seed: int = 42) -> Column:
+    """Deterministic bucket in [0, 10^6) from a key column."""
+    return md5_low32(
+        F.concat(key.cast("string"), F.lit(f":{seed}"))
+    ) % F.lit(_DENOM)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, decided by key hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thr = int(round(fraction * _DENOM))
+    return df.filter(sample_bucket(F.col(key_col), seed) < F.lit(thr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: Column,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (df.sampleBy, reproducibly).
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed
+    keep ``default_fraction``. The keep decision still hashes only the
+    key, so the same key is kept or dropped consistently wherever its
+    stratum's fraction is the same — upsample/downsample mixtures without
+    breaking cross-table consistency.
+    """
+    thr: Column = F.lit(int(round(default_fraction * _DENOM)))
+    for val, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {val!r} must be in [0, 1]")
+        thr = F.when(
+            stratum_col == F.lit(val), F.lit(int(round(frac * _DENOM)))
+        ).otherwise(thr)
+    return df.filter(sample_bucket(F.col(key_col), seed) < thr)

@@ -397,6 +397,40 @@ def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textfn.token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing over documents: whitespace token
+    counts, 8 streams (doc_id % 8), 512-token chunks. One row per
+    (doc, chunk) overlap with the doc's token span inside the chunk."""
+    from .functions.packing import pack_chunks
+    from .dedup import tokens as _tokens
+
+    d = _read(spark, sf_dir, "documents")
+    return pack_chunks(
+        d,
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("long"),
+        cap=512,
+        stream_col=(F.col("doc_id") % 8),
+    )
+
+
+def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: strata doc_id % 4 kept at
+    fractions 1.0 / 0.5 / 0.25 / 0 (default), decided by the portable
+    md5-low32 key hash — reproducible across engines and cluster sizes."""
+    from .functions.sampling import sample_bucket, stratified_sample
+
+    d = _read(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "doc_id", F.col("doc_id") % 4, {0: 1.0, 1: 0.5, 2: 0.25}, seed=42
+    )
+    return kept.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("stratum"),
+        sample_bucket(F.col("doc_id"), seed=42).alias("bucket"),
+    )
+
+
 def q_validate_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exercises the iso8601 / base64 format validators in the oracle gate.
 
@@ -838,6 +872,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "token_counts_documents": q_token_counts_documents,
+    "pack_chunks_documents": q_pack_chunks_documents,
+    "sample_documents": q_sample_documents,
 }
 
 
@@ -1679,5 +1715,46 @@ SELECT doc_id,
   list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
   len(shingles) AS n_shingles
 FROM sh
+""",
+    # concat-then-chunk sequence packing: cumulative window sums give each
+    # doc's [s, e) token span within its stream; the doc overlaps chunks
+    # s // 512 .. (e-1) // 512 (DuckDB SUM(BIGINT) is HUGEINT — cast back)
+    "pack_chunks_documents": """
+WITH toks AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS stream, doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+         AS BIGINT) AS tok
+  FROM documents
+), spans AS (
+  SELECT stream, doc_id, tok,
+    CAST(SUM(tok) OVER (PARTITION BY stream ORDER BY doc_id) AS BIGINT) AS e
+  FROM toks WHERE tok > 0
+), sp AS (
+  SELECT stream, doc_id, e - tok AS s, e FROM spans
+), ch AS (
+  SELECT stream, doc_id, s, e,
+    UNNEST(generate_series(s // 512, (e - 1) // 512)) AS chunk_id
+  FROM sp
+)
+SELECT stream, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(GREATEST(s - chunk_id * 512, 0) AS BIGINT) AS "begin",
+  CAST(LEAST(e - chunk_id * 512, 512) AS BIGINT) AS "end",
+  CAST(LEAST(e - chunk_id * 512, 512) - GREATEST(s - chunk_id * 512, 0)
+       AS BIGINT) AS n_tokens
+FROM ch
+""",
+    # deterministic stratified sampling: the keep decision is the portable
+    # md5-low32 hash of (key ':' seed) mod 10^6 against per-stratum
+    # thresholds — bit-identical across engines
+    "sample_documents": """
+WITH b AS (
+  SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS stratum,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+         % 1000000 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, stratum, bucket FROM b
+WHERE bucket < CASE stratum
+  WHEN 0 THEN 1000000 WHEN 1 THEN 500000 WHEN 2 THEN 250000 ELSE 0 END
 """,
 }

@@ -1,0 +1,93 @@
+"""Training-pipeline ops: sequence packing + deterministic sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndto_spark.functions.packing import pack_chunks
+from ndto_spark.functions.sampling import (
+    deterministic_sample,
+    sample_bucket,
+    stratified_sample,
+)
+
+
+def test_pack_chunks_spans_and_splits(spark):
+    # tok: 3,4,10,2,0,5  cap=8 → stream laid out [0,24): doc2 spans three
+    # chunks, doc4 (zero tokens) is dropped
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([3, 4, 10, 2, 0, 5])],
+        "doc_id int, tok int",
+    )
+    out = pack_chunks(df, "doc_id", F.col("tok"), cap=8)
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.begin, r.end) for r in out.collect()
+    )
+    assert got == [
+        (0, 0, 0, 3),
+        (1, 0, 3, 7),
+        (2, 0, 7, 8),
+        (2, 1, 0, 8),
+        (2, 2, 0, 1),
+        (3, 2, 1, 3),
+        (5, 2, 3, 8),
+    ]
+    # every token lands in exactly one chunk: spans sum to total tokens
+    assert out.agg(F.sum("n_tokens")).first()[0] == 24
+
+
+def test_pack_chunks_streams_are_independent(spark):
+    df = spark.createDataFrame(
+        [(i, 5) for i in range(8)], "doc_id int, tok int"
+    )
+    out = pack_chunks(
+        df, "doc_id", F.col("tok"), cap=10, stream_col=F.col("doc_id") % 2
+    )
+    # each stream has 4 docs x 5 tokens = 20 tokens = 2 full chunks
+    per_stream = {
+        r.stream: r.n for r in
+        out.groupBy("stream").agg(
+            F.countDistinct("chunk_id").alias("n")
+        ).collect()
+    }
+    assert per_stream == {0: 2, 1: 2}
+
+
+def test_pack_chunks_rejects_bad_cap(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id int, tok int")
+    with pytest.raises(ValueError, match="cap must be positive"):
+        pack_chunks(df, "doc_id", F.col("tok"), cap=0)
+
+
+def test_deterministic_sample_is_stable_and_bounded(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in deterministic_sample(df, "k", 0.3).collect()}
+    b = {r.k for r in deterministic_sample(df, "k", 0.3).collect()}
+    assert a == b  # pure function of the key
+    assert 0.25 < len(a) / 2000 < 0.35
+    # nested property: a smaller fraction selects a subset
+    c = {r.k for r in deterministic_sample(df, "k", 0.1).collect()}
+    assert c <= a
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(df, "k", 1.5)
+
+
+def test_stratified_sample_fractions(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    out = stratified_sample(
+        df, "k", F.col("k") % 4, {0: 1.0, 1: 0.5, 3: 0.0}, default_fraction=0.25
+    )
+    counts = {
+        r.s: r.n
+        for r in out.groupBy((F.col("k") % 4).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts.get(0) == 1000  # fraction 1.0 keeps everything
+    assert 400 < counts.get(1, 0) < 600
+    assert 150 < counts.get(2, 0) < 350  # default fraction
+    assert 3 not in counts  # fraction 0.0 drops the stratum
+    # stratum changes don't change the per-key hash
+    bucket = df.select(sample_bucket(F.col("k")).alias("b")).first().b
+    assert 0 <= bucket < 1_000_000
