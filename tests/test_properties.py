@@ -272,3 +272,96 @@ def test_compiler_matches_pyval_on_corpus(spark):
             else:
                 assert not got.p, f"compiler accepted, pyval rejected: {ctx}"
                 assert (got.sp, got.d) == want, f"{ctx}: {(got.sp, got.d)} != {want}"
+
+
+def _variant_corpus():
+    """Seeded random (schema, value) pairs evaluated over a VARIANT column.
+
+    The runtime-type-dispatch path (Compiler._variant_typed): mixed scalar
+    any_of/one_of, single-typed schemas against dynamic values, nullable.
+    Values are rendered to JSON and parsed with parse_json, so the Spark
+    side sees exactly what a JSON document column would carry.
+    """
+    import json
+
+    rng = random.Random(13)
+    cases: list[tuple[dict, object, str]] = []
+    for _ in range(40):
+        kind = rng.choice(["int", "str", "float", "bool", "null"])
+        if kind == "int":
+            v: object = rng.randint(-50, 50)
+        elif kind == "str":
+            v = "".join(rng.choice("abcxyz0 !") for _ in range(rng.randint(0, 8)))
+        elif kind == "float":
+            v = round(rng.uniform(-8, 8), 3) + 0.0001  # never integral
+        elif kind == "bool":
+            v = rng.random() < 0.5
+        else:
+            v = None
+        int_branch = {
+            "type": "integer",
+            "minimum": rng.randint(-30, 0),
+            "maximum": rng.randint(0, 30),
+            **({"multiple_of": rng.randint(1, 4)} if rng.random() < 0.4 else {}),
+        }
+        str_branch = {
+            "type": "string",
+            "min_length": rng.randint(0, 4),
+            "max_length": rng.randint(3, 10),
+            **({"pattern": rng.choice(["a", "^b", "[0-9]"])} if rng.random() < 0.4 else {}),
+        }
+        schema = rng.choice(
+            [
+                {"any_of": [int_branch, str_branch]},
+                {"one_of": [int_branch, str_branch]},
+                {
+                    "any_of": [
+                        {"type": "float", "minimum": rng.uniform(-9, 0)},
+                        {"type": "boolean"},
+                        str_branch,
+                    ]
+                },
+                int_branch,
+                str_branch,
+            ]
+        )
+        if rng.random() < 0.25:
+            schema = dict(schema)
+            schema["nullable"] = True
+        cases.append((schema, v, json.dumps(v)))
+    return cases
+
+
+def test_compiler_matches_pyval_on_variant_corpus(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ndto_spark.compiler import Compiler
+
+    pairs = _variant_corpus()
+    df = spark.createDataFrame([(js,) for _, _, js in pairs], schema="s string")
+    df = df.withColumn("i", F.monotonically_increasing_id()).withColumn(
+        "v", F.parse_json(F.col("s"))
+    )
+    comp = Compiler()
+    cols = [
+        F.struct(
+            c.pred.alias("p"),
+            c.viol["schema_path"].alias("sp"),
+            c.viol["description"].alias("d"),
+        ).alias(f"c{j}")
+        for j, c in enumerate(
+            comp.compile(s, F.col("v"), T.VariantType(), "$")
+            for s, _, _ in pairs
+        )
+    ]
+    rows = df.select(F.col("i"), *cols).orderBy("i").collect()
+    for j, ((schema, value, js), row) in enumerate(zip(pairs, rows)):
+        got = row[f"c{j}"]
+        want = pyval.is_valid(schema, value)
+        ctx = f"case={j} schema={schema} value={value!r} json={js}"
+        if want is True:
+            assert got.p, f"compiler rejected, pyval accepted: {ctx} got={got}"
+        else:
+            assert not got.p, f"compiler accepted, pyval rejected: {ctx}"
+            assert (got.sp, got.d) == want, f"{ctx}: {(got.sp, got.d)} != {want}"
