@@ -254,6 +254,10 @@ def kmeans_centroids(
         .limit(k)
         .collect()
     ]
+    if not cents:
+        # nothing to train on: an empty codebook (ivf_topk treats it as
+        # "no lists → no neighbors"), not a zero-arm array() crash below
+        return []
     for _ in range(n_iter):
         norms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
         sims = F.array(
@@ -326,6 +330,26 @@ def ivf_topk(
             .select("cid", "cvec")
             .collect()
         ]
+    if not cents:
+        # empty corpus (or an untrainable codebook): no lists, no neighbors —
+        # an empty result with the contract schema, not an unresolvable
+        # zero-arm array() expression
+        from pyspark.sql import types as T
+
+        return corpus.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        "query_id", queries.schema[id_col].dataType
+                    ),
+                    T.StructField(
+                        "neighbor_id", corpus.schema[id_col].dataType
+                    ),
+                    T.StructField("cosine_sim", T.DoubleType()),
+                ]
+            ),
+        )
     cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for _, v in cents]
 
     def assign(df: DataFrame, idname: str, n: int) -> DataFrame:

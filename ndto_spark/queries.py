@@ -153,7 +153,11 @@ def q_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list(F.struct("bucket", "na", "nb"))
     )
     folded = full.agg(arr.alias("rows"), F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
-    rows, ta, tb = F.col("rows"), F.col("ta"), F.col("tb")
+    # greatest(·, 1): empty cohort → all-zero probabilities, not an ANSI
+    # divide-by-zero (identical whenever the cohort has rows)
+    rows = F.col("rows")
+    ta = F.greatest(F.col("ta"), F.lit(1))
+    tb = F.greatest(F.col("tb"), F.lit(1))
     pa = lambda r: r["na"] / ta  # noqa: E731
     pb = lambda r: r["nb"] / tb  # noqa: E731
     ks = F.aggregate(

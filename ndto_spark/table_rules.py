@@ -187,10 +187,12 @@ def drift_metrics(
     # totals stay lazy: a 1-row aggregate broadcast-cross-joined back in
     # (no driver collect, no extra job — the whole metric is one plan)
     tot = joined.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    # greatest(·, 1): an empty cohort yields all-zero probabilities instead
+    # of an ANSI divide-by-zero (identical on any non-degenerate input)
     props = joined.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        (F.col("na") / F.col("ta")).alias("pa"),
-        (F.col("nb") / F.col("tb")).alias("pb"),
+        (F.col("na") / F.greatest(F.col("ta"), F.lit(1))).alias("pa"),
+        (F.col("nb") / F.greatest(F.col("tb"), F.lit(1))).alias("pb"),
     )
     from pyspark.sql.window import Window
 
@@ -365,7 +367,12 @@ def drift_per_partition(
         F.sum("n").alias("t"),
         F.sum("ref_n").alias("tr"),
     )
-    rows, t, tr = F.col("rows"), F.col("t"), F.col("tr")
+    # greatest(·, 1): a partition absent from the reference profile (tr=0)
+    # yields all-zero reference probabilities — KS then reads 1.0 (maximal
+    # drift), not an ANSI divide-by-zero that kills the job
+    rows = F.col("rows")
+    t = F.greatest(F.col("t"), F.lit(1))
+    tr = F.greatest(F.col("tr"), F.lit(1))
     p = lambda r: r["n"] / t  # noqa: E731
     q = lambda r: r["ref_n"] / tr  # noqa: E731
     ks = F.aggregate(
