@@ -61,3 +61,55 @@ def stratified_sample(
             stratum_col == F.lit(val), F.lit(int(round(frac * _DENOM)))
         ).otherwise(thr)
     return df.filter(sample_bucket(F.col(key_col), seed) < thr)
+
+
+def filter_top_fraction(
+    df: DataFrame,
+    score_col: Column,
+    fraction: float,
+    id_col: str,
+    stratum_col: Column = None,
+    approximate: bool = False,
+) -> DataFrame:
+    """Keep the top ``fraction`` of rows by score (per stratum).
+
+    The quality-filter step of a curation pipeline: score every document,
+    keep the best X% — optionally per stratum (language, domain, source)
+    so one high-scoring stratum cannot crowd out the rest.
+
+    Exact mode ranks by (score DESC, md5(id)) per stratum — fully
+    deterministic (hash tiebreak) and reproducible in SQL, at the cost of
+    one sort-shuffle per stratum; this is the small-scale oracle twin.
+    ``approximate=True`` is the scale path: a per-stratum
+    approx_percentile threshold (tiny sketch aggregate, broadcast back) —
+    no global sort, same shape as table_rules.column_quantiles.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    from pyspark.sql import Window
+
+    stratum = stratum_col if stratum_col is not None else F.lit(0)
+    tagged = df.withColumn("_s", stratum).withColumn("_score", score_col)
+    if approximate:
+        thr = tagged.groupBy("_s").agg(
+            F.percentile_approx("_score", 1.0 - fraction).alias("_thr")
+        )
+        return (
+            tagged.join(F.broadcast(thr), "_s")
+            .filter(F.col("_score") >= F.col("_thr"))
+            .drop("_s", "_score", "_thr")
+        )
+    w = Window.partitionBy("_s").orderBy(
+        F.col("_score").desc(),
+        F.md5(F.col(id_col).cast("string")),
+    )
+    wn = Window.partitionBy("_s")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(
+            F.col("_rn")
+            <= F.ceil(F.lit(float(fraction)) * F.col("_n")).cast("bigint")
+        )
+        .drop("_s", "_score", "_rn", "_n")
+    )

@@ -418,6 +418,19 @@ def q_pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering: keep the top 40% of documents by n_chars within
+    each language (md5(doc_id) tiebreak), exact windowed mode — the
+    oracle twin of the approx-percentile scale path."""
+    from .functions.sampling import filter_top_fraction
+
+    d = _read(spark, sf_dir, "documents")
+    kept = filter_top_fraction(
+        d, F.col("n_chars"), 0.4, "doc_id", stratum_col=F.col("lang")
+    )
+    return kept.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: strata doc_id % 4 kept at
     fractions 1.0 / 0.5 / 0.25 / 0 (default), decided by the portable
@@ -878,6 +891,7 @@ QUERIES = {
     "token_counts_documents": q_token_counts_documents,
     "pack_chunks_documents": q_pack_chunks_documents,
     "sample_documents": q_sample_documents,
+    "top_fraction_documents": q_top_fraction_documents,
 }
 
 
@@ -1760,5 +1774,20 @@ WITH b AS (
 SELECT doc_id, stratum, bucket FROM b
 WHERE bucket < CASE stratum
   WHEN 0 THEN 1000000 WHEN 1 THEN 500000 WHEN 2 THEN 250000 ELSE 0 END
+""",
+    # exact per-stratum top-fraction: rank by (score DESC, md5 tiebreak),
+    # keep rank <= ceil(0.4 * stratum size)
+    "top_fraction_documents": """
+WITH r AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR))
+    ) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM r
+WHERE rn <= CAST(CEIL(0.4::DOUBLE * n) AS BIGINT)
 """,
 }

@@ -91,3 +91,42 @@ def test_stratified_sample_fractions(spark):
     # stratum changes don't change the per-key hash
     bucket = df.select(sample_bucket(F.col("k")).alias("b")).first().b
     assert 0 <= bucket < 1_000_000
+
+
+def test_filter_top_fraction_exact_and_approx(spark):
+    from ndto_spark.functions.sampling import filter_top_fraction
+
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(100)],
+        "doc_id bigint, lang bigint, score double",
+    )
+    kept = filter_top_fraction(
+        df, F.col("score"), 0.3, "doc_id", stratum_col=F.col("lang")
+    )
+    got = {r.doc_id for r in kept.collect()}
+    # per stratum of 50 rows, top 30% by score = the 15 highest values
+    assert got == set(range(70, 100))
+    # approximate mode keeps at least the exact set's score range
+    approx = filter_top_fraction(
+        df, F.col("score"), 0.3, "doc_id",
+        stratum_col=F.col("lang"), approximate=True,
+    )
+    agot = {r.doc_id for r in approx.collect()}
+    assert agot  # non-empty; sketch threshold is near the exact one
+    assert max(got) in agot
+    with pytest.raises(ValueError, match="fraction"):
+        filter_top_fraction(df, F.col("score"), -0.1, "doc_id")
+
+
+def test_filter_top_fraction_tiebreak_is_deterministic(spark):
+    from ndto_spark.functions.sampling import filter_top_fraction
+
+    # all scores equal: the md5(doc_id) tiebreak decides, reproducibly
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(40)], "doc_id bigint, score double"
+    )
+    a = {r.doc_id for r in
+         filter_top_fraction(df, F.col("score"), 0.25, "doc_id").collect()}
+    b = {r.doc_id for r in
+         filter_top_fraction(df, F.col("score"), 0.25, "doc_id").collect()}
+    assert a == b and len(a) == 10
