@@ -57,6 +57,8 @@ def main() -> None:
         df, lineage = read_table(spark, args.input)
         input_desc = json.dumps(lineage.__dict__)
 
+    from ndto_spark.plan_export import export_ruleset
+
     ck = CheckpointManager(args.checkpoint)
     summary = run_resumable(
         df,
@@ -67,6 +69,9 @@ def main() -> None:
         input_desc=input_desc,
         rules_repr=json.dumps(IMAGE_METADATA_RULES, sort_keys=True),
         n_buckets=args.buckets,
+        # inspectable record of the compiled rules this run executes
+        # (plan.json next to the run header — the ndto:write/2 artifact)
+        plan=export_ruleset(df, IMAGE_METADATA_RULES),
     )
     # uniqueness is cross-bucket: run it globally once all buckets are done
     if summary["finished"]:
