@@ -154,6 +154,7 @@ def lsh_topk(
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    spread: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: LSH-bucketed candidates, exact re-rank.
 
@@ -184,7 +185,15 @@ def lsh_topk(
         return arr.select(idname, F.explode("bks").alias("bucket"))
 
     qb = F.broadcast(bucket_ids(queries, "query_id"))
-    cb = bucket_ids(corpus, "neighbor_id")
+    corpus_rows = corpus
+    if spread:
+        # plane dot products must not ride the file-layout-bound scan
+        # stage (one compact parquet file = ONE task); round-robin the raw
+        # rows first so bucketing parallelizes (see dedup._spread)
+        from .dedup import _spread
+
+        corpus_rows = _spread(corpus.select(id_col, vec_col))
+    cb = bucket_ids(corpus_rows, "neighbor_id")
     # candidate pairs dedup'd on bare ids (one shuffle of 2 ids per pair)
     cands = (
         cb.join(qb, "bucket")

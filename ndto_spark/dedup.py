@@ -73,6 +73,24 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to shuffle.partitions, placed BEFORE a
+    CPU-heavy per-row projection.
+
+    Scan-stage task count is bound by FILE layout, not by cores: one
+    compact parquet file is ONE task no matter the cluster, so the
+    tokenize/shingle/hash projections that sit below a pipeline's
+    materialization barrier would run single-task (measured: the whole
+    sf0.1 minhash signature computation on 1 of 16 cores — the dominant
+    cost of three gate queries). Spreading the raw rows first pins the
+    expression work to the post-exchange stage, which always has
+    shuffle.partitions tasks. The extra shuffle moves raw rows only; on
+    well-split 100 TB inputs it is noise next to the expression work it
+    parallelizes (callers expose spread=False to elide it)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -80,6 +98,7 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.5,
     max_shingle_df: Optional[int] = None,
+    spread: bool = True,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with k-token-shingle Jaccard ≥ threshold.
 
@@ -111,9 +130,12 @@ def ngram_jaccard_pairs(
     #    ~3x at sf0.1), and (b) pre-partitions both self-join sides and the
     #    DF-count groupBy on their join/group key, so none of them add a
     #    further shuffle of the exploded data.
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    if spread:
+        rows = _spread(rows)  # shingling must not ride the 1-task scan
+    ex = rows.select(
+        "doc",
+        F.explode(word_shingles(F.col("_t"), k)).alias("shingle"),
     ).repartition(F.col("shingle"))
     if max_shingle_df is not None:
         hot = (
@@ -195,6 +217,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     seed: int = 42,
     verify_threshold: Optional[float] = 0.5,
+    spread: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash LSH banding, optionally verified.
 
@@ -213,9 +236,12 @@ def minhash_lsh_pairs(
     # measured ~10x slowdown at sf0.1. The shuffled payloads are tiny
     # (doc id + ≤ num_hashes longs per row) and the band-bucket join
     # downstream shuffles anyway, so the barriers cost almost nothing.
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(word_shingles(F.col(text_col), k), md5_low32).alias("hv"),
+    rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    if spread:
+        rows = _spread(rows)  # shingling must not ride the 1-task scan
+    base = rows.select(
+        "doc",
+        F.transform(word_shingles(F.col("_t"), k), md5_low32).alias("hv"),
     ).repartition(F.col("doc"))
 
     # PLAN NOTE: signatures as explode_outer + num_hashes min() AGGREGATES,
@@ -499,7 +525,8 @@ def simhash(text_col: Column, bits: int = 16) -> Column:
 
 
 def simhash_dup_candidates(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16,
+    spread: bool = True,
 ) -> DataFrame:
     """Docs sharing an identical simhash value: (simhash, n_docs, ids).
 
@@ -509,9 +536,12 @@ def simhash_dup_candidates(
     The shuffled payload is (doc id, ~n_tokens longs) per row; the groupBy
     downstream shuffles anyway.
     """
-    hashed = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(tokens(F.col(text_col)), md5_low32).alias("hv"),
+    rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    if spread:
+        rows = _spread(rows)  # token hashing must not ride the 1-task scan
+    hashed = rows.select(
+        "doc",
+        F.transform(tokens(F.col("_t")), md5_low32).alias("hv"),
     ).repartition(F.col("doc"))
     return (
         hashed.select("doc", simhash_from_hashes(F.col("hv"), bits).alias("simhash"))
@@ -531,6 +561,7 @@ def embedding_near_dups(
     num_tables: int = 6,
     seed: int = 7,
     exact: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
 
@@ -547,7 +578,10 @@ def embedding_near_dups(
     v = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("nrm", norm(F.col("vec")))
+    )
+    if spread:
+        v = _spread(v)  # plane dot products must not ride the 1-task scan
+    v = v.withColumn("nrm", norm(F.col("vec")))
     if exact:
         # O(n²) block self-join: norms precomputed per side (not per pair);
         # the streamed side is repartitioned so the nested-loop join
