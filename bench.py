@@ -127,11 +127,25 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run will surface it
 
+    # per-query MIN over up to NDTO_BENCH_REPS passes: the box is shared and
+    # co-tenant bursts last minutes (same query measured 10.6 s and 48 s
+    # twenty minutes apart) — a single-shot timing is as likely to measure
+    # the neighbor as the engine. The guard skips extra passes once the
+    # budget is spent so a burst can't push the whole bench past the
+    # driver's patience.
+    reps = int(os.environ.get("NDTO_BENCH_REPS", "2"))
+    budget_s = float(os.environ.get("NDTO_BENCH_BUDGET_S", "300"))
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+    bench_t0 = time.time()
+    for rep in range(reps):
+        if rep > 0 and time.time() - bench_t0 > budget_s:
+            break
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
     # heavy Arrow-UDF stage last so its worker fleet/heap churn cannot
     # pollute the query timings; warm once, then measure
     bench_images_validation(spark, img_path)
