@@ -193,3 +193,69 @@ def expected_violation_classes(n_rows: int) -> dict[int, list[int]]:
         if v in out and not (v == 8 and i < 12):
             out[v].append(i)
     return out
+
+
+def synth_documents(
+    spark,
+    n_rows: int,
+    n_partitions: int = 32,
+    seed: int = 42,
+    n_tokens: int = 40,
+    dup_every: int = 7,
+    mutate_every: int = 41,
+):
+    """Deterministic text corpus with PLANTED near-duplicates, generated
+    entirely expression-side (scales to any n on any cluster — no driver
+    data, no Python).
+
+    Row i's text is ``n_tokens`` pseudo-words drawn by md5 from (seed, i,
+    position). Every ``dup_every``-th row instead reuses row i-1's word
+    stream with every ``mutate_every``-th position replaced — with the
+    default (> n_tokens) only position 0 changes, killing ~5 of the ~36
+    5-gram shingles: Jaccard ≈ 0.76, a solid near-duplicate. (A mutation
+    every few positions shreds most k-gram shingles and the pair drops
+    BELOW a 0.5 threshold — k-gram similarity decays k shingles per edit.)
+    Used as the dedup-pipeline scaling corpus (tools/scaling_bench.py) and
+    anywhere a large deterministic text table is needed.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import md5_low32
+
+    base = spark.range(0, n_rows, 1, n_partitions)
+    is_dup = (F.col("id") % dup_every == 0) & (F.col("id") > 0)
+    src = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+
+    def word(id_col, pos: int):
+        h = md5_low32(
+            F.concat_ws(":", F.lit(str(seed)), id_col.cast("string"), F.lit(str(pos)))
+        )
+        return F.concat(F.lit("w"), (h % 128).cast("string"))
+
+    toks = [
+        F.when(
+            is_dup & (F.lit(i % mutate_every) == F.lit(0)),
+            word(F.col("id"), i + 1_000_000),
+        ).otherwise(word(src, i))
+        for i in range(n_tokens)
+    ]
+    return base.select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *toks).alias("text")
+    )
+
+
+def synth_documents_cached(
+    spark, n_rows: int, n_partitions: int = 32, seed: int = 42
+):
+    """synth_documents materialized once to /tmp parquet and reused
+    (synth_images_cached's convention — generation is excluded from any
+    downstream timing)."""
+    import os
+
+    path = f"/tmp/ndto_bench_docs_n{n_rows}_s{seed}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth_documents(spark, n_rows, n_partitions, seed).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)

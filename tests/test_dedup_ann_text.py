@@ -216,3 +216,21 @@ def test_near_dup_groups_pointer_doubling_log_rounds(spark):
         for r in dedup.near_dup_groups(nodes, chain, "doc_id", max_iter=8).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_synth_documents_planted_near_dups_recovered(spark):
+    """The scaling corpus plants one ~0.76-Jaccard near-dup every 7th row;
+    the MinHash+LSH pipeline must recover EXACTLY those pairs (banding
+    S-curve catches J≈0.76 with probability ~0.96 per table; 8 bands make
+    misses negligible at this size, and the exact verify kills any false
+    positive)."""
+    from ndto_spark import fixtures
+
+    n = 1400
+    dd = fixtures.synth_documents(spark, n, n_partitions=4)
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(dd, "doc_id", "text").collect()
+    }
+    want = {(i - 1, i) for i in range(7, n, 7)}
+    assert got == want

@@ -28,7 +28,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 120000
 BASE = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
 RUNNER = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, ".")
 cpus = int(sys.argv[1]); n = int(sys.argv[2])
 import bench
@@ -74,9 +74,29 @@ for _ in range(2):
     bv.count()
     d = time.time() - t0
     arrow_best = d if arrow_best is None else min(arrow_best, d)
+# fourth datapoint: the SHUFFLE-HEAVY path — MinHash+LSH dedup (signature
+# aggregation, band-bucket self-join, candidate-bounded exact verify) over
+# the deterministic planted-near-dup corpus (fixtures.synth_documents).
+# The three datapoints above are projection/Arrow-dominated; this one
+# scales the join/aggregate machinery the dedup operators live on.
+from ndto_spark import fixtures
+from ndto_spark.dedup import minhash_lsh_pairs
+n_docs = int(os.environ.get("NDTO_SCALING_DOCS", "30000"))
+dd = fixtures.synth_documents_cached(spark, n_docs)
+spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+pairs = minhash_lsh_pairs(dd, "doc_id", "text")
+n_pairs = pairs.count()  # warm: full pass (codegen + shuffle files)
+dedup_best = None
+for _ in range(2):
+    t0 = time.time()
+    pairs.count()
+    d = time.time() - t0
+    dedup_best = d if dedup_best is None else min(dedup_best, d)
 print(json.dumps({"cpus": cpus, "sec": best, "rows": rows, "viols": viols,
                   "meta_sec": meta_best, "meta_rows": rows * 20,
-                  "arrow_sec": arrow_best}))
+                  "arrow_sec": arrow_best,
+                  "dedup_sec": dedup_best, "dedup_rows": n_docs,
+                  "dedup_pairs": n_pairs}))
 """
 
 
@@ -109,6 +129,7 @@ def main() -> None:
         out["sec"] = min(a["sec"], b["sec"])
         out["meta_sec"] = min(a["meta_sec"], b["meta_sec"])
         out["arrow_sec"] = min(a["arrow_sec"], b["arrow_sec"])
+        out["dedup_sec"] = min(a["dedup_sec"], b["dedup_sec"])
         return out
 
     r8 = run(BASE)
@@ -125,6 +146,9 @@ def main() -> None:
     atp8 = r8["rows"] / r8["arrow_sec"]
     atp32 = r32["rows"] / r32["arrow_sec"]
     aeff = (atp32 / atp8) / 4.0
+    dtp8 = r8["dedup_rows"] / r8["dedup_sec"]
+    dtp32 = r32["dedup_rows"] / r32["dedup_sec"]
+    deff = (dtp32 / dtp8) / 4.0
     md = f"""# Raw scaling run, base parallelism {BASE} (see BASELINE.md for curated evidence)
 
 Date: {date.today()}  ·  job: full images validation pipeline (metadata
@@ -161,6 +185,19 @@ per round after warm:
 | local[{r32['cpus']}] (4N) | {r32['arrow_sec']:.2f} | {atp32:,.0f} |
 
 **Arrow-stage scaling efficiency N→4N = {aeff:.2f}** (target ≥ 0.8).
+
+MinHash+LSH dedup pipeline (the SHUFFLE-HEAVY path: signature aggregation,
+band-bucket self-join, candidate-bounded exact Jaccard verify) over the
+{r8['dedup_rows']:,}-doc planted-near-dup corpus (fixtures.synth_documents;
+{r8['dedup_pairs']:,} verified pairs, identical at both sizes), min-of-2
+after a full warm pass:
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[{r8['cpus']}]  (N)  | {r8['dedup_sec']:.2f} | {dtp8:,.0f} |
+| local[{r32['cpus']}] (4N) | {r32['dedup_sec']:.2f} | {dtp32:,.0f} |
+
+**Dedup-pipeline scaling efficiency N→4N = {deff:.2f}** (target ≥ 0.8).
 
 Violations found: {r8['viols']:,} (identical at both sizes — same input,
 deterministic pipeline).
