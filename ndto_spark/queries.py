@@ -431,6 +431,17 @@ def q_top_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_violation_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting rollup: per-rule violation counts + the 3 smallest
+    offender keys (deterministic example sample), via the bounded-state
+    two-phase collection in runner.violation_summary."""
+    from .runner import validate, violation_summary
+
+    d = _read(spark, sf_dir, "documents")
+    res = validate(d, DOCUMENT_RULES, key="doc_id")
+    return violation_summary(res.violations, "doc_id", max_examples=3)
+
+
 def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: strata doc_id % 4 kept at
     fractions 1.0 / 0.5 / 0.25 / 0 (default), decided by the portable
@@ -892,6 +903,7 @@ QUERIES = {
     "pack_chunks_documents": q_pack_chunks_documents,
     "sample_documents": q_sample_documents,
     "top_fraction_documents": q_top_fraction_documents,
+    "violation_summary_documents": q_violation_summary_documents,
 }
 
 
@@ -1791,3 +1803,14 @@ SELECT doc_id, lang, n_chars FROM r
 WHERE rn <= CAST(CEIL(0.4::DOUBLE * n) AS BIGINT)
 """,
 }
+
+# the summary oracle aggregates the validate_documents oracle itself — one
+# source of truth for the per-row violation logic
+ORACLE_SQL["violation_summary_documents"] = f"""
+WITH v AS ({ORACLE_SQL["validate_documents"]})
+SELECT column_name, schema_path, keyword,
+  CAST(COUNT(*) AS BIGINT) AS n_violations,
+  MIN(description) AS description,
+  array_to_string(list_slice(list_sort(list(doc_id)), 1, 3), ',') AS example_keys
+FROM v GROUP BY column_name, schema_path, keyword
+"""

@@ -160,3 +160,60 @@ def _result_from_annotated(annotated: DataFrame, key: str) -> ValidationResult:
         F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
     ).withColumn("pass", F.col("n_violations") == 0)
     return ValidationResult(annotated=annotated, violations=violations, verdicts=verdicts)
+
+
+def violation_summary(
+    violations: DataFrame, key: str, max_examples: int = 3
+) -> DataFrame:
+    """Per-rule rollup of a violations frame: counts + example offenders.
+
+    The reporting surface of the engine: one row per (column, schema_path,
+    keyword) with the violation count, the (constant-per-rule) message,
+    and up to ``max_examples`` example keys — the smallest keys, so the
+    sample is deterministic across runs/engines.
+
+    Scale shape: two partial-aggregated groupBys. Phase 1 takes the
+    ``max_examples`` smallest keys per (rule, input partition) — each
+    group's list is bounded by partition size and sliced BEFORE the
+    shuffle; phase 2 merges the ≤k-item survivors. A single
+    groupBy(rule).collect_list(key) would hold every offender of a hot
+    rule in one reducer (same reasoning as ann.two_phase_topk).
+    """
+    g = ["column", "schema_path", "keyword"]
+    loc = (
+        violations.withColumn("_p", F.spark_partition_id())
+        .groupBy(*g, "_p")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.slice(
+                F.array_sort(F.collect_list(F.col(key))), 1, max_examples
+            ).alias("_ex"),
+            F.min("description").alias("_d"),
+        )
+    )
+    return (
+        loc.groupBy(*g)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_violations"),
+            F.min("_d").alias("description"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.flatten(F.collect_list("_ex"))),
+                        1,
+                        max_examples,
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("example_keys"),
+        )
+        .select(
+            F.col("column").alias("column_name"),
+            "schema_path",
+            "keyword",
+            "n_violations",
+            "description",
+            "example_keys",
+        )
+    )

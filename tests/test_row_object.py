@@ -47,3 +47,22 @@ def test_row_object_additional_properties_false(spark):
     v = res.violations.collect()[0]
     assert v.schema_path == "$.additional_properties"
     assert v.description == 'Object has unsupported keys: "junk"'
+
+
+def test_violation_summary_counts_and_examples(spark):
+    """Rollup: count per rule + the k SMALLEST offender keys, regardless of
+    partitioning (two-phase bounded collection)."""
+    from pyspark.sql import functions as F
+
+    from ndto_spark.runner import validate, violation_summary
+
+    rows = [(i, -i if i % 3 == 0 else i) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "k bigint, x bigint").repartition(7)
+    res = validate(df, {"x": {"type": "integer", "minimum": 0}}, key="k")
+    out = violation_summary(res.violations, "k", max_examples=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.column_name, r.keyword) == ("x", "minimum")
+    assert r.n_violations == 20  # k = 3, 6, ..., 60
+    assert r.example_keys == "3,6,9"  # smallest offenders, sorted
+    assert "greater or equal to 0" in r.description
