@@ -442,6 +442,64 @@ def q_violation_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return violation_summary(res.violations, "doc_id", max_examples=3)
 
 
+def q_dedup_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup in the gate: the events table duplicated 2x
+    into ONE staged file (single micro-batch, so watermark state covers
+    every copy), replayed availableNow through dedup_stream — each
+    event_id must come out exactly once. Timestamps are rendered with
+    date_format so both engines compare wall-clock strings."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import dedup_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="ndto_dedup_src_")
+    ck_dir = tempfile.mkdtemp(prefix="ndto_dedup_ck_")
+    qname = f"ndto_gate_dedup_{uuid.uuid4().hex[:8]}"
+    q = None
+    try:
+        ev.union(ev).coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+        out = dedup_stream(stream, "event_id", "ts", watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "dedup_stream_events did not finish within 300s — refusing "
+                "to read a partially-filled memory sink"
+            )
+        rows = (
+            spark.table(qname)
+            .select(
+                "event_id",
+                F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+                "user_id",
+                "event_type",
+                F.floor(F.col("value") * 1e4).cast("bigint").alias("value_e4"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_id bigint, ts_str string, user_id bigint, "
+            "event_type string, value_e4 bigint",
+        )
+    finally:
+        if q is not None:
+            q.stop()
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+
+
 def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: strata doc_id % 4 kept at
     fractions 1.0 / 0.5 / 0.25 / 0 (default), decided by the portable
@@ -904,6 +962,7 @@ QUERIES = {
     "sample_documents": q_sample_documents,
     "top_fraction_documents": q_top_fraction_documents,
     "violation_summary_documents": q_violation_summary_documents,
+    "dedup_stream_events": q_dedup_stream_events,
 }
 
 
@@ -1813,4 +1872,12 @@ SELECT column_name, schema_path, keyword,
   MIN(description) AS description,
   array_to_string(list_slice(list_sort(list(doc_id)), 1, 3), ',') AS example_keys
 FROM v GROUP BY column_name, schema_path, keyword
+"""
+
+# streaming exact dedup: duplicating every row must be invisible — the
+# oracle is simply the original table (events are unique by event_id)
+ORACLE_SQL["dedup_stream_events"] = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, user_id,
+  event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS value_e4
+FROM events
 """

@@ -161,3 +161,29 @@ def windowed_verdicts(
         )
         .withColumn("pass", F.col("n_violations") == 0)
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST occurrence of each key.
+
+    dropDuplicatesWithinWatermark keeps per-key state only until the
+    event-time watermark passes it, so state is bounded by (arrival rate ×
+    watermark) instead of growing with the whole stream — the streaming
+    analog of dedup.exact_dedup_groups' keeper semantics for re-delivered
+    records (at-least-once sources, replayed files, retried producers).
+    Duplicates arriving later than ``watermark`` after the first copy are
+    NOT caught (state for the key has been dropped) — pick the watermark
+    to cover the source's re-delivery horizon, and run the batch exact
+    dedup downstream for the long tail.
+    """
+    # watermarks require TIMESTAMP (with timezone); parquet often yields NTZ
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )

@@ -108,3 +108,32 @@ def test_stateful_verdicts_streak_across_batches(spark, tmp_path):
     assert (a.n_rows, a.n_violations, a.failing_batches, a.failing_streak) == (3, 2, 2, 2)
     assert (b.n_rows, b.n_violations, b.failing_batches, b.failing_streak) == (2, 0, 0, 0)
     assert (c.n_rows, c.n_violations, c.failing_batches) == (2, 1, 1)
+
+
+def test_dedup_stream_emits_first_occurrence_only(spark, tmp_path):
+    """Re-delivered records are invisible downstream: 450 staged rows (the
+    200-row slice twice plus 50 more copies, one file = one micro-batch)
+    emit exactly the 200 distinct events."""
+    import uuid
+
+    from ndto_spark.streaming import dedup_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    ev.union(ev).union(ev.limit(50)).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = dedup_stream(stream, "event_id", "ts", watermark="10 minutes")
+    qn = "dd_" + uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(120)
+        got = spark.table(qn)
+        assert got.count() == 200
+        assert got.select("event_id").distinct().count() == 200
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(qn)
