@@ -130,3 +130,33 @@ def test_filter_top_fraction_tiebreak_is_deterministic(spark):
     b = {r.doc_id for r in
          filter_top_fraction(df, F.col("score"), 0.25, "doc_id").collect()}
     assert a == b and len(a) == 10
+
+
+def test_pack_chunks_invariants_random(spark):
+    """Randomized invariants (one Spark job for the whole corpus):
+    every token lands in exactly one chunk, spans respect chunk bounds,
+    and a doc's spans are contiguous across consecutive chunks."""
+    import random
+
+    rng = random.Random(23)
+    for cap in (1, 7, 64):
+        toks = [rng.randint(0, 3 * cap) for _ in range(60)]
+        df = spark.createDataFrame(
+            list(enumerate(toks)), "doc_id int, tok int"
+        )
+        out = sorted(
+            (r.doc_id, r.chunk_id, r.begin, r.end)
+            for r in pack_chunks(df, "doc_id", F.col("tok"), cap=cap).collect()
+        )
+        # token conservation
+        assert sum(e - b for _, _, b, e in out) == sum(toks)
+        by_doc: dict[int, list[tuple]] = {}
+        for d, c, b, e in out:
+            assert 0 <= b < e <= cap
+            by_doc.setdefault(d, []).append((c, b, e))
+        # zero-token docs emit nothing; others cover their count contiguously
+        for d, spans in by_doc.items():
+            assert sum(e - b for _, b, e in spans) == toks[d]
+            for (c1, _, e1), (c2, b2, _) in zip(spans, spans[1:]):
+                assert c2 == c1 + 1 and e1 == cap and b2 == 0
+        assert set(by_doc) == {i for i, t in enumerate(toks) if t > 0}
