@@ -67,7 +67,7 @@ def materialize_images(spark, n_rows: int, parts: int) -> str:
     from ndto_spark import fixtures
 
     fixtures.synth_images_cached(spark, n_rows, parts, SEED)
-    return f"/tmp/ndto_bench_images_n{n_rows}_s{SEED}"
+    return fixtures.images_cache_path(n_rows, parts, SEED)
 
 
 def bench_images_validation(spark, path: str) -> tuple[float, int, int]:
@@ -88,7 +88,10 @@ def main() -> None:
     spark = get_spark(CPUS)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
-    img_path = materialize_images(spark, N_IMAGES, max(CPUS, 8))
+    # n_partitions=8 matches the gate queries' synth_images_cached key — one
+    # shared cache (scan parallelism comes from maxPartitionBytes, not file
+    # count, so 8 files do not bound the decode stage)
+    img_path = materialize_images(spark, N_IMAGES, 8)
 
     from ndto_spark.queries import QUERIES
 

@@ -223,6 +223,26 @@ def lsh_topk(
     return two_phase_topk(scored, k)
 
 
+# The IVF/k-means codebook is embedded as k x dim LITERAL vectors in the
+# assignment expressions — right for a COARSE codebook (k ≤ a few hundred),
+# but a caller passing k in the thousands would build a multi-MB Catalyst
+# tree and stall driver planning with no warning. Fail loudly instead; for
+# large k use the bucketed hyperplane-LSH path (lsh_topk), whose bucket id
+# is O(num_planes) expressions regardless of table count.
+MAX_CODEBOOK_LITERALS = 65_536
+
+
+def _check_codebook_size(k: int, dim: int) -> None:
+    if k * dim > MAX_CODEBOOK_LITERALS:
+        raise ValueError(
+            f"codebook k*dim = {k}*{dim} = {k * dim} exceeds "
+            f"MAX_CODEBOOK_LITERALS={MAX_CODEBOOK_LITERALS}: the codebook is "
+            "embedded as literal vectors in the plan (driver planning blowup "
+            "at this size); use fewer/coarser lists or the hyperplane-LSH "
+            "path (lsh_topk) for large codebooks"
+        )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     dim: int,
@@ -251,6 +271,8 @@ def kmeans_centroids(
     DuckDB oracle replays the same truncation).
     """
     import math
+
+    _check_codebook_size(k, dim)
 
     base = corpus.select(
         F.col(id_col).alias("vid"),
@@ -359,6 +381,7 @@ def ivf_topk(
                 ]
             ),
         )
+    _check_codebook_size(len(cents), max(len(v) for _, v in cents))
     cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for _, v in cents]
 
     def assign(df: DataFrame, idname: str, n: int) -> DataFrame:

@@ -293,6 +293,21 @@ def avi_encode(frames: list[bytes], fps: int = 30) -> bytes:
     handler = _avi_fourcc_for(frames[0])
     _, px0 = decode(frames[0])
     h, w = px0.shape[:2]
+    # the stream header describes ONE codec and ONE frame size: a mixed
+    # PNG/JPEG or varying-dimension frame list would produce a
+    # spec-conformant AVI whose strh/avih misdescribe the stream — reject it
+    for i, f in enumerate(frames[1:], start=1):
+        if _avi_fourcc_for(f) != handler:
+            raise ValueError(
+                f"avi_encode: frame {i} container ({_avi_fourcc_for(f).decode()}) "
+                f"differs from frame 0 ({handler.decode()}); one codec per stream"
+            )
+        _, px = decode(f)
+        if px.shape[:2] != (h, w):
+            raise ValueError(
+                f"avi_encode: frame {i} dims {px.shape[1]}x{px.shape[0]} differ "
+                f"from frame 0 ({w}x{h}); frames must share identical dims"
+            )
     max_sz = max(len(f) for f in frames)
 
     movi_body = b"movi"

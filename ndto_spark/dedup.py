@@ -133,10 +133,19 @@ def ngram_jaccard_pairs(
     rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
     if spread:
         rows = _spread(rows)  # shingling must not ride the 1-task scan
-    ex = rows.select(
-        "doc",
-        F.explode(word_shingles(F.col("_t"), k)).alias("shingle"),
-    ).repartition(F.col("shingle"))
+    # explode_outer (not explode): InferFiltersFromGenerate would infer a
+    # size(word_shingles(..)) > 0 filter BELOW a plain Generate and predicate
+    # pushdown expands the whole shingling expression into it — re-evaluating
+    # tokenize+shingle once more per input row. The rule skips outer
+    # generates; the post-explode IS NOT NULL filter restores the semantics.
+    ex = (
+        rows.select(
+            "doc",
+            F.explode_outer(word_shingles(F.col("_t"), k)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .repartition(F.col("shingle"))
+    )
     if max_shingle_df is not None:
         hot = (
             ex.groupBy("shingle")
@@ -401,7 +410,15 @@ def near_dup_groups(
     are deleted as soon as the next round is materialized. Edges stay
     persist()ed for the loop (upstream pair generation runs once, not once
     per round) and are unpersist()ed on exit.
+
+    Temp-dir lifetime: the RETURNED DataFrame lazily reads the final
+    round's parquet, so the run dir must outlive the call when shortcut
+    rounds ran — it is removed at interpreter exit (atexit), and eagerly
+    on any exception mid-loop (including non-convergence). Callers that
+    need the labels past process exit should write them to their own
+    storage.
     """
+    import atexit
     import os
     import shutil
     import tempfile
@@ -419,71 +436,85 @@ def near_dup_groups(
     prev_path = None
     prev_cache = None
     changed = 0
-    for i in range(max_iter):
-        nmin = (
-            edges.join(labels, F.col("a") == F.col("id"))
-            .groupBy("b")
-            .agg(F.min("label").alias("nmin"))
-        )
-        prop = labels.join(nmin, labels["id"] == nmin["b"], "left").select(
-            F.col("id"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("p"),
-            F.col("label").alias("old"),
-        )
-        if i < shortcut_after:
-            upd = prop.select(
-                F.col("id"),
-                F.col("p").alias("new_label"),
-                (F.col("p") < F.col("old")).alias("_chg"),
-            ).persist()
-            changed = upd.filter(F.col("_chg")).limit(1).count()
-            if prev_cache is not None:
-                prev_cache.unpersist()
-            prev_cache = upd
-            labels = upd.select(F.col("id"), F.col("new_label").alias("label"))
-        else:
-            # pointer doubling: labels are always node ids of the same
-            # component (initially self; mins of ids are ids), so label(p)
-            # exists and is ≤ p — following it halves chain depth per round
-            lab2 = prop.select(
-                F.col("id").alias("lid"), F.col("p").alias("lp")
+    try:
+        for i in range(max_iter):
+            nmin = (
+                edges.join(labels, F.col("a") == F.col("id"))
+                .groupBy("b")
+                .agg(F.min("label").alias("nmin"))
             )
-            upd = prop.join(lab2, prop["p"] == lab2["lid"], "left").select(
+            prop = labels.join(nmin, labels["id"] == nmin["b"], "left").select(
                 F.col("id"),
-                F.least(F.col("p"), F.coalesce(F.col("lp"), F.col("p"))).alias(
-                    "new_label"
-                ),
-                (
-                    F.least(F.col("p"), F.coalesce(F.col("lp"), F.col("p")))
-                    < F.col("old")
-                ).alias("_chg"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("p"),
+                F.col("label").alias("old"),
             )
-            if run_dir is None:
-                run_dir = tempfile.mkdtemp(prefix="ndto_neardup_")
-            path = os.path.join(run_dir, f"round_{i}")
-            upd.write.parquet(path)
-            cur = spark.read.parquet(path)
-            if prev_cache is not None:
-                prev_cache.unpersist()
-                prev_cache = None
-            changed = cur.filter(F.col("_chg")).limit(1).count()
-            labels = cur.select(F.col("id"), F.col("new_label").alias("label"))
-            if prev_path is not None:
-                shutil.rmtree(prev_path, ignore_errors=True)
-            prev_path = path
-        if changed == 0:
-            break
-    edges.unpersist()
+            if i < shortcut_after:
+                upd = prop.select(
+                    F.col("id"),
+                    F.col("p").alias("new_label"),
+                    (F.col("p") < F.col("old")).alias("_chg"),
+                ).persist()
+                changed = upd.filter(F.col("_chg")).limit(1).count()
+                if prev_cache is not None:
+                    prev_cache.unpersist()
+                prev_cache = upd
+                labels = upd.select(F.col("id"), F.col("new_label").alias("label"))
+            else:
+                # pointer doubling: labels are always node ids of the same
+                # component (initially self; mins of ids are ids), so label(p)
+                # exists and is ≤ p — following it halves chain depth per round
+                lab2 = prop.select(
+                    F.col("id").alias("lid"), F.col("p").alias("lp")
+                )
+                upd = prop.join(lab2, prop["p"] == lab2["lid"], "left").select(
+                    F.col("id"),
+                    F.least(F.col("p"), F.coalesce(F.col("lp"), F.col("p"))).alias(
+                        "new_label"
+                    ),
+                    (
+                        F.least(F.col("p"), F.coalesce(F.col("lp"), F.col("p")))
+                        < F.col("old")
+                    ).alias("_chg"),
+                )
+                if run_dir is None:
+                    run_dir = tempfile.mkdtemp(prefix="ndto_neardup_")
+                path = os.path.join(run_dir, f"round_{i}")
+                upd.write.parquet(path)
+                cur = spark.read.parquet(path)
+                if prev_cache is not None:
+                    prev_cache.unpersist()
+                    prev_cache = None
+                changed = cur.filter(F.col("_chg")).limit(1).count()
+                labels = cur.select(F.col("id"), F.col("new_label").alias("label"))
+                if prev_path is not None:
+                    shutil.rmtree(prev_path, ignore_errors=True)
+                prev_path = path
+            if changed == 0:
+                break
+    except BaseException:
+        # mid-loop failure: the run dir's parquet is unreachable now —
+        # reclaim it eagerly instead of leaking /tmp per invocation
+        if run_dir is not None:
+            shutil.rmtree(run_dir, ignore_errors=True)
+        raise
+    finally:
+        edges.unpersist()
     if changed != 0:
         # silent non-convergence = under-dedup (one duplicate cluster split
         # across several keepers) with no signal — a validation engine must
         # fail loudly instead
+        if run_dir is not None:
+            shutil.rmtree(run_dir, ignore_errors=True)
         raise RuntimeError(
             f"near_dup_groups did not converge within max_iter={max_iter} "
             "rounds (component diameter exceeds max_iter); raise max_iter"
         )
+    if run_dir is not None:
+        # the returned DataFrame lazily reads the final round's parquet:
+        # reclaim the run-scoped dir at interpreter exit (docstring contract)
+        atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("keeper_id")
     )
@@ -579,8 +610,12 @@ def embedding_near_dups(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    if spread:
-        v = _spread(v)  # plane dot products must not ride the 1-task scan
+    if spread and not exact:
+        # plane dot products must not ride the 1-task scan; exact mode
+        # already repartition(64)s its streamed side below, so a _spread
+        # there is a redundant extra Exchange on the broadcast-NLJ path
+        # (measured +0.27 s at sf0.1)
+        v = _spread(v)
     v = v.withColumn("nrm", norm(F.col("vec")))
     if exact:
         # O(n²) block self-join: norms precomputed per side (not per pair);

@@ -163,6 +163,45 @@ def synth_images(spark, n_rows: int, n_partitions: int = 8, seed: int = 42):
     return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
 
 
+# bump when any synthesis function changes output for the same key — the
+# /tmp caches are keyed by (version, n_rows, n_partitions, seed), so a
+# stale-vintage cache can never silently feed the oracle-gated queries
+FIXTURES_VERSION = "v2"
+
+
+def images_cache_path(n_rows: int, n_partitions: int, seed: int) -> str:
+    return (
+        f"/tmp/ndto_bench_images_{FIXTURES_VERSION}"
+        f"_n{n_rows}_p{n_partitions}_s{seed}"
+    )
+
+
+def _cached_parquet(spark, path: str, make):
+    """Materialize make() to ``path`` once, atomically, and read it back.
+
+    Concurrent bench/gate runs race on the same key: each writes its own
+    claim dir, the first rename wins (rename is atomic), losers discard
+    their claim and read the winner's fully-written cache. A stale dir
+    without _SUCCESS (crashed writer of the pre-atomic vintage) is removed
+    before claiming.
+    """
+    import os
+    import shutil
+    import uuid
+
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        tmp = f"{path}.claim-{uuid.uuid4().hex[:8]}"
+        make().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def synth_images_cached(
     spark, n_rows: int, n_partitions: int = 8, seed: int = 42
 ):
@@ -172,17 +211,12 @@ def synth_images_cached(
     every action on the returned frame (and re-timed by every benchmark of
     a downstream pipeline); a real deployment reads the images table from
     storage, so the cached-parquet read IS the representative input path.
-    The cache key (n_rows, seed) matches bench.py's convention — gate
-    queries and the bench share one cache."""
-    import os
-
-    path = f"/tmp/ndto_bench_images_n{n_rows}_s{seed}"
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        synth_images(spark, n_rows, n_partitions, seed).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+    Gate queries and the bench share one cache (images_cache_path)."""
+    return _cached_parquet(
+        spark,
+        images_cache_path(n_rows, n_partitions, seed),
+        lambda: synth_images(spark, n_rows, n_partitions, seed),
+    )
 
 
 def expected_violation_classes(n_rows: int) -> dict[int, list[int]]:
@@ -250,12 +284,9 @@ def synth_documents_cached(
     """synth_documents materialized once to /tmp parquet and reused
     (synth_images_cached's convention — generation is excluded from any
     downstream timing)."""
-    import os
-
-    path = f"/tmp/ndto_bench_docs_n{n_rows}_s{seed}"
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        synth_documents(spark, n_rows, n_partitions, seed).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+    return _cached_parquet(
+        spark,
+        f"/tmp/ndto_bench_docs_{FIXTURES_VERSION}"
+        f"_n{n_rows}_p{n_partitions}_s{seed}",
+        lambda: synth_documents(spark, n_rows, n_partitions, seed),
+    )

@@ -88,28 +88,38 @@ def filter_top_fraction(
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     from pyspark.sql import Window
 
+    # collision-free staging names: an input column named _s/_score/etc.
+    # must survive (withColumn silently overwrites same-named columns)
+    taken = set(df.columns)
+    tag = 0
+    while any(f"_ntf{tag}{s}" in taken for s in ("s", "score", "thr", "rn", "n")):
+        tag += 1
+    c_s, c_score, c_thr, c_rn, c_n = (
+        f"_ntf{tag}{s}" for s in ("s", "score", "thr", "rn", "n")
+    )
+
     stratum = stratum_col if stratum_col is not None else F.lit(0)
-    tagged = df.withColumn("_s", stratum).withColumn("_score", score_col)
+    tagged = df.withColumn(c_s, stratum).withColumn(c_score, score_col)
     if approximate:
-        thr = tagged.groupBy("_s").agg(
-            F.percentile_approx("_score", 1.0 - fraction).alias("_thr")
+        thr = tagged.groupBy(c_s).agg(
+            F.percentile_approx(c_score, 1.0 - fraction).alias(c_thr)
         )
         return (
-            tagged.join(F.broadcast(thr), "_s")
-            .filter(F.col("_score") >= F.col("_thr"))
-            .drop("_s", "_score", "_thr")
+            tagged.join(F.broadcast(thr), c_s)
+            .filter(F.col(c_score) >= F.col(c_thr))
+            .drop(c_s, c_score, c_thr)
         )
-    w = Window.partitionBy("_s").orderBy(
-        F.col("_score").desc(),
+    w = Window.partitionBy(c_s).orderBy(
+        F.col(c_score).desc(),
         F.md5(F.col(id_col).cast("string")),
     )
-    wn = Window.partitionBy("_s")
+    wn = Window.partitionBy(c_s)
     return (
-        tagged.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        tagged.withColumn(c_rn, F.row_number().over(w))
+        .withColumn(c_n, F.count(F.lit(1)).over(wn))
         .filter(
-            F.col("_rn")
-            <= F.ceil(F.lit(float(fraction)) * F.col("_n")).cast("bigint")
+            F.col(c_rn)
+            <= F.ceil(F.lit(float(fraction)) * F.col(c_n)).cast("bigint")
         )
-        .drop("_s", "_score", "_rn", "_n")
+        .drop(c_s, c_score, c_rn, c_n)
     )

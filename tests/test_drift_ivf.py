@@ -111,3 +111,16 @@ def test_column_quantiles_exact_and_approx(spark):
     }
     # sketch path: within 1% of the true median
     assert abs(approx[("x", 0.5)] - 501.0) <= 10
+
+
+def test_codebook_literal_size_guard(spark):
+    # the codebook rides the plan as k x dim literals: oversized requests
+    # must fail loudly before they stall driver planning
+    df = spark.createDataFrame([(1, [0.0] * 8)], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="MAX_CODEBOOK_LITERALS"):
+        ann.kmeans_centroids(df, dim=128, k=1024)
+    big = [[0.0] * 64 for _ in range(2048)]
+    with pytest.raises(ValueError, match="MAX_CODEBOOK_LITERALS"):
+        ann.ivf_topk(df, df, centroids=big)
+    # the documented coarse sizes stay well inside the bound
+    assert 256 * 256 <= ann.MAX_CODEBOOK_LITERALS

@@ -119,3 +119,15 @@ def test_video_frame_sampling_avi(spark):
     assert np.array_equal(px, fixtures.image_pixels(42, 7))
     with pytest.raises(Exception, match="AVI missing hdrl"):
         multimodal.sample_video_frames(df, every_n=10, strict=True).collect()
+
+
+def test_avi_encode_rejects_mixed_frames():
+    pa = fixtures.image_pixels(42, 7)
+    png = codecs.png_encode(pa)
+    jpg = codecs.fake_jpeg_encode(pa, quality=90)
+    with pytest.raises(ValueError, match="container"):
+        codecs.avi_encode([png, jpg])
+    pb = fixtures.image_pixels(42, 8)  # different dims than row 7
+    assert pb.shape[:2] != pa.shape[:2]
+    with pytest.raises(ValueError, match="dims"):
+        codecs.avi_encode([png, codecs.png_encode(pb)])

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ndto_spark.functions.packing import pack_chunks
 from ndto_spark.functions.sampling import (
     deterministic_sample,
+    filter_top_fraction,
     sample_bucket,
     stratified_sample,
 )
@@ -160,3 +161,19 @@ def test_pack_chunks_invariants_random(spark):
             for (c1, _, e1), (c2, b2, _) in zip(spans, spans[1:]):
                 assert c2 == c1 + 1 and e1 == cap and b2 == 0
         assert set(by_doc) == {i for i, t in enumerate(toks) if t > 0}
+
+
+def test_filter_top_fraction_survives_colliding_column_names(spark):
+    # staging columns must not clobber same-named input columns
+    df = spark.createDataFrame(
+        [(i, float(i), f"keep{i}") for i in range(8)],
+        "doc_id bigint, _score double, _s string",
+    )
+    kept = filter_top_fraction(df, F.col("_score"), 0.5, "doc_id")
+    rows = {r.doc_id: r for r in kept.collect()}
+    assert set(rows) == {4, 5, 6, 7}
+    assert rows[7]._s == "keep7" and rows[7]._score == 7.0
+    approx = filter_top_fraction(
+        df, F.col("_score"), 0.5, "doc_id", approximate=True
+    ).columns
+    assert approx == ["doc_id", "_score", "_s"]
