@@ -290,3 +290,176 @@ def synth_documents_cached(
         f"_n{n_rows}_p{n_partitions}_s{seed}",
         lambda: synth_documents(spark, n_rows, n_partitions, seed),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal FEATURE fixtures — closed-form by design. Unlike the images
+# table (Philox pixels, only metadata is oracle-expressible), these payloads
+# are built so every feature the multimodal operators emit — dims, mean RGB,
+# phash, sample rate / RMS / zero-crossing rate, sampled frame indices — is
+# an exact SQL expression of the row id. That is what lets the driver gate
+# hash-check the Arrow decode paths themselves against DuckDB.
+
+FEATURE_CORRUPT_EVERY = 25  # row_id % 25 == 24 → truncated payload
+
+# phash of a two-tone image whose high half is on the right / left
+# (phash_of: 4x4 pooled cells > overall mean → bits at columns {2,3} resp.
+# {0,1} for every row: (2^2+2^3)·(1+2^4+2^8+2^12) and (2^0+2^1)·same)
+PHASH_RIGHT_HIGH = 52428
+PHASH_LEFT_HIGH = 13107
+
+
+def _two_tone(w: int, h: int, c1: int, c2: int, swap: bool) -> np.ndarray:
+    """(h, w, 3) image: left half c1, right half c2 (swapped when ``swap``).
+
+    w is always a multiple of 4, so the half boundary w/2 aligns with the
+    phash 4x4 pooling grid: cells {0,1} sit entirely in the left half and
+    {2,3} in the right — phash is PHASH_RIGHT_HIGH/PHASH_LEFT_HIGH exactly,
+    and mean RGB is exactly (c1+c2)/2 (equal-sized halves).
+    """
+    lo, hi = (c2, c1) if swap else (c1, c2)
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, : w // 2] = lo
+    px[:, w // 2 :] = hi
+    return px
+
+
+def feature_image_params(row_id: int) -> tuple[int, int, int, int]:
+    """(w, h, c1, c2) for feature-fixture image ``row_id`` (oracle mirror:
+    the same arithmetic appears in queries.ORACLE_SQL['image_features'])."""
+    w = 8 + 4 * (row_id % 5)
+    h = 6 + row_id % 7
+    c1 = (row_id * 37 + 11) % 128
+    return w, h, c1, c1 + 100
+
+
+def feature_image_pixels(row_id: int) -> np.ndarray:
+    w, h, c1, c2 = feature_image_params(row_id)
+    return _two_tone(w, h, c1, c2, swap=row_id % 2 == 1)
+
+
+def synth_feature_images(spark, n_rows: int, n_partitions: int = 4):
+    """(image_id 'fi_%08d', bytes): two-tone PNGs; every 25th payload
+    truncated (the ok=False path is part of the gated contract)."""
+    import pandas as pd
+
+    base = spark.range(0, n_rows, 1, n_partitions)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                payload = codecs.png_encode(feature_image_pixels(i))
+                if i % FEATURE_CORRUPT_EVERY == FEATURE_CORRUPT_EVERY - 1:
+                    payload = payload[: max(8, len(payload) // 3)]
+                ids.append(f"fi_{i:08d}")
+                blobs.append(payload)
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    return base.mapInPandas(gen, "image_id string, bytes binary")
+
+
+def synth_feature_images_cached(spark, n_rows: int, n_partitions: int = 4):
+    return _cached_parquet(
+        spark,
+        f"/tmp/ndto_bench_featimg_{FIXTURES_VERSION}"
+        f"_n{n_rows}_p{n_partitions}",
+        lambda: synth_feature_images(spark, n_rows, n_partitions),
+    )
+
+
+def audio_clip_params(row_id: int) -> tuple[int, int, int]:
+    """(sample_rate, n_samples, amplitude) for clip ``row_id``."""
+    sr = (8000, 16000, 44100)[row_id % 3]
+    n = 1000 + (row_id * 97) % 3000
+    amp = 1000 + (row_id * 37) % 20000
+    return sr, n, amp
+
+
+def audio_clip_samples(row_id: int) -> np.ndarray:
+    """Square wave with half-period 2 (+amp,+amp,-amp,-amp,...): every
+    feature is closed-form — rms = peak = amp/32768 exactly (all |x| equal,
+    and amp/2^15 squares/sqrt round-trips exactly in float64), zero
+    crossings = floor((n-1)/2)."""
+    sr, n, amp = audio_clip_params(row_id)
+    t = np.arange(n)
+    return np.where((t // 2) % 2 == 0, amp, -amp).astype(np.int16)
+
+
+def synth_audio_clips(spark, n_rows: int, n_partitions: int = 4):
+    """(clip_id 'au_%08d', bytes): PCM16 mono WAVs; every 25th truncated."""
+    import pandas as pd
+
+    base = spark.range(0, n_rows, 1, n_partitions)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                sr, _, _ = audio_clip_params(i)
+                payload = codecs.wav_encode(audio_clip_samples(i), sr)
+                if i % FEATURE_CORRUPT_EVERY == FEATURE_CORRUPT_EVERY - 1:
+                    payload = payload[:20]  # RIFF magic intact → no raw-PCM
+                ids.append(f"au_{i:08d}")
+                blobs.append(payload)
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    return base.mapInPandas(gen, "clip_id string, bytes binary")
+
+
+def synth_audio_clips_cached(spark, n_rows: int, n_partitions: int = 4):
+    return _cached_parquet(
+        spark,
+        f"/tmp/ndto_bench_audioclips_{FIXTURES_VERSION}"
+        f"_n{n_rows}_p{n_partitions}",
+        lambda: synth_audio_clips(spark, n_rows, n_partitions),
+    )
+
+
+def video_clip_n_frames(row_id: int) -> int:
+    return 6 + row_id % 15
+
+
+def video_frame_pixels(clip_id: int, frame_idx: int) -> np.ndarray:
+    """Frame ``frame_idx`` of clip ``clip_id``: clip-constant dims (the
+    avi_encode contract), per-frame colors and phash orientation."""
+    w, h, _, _ = feature_image_params(clip_id)
+    c1 = (clip_id * 37 + frame_idx * 53 + 11) % 128
+    return _two_tone(w, h, c1, c1 + 100, swap=(clip_id + frame_idx) % 2 == 1)
+
+
+def synth_video_clips(spark, n_rows: int, n_partitions: int = 4):
+    """(clip_id 'vc_%08d', bytes): MPNG AVI clips of 6..20 two-tone frames;
+    every 25th payload truncated (skipped by non-strict frame sampling)."""
+    import pandas as pd
+
+    base = spark.range(0, n_rows, 1, n_partitions)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = [
+                    codecs.png_encode(video_frame_pixels(i, f))
+                    for f in range(video_clip_n_frames(i))
+                ]
+                payload = codecs.avi_encode(frames, fps=10)
+                if i % FEATURE_CORRUPT_EVERY == FEATURE_CORRUPT_EVERY - 1:
+                    payload = payload[: len(payload) // 2]
+                ids.append(f"vc_{i:08d}")
+                blobs.append(payload)
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    return base.mapInPandas(gen, "clip_id string, bytes binary")
+
+
+def synth_video_clips_cached(spark, n_rows: int, n_partitions: int = 4):
+    return _cached_parquet(
+        spark,
+        f"/tmp/ndto_bench_videoclips_{FIXTURES_VERSION}"
+        f"_n{n_rows}_p{n_partitions}",
+        lambda: synth_video_clips(spark, n_rows, n_partitions),
+    )

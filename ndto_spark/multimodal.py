@@ -45,26 +45,39 @@ def decode_image_features(df: DataFrame, id_col: str = "image_id") -> DataFrame:
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out = []
-            for iid, payload in zip(pdf[id_col], pdf["bytes"]):
+            # per-row Python is only the decode; bookkeeping is
+            # preallocated-array work (batch.py's measured ~2x pattern —
+            # row-at-a-time dict appends widened the Arrow-stage critical
+            # path)
+            n = len(pdf)
+            payloads = pdf["bytes"].to_numpy(dtype=object, copy=False)
+            ok = np.zeros(n, dtype=bool)
+            w = np.full(n, None, dtype=object)
+            h = np.full(n, None, dtype=object)
+            mr = np.full(n, None, dtype=object)
+            mg = np.full(n, None, dtype=object)
+            mb = np.full(n, None, dtype=object)
+            ph = np.full(n, None, dtype=object)
+            for i in range(n):
                 try:
-                    _, px = codecs.decode(bytes(payload))
-                    m = px.reshape(-1, 3).mean(axis=0)
-                    out.append(
-                        dict(
-                            image_id=iid, ok=True, w=px.shape[1], h=px.shape[0],
-                            mean_r=float(m[0]), mean_g=float(m[1]),
-                            mean_b=float(m[2]), phash=phash_of(px),
-                        )
-                    )
+                    _, px = codecs.decode(bytes(payloads[i]))
                 except Exception:
-                    out.append(
-                        dict(
-                            image_id=iid, ok=False, w=None, h=None, mean_r=None,
-                            mean_g=None, mean_b=None, phash=None,
-                        )
-                    )
-            yield pd.DataFrame(out)
+                    continue
+                m = px.reshape(-1, 3).mean(axis=0)
+                ok[i] = True
+                w[i] = int(px.shape[1])
+                h[i] = int(px.shape[0])
+                mr[i] = float(m[0])
+                mg[i] = float(m[1])
+                mb[i] = float(m[2])
+                ph[i] = phash_of(px)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf[id_col].to_numpy(dtype=object, copy=False),
+                    "ok": ok, "w": w, "h": h,
+                    "mean_r": mr, "mean_g": mg, "mean_b": mb, "phash": ph,
+                }
+            )
 
     return df.select(id_col, "bytes").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
@@ -77,10 +90,14 @@ def resize_images(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            ids, blobs = [], []
-            for iid, payload in zip(pdf[id_col], pdf["bytes"]):
+            # preallocated keep-mask bookkeeping (see decode_image_features)
+            n = len(pdf)
+            payloads = pdf["bytes"].to_numpy(dtype=object, copy=False)
+            blobs = np.full(n, None, dtype=object)
+            keep = np.zeros(n, dtype=bool)
+            for i in range(n):
                 try:
-                    _, px = codecs.decode(bytes(payload))
+                    _, px = codecs.decode(bytes(payloads[i]))
                 except Exception:
                     continue
                 ys = (np.arange(target_h) * px.shape[0] // target_h).clip(
@@ -89,9 +106,14 @@ def resize_images(
                 xs = (np.arange(target_w) * px.shape[1] // target_w).clip(
                     0, px.shape[1] - 1
                 )
-                ids.append(iid)
-                blobs.append(codecs.png_encode(px[np.ix_(ys, xs)]))
-            yield pd.DataFrame({id_col: ids, "bytes": blobs})
+                blobs[i] = codecs.png_encode(px[np.ix_(ys, xs)])
+                keep[i] = True
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=object, copy=False)[keep],
+                    "bytes": blobs[keep],
+                }
+            )
 
     return df.select(id_col, "bytes").mapInPandas(
         run, f"{id_col} string, bytes binary"

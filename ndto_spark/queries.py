@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import ann, dedup, table_rules
+from . import fixtures as _FX
 from .functions import text as textfn
 from .runner import RuleSet
 
@@ -920,6 +921,103 @@ def q_validate_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed fixture sizes: the oracle SQL regenerates features from the row id,
+# so the gate input must not depend on sf (multimodal bench scale comes from
+# validate_images / bench.py)
+_FEAT_IMG_N = 600
+_AUDIO_N = 600
+_VIDEO_N = 96
+
+
+def _quantized_image_features(f: DataFrame, id_alias: str = "image_id") -> DataFrame:
+    """Contract projection for the image-feature gate queries: dims as
+    bigint, mean quantized to e4 (exact for the two-tone fixtures: the mean
+    is the integer c1+50), phash as-is."""
+    return f.select(
+        F.col("image_id").alias(id_alias),
+        "ok",
+        F.col("w").cast("bigint").alias("w"),
+        F.col("h").cast("bigint").alias("h"),
+        F.floor(F.col("mean_r") * F.lit(1e4)).cast("bigint").alias("mean_e4"),
+        "phash",
+    )
+
+
+def q_image_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow image-feature operator itself in the gate: REAL PNG decode
+    over the closed-form two-tone fixture (fixtures.synth_feature_images),
+    where dims / mean RGB / phash are exact SQL expressions of the row id —
+    including the ok=False path for the seeded truncated payloads. This is
+    the decode-path analog of validate_images_meta's residue oracle."""
+    from . import fixtures
+    from .multimodal import decode_image_features
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    return _quantized_image_features(decode_image_features(df))
+
+
+def q_image_features_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images → decode_image_features chained in the gate: the 8x8
+    nearest-neighbor resample of a two-tone image keeps exact 4/4 column
+    halves for every fixture width (all multiples of 4), so mean and phash
+    survive resizing unchanged and the oracle only switches dims to 8x8.
+    Corrupt payloads are dropped by resize (no row), matching the oracle's
+    exclusion."""
+    from . import fixtures
+    from .multimodal import decode_image_features, resize_images
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    return _quantized_image_features(decode_image_features(resize_images(df, 8, 8)))
+
+
+def q_audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE decode + vectorized feature math in the gate: the
+    square-wave fixture (fixtures.audio_clip_samples) makes every emitted
+    feature bit-exact in float64 — rms = amp/2^15 (all |sample| equal; the
+    square/mean/sqrt round-trip is exact for n·v with ≤53 significand
+    bits), zero-crossings = floor((n-1)/2), duration = n/sr — so the
+    DuckDB oracle recomputes them from the id arithmetic alone. Truncated
+    payloads (RIFF magic intact, so no raw-PCM fallback) gate ok=False."""
+    from . import fixtures
+    from .multimodal import extract_audio_features
+
+    df = fixtures.synth_audio_clips_cached(spark, _AUDIO_N)
+    f = extract_audio_features(df)
+    return f.select(
+        "clip_id",
+        "ok",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.floor(F.col("duration_sec") * F.lit(1e6)).cast("bigint").alias("dur_e6"),
+        F.floor(F.col("rms") * F.lit(1e6)).cast("bigint").alias("rms_e6"),
+        F.floor(F.col("zero_cross_rate") * F.lit(1e6)).cast("bigint").alias("zcr_e6"),
+    )
+
+
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full video path in the gate: RIFF/AVI demux (sample_video_frames,
+    every 5th frame) chained into the image-feature decode, over MPNG clips
+    of two-tone frames. Sampled frame indices AND each sampled frame's
+    pixels are closed-form in (clip_id, frame_idx), so the oracle reproduces
+    the whole (demux → sample → decode → featurize) pipeline; truncated
+    clips are skipped (no rows), matching the oracle's exclusion."""
+    from . import fixtures
+    from .multimodal import decode_image_features, sample_video_frames
+
+    df = fixtures.synth_video_clips_cached(spark, _VIDEO_N)
+    frames = sample_video_frames(df, every_n=5)
+    as_images = frames.select(
+        F.concat_ws(
+            ":", F.col("clip_id"), F.col("frame_idx").cast("string")
+        ).alias("image_id"),
+        F.col("frame_png").alias("bytes"),
+    )
+    return _quantized_image_features(
+        decode_image_features(as_images), id_alias="frame_id"
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -963,6 +1061,10 @@ QUERIES = {
     "top_fraction_documents": q_top_fraction_documents,
     "violation_summary_documents": q_violation_summary_documents,
     "dedup_stream_events": q_dedup_stream_events,
+    "image_features_clips": q_image_features_clips,
+    "image_features_resized": q_image_features_resized,
+    "audio_features_clips": q_audio_features_clips,
+    "video_frame_features": q_video_frame_features,
 }
 
 
@@ -1872,6 +1974,84 @@ SELECT column_name, schema_path, keyword,
   MIN(description) AS description,
   array_to_string(list_slice(list_sort(list(doc_id)), 1, 3), ',') AS example_keys
 FROM v GROUP BY column_name, schema_path, keyword
+"""
+
+# multimodal feature oracles: the fixtures are built so every feature is an
+# exact SQL expression of the row id (fixtures.feature_image_params /
+# audio_clip_params / video_frame_pixels — two-tone halves with c2 = c1+100
+# make the mean the integer c1+50, and the phash one of two constants by
+# half orientation). The CTE regenerates them; the Spark side actually
+# decodes the PNG/WAV/AVI bytes.
+_FEAT_IMG_CLS = f"""
+cls AS (
+  SELECT i, printf('fi_%08d', i) AS iid,
+    8 + 4 * (i % 5) AS w, 6 + i % 7 AS h,
+    (i * 37 + 11) % 128 AS c1,
+    (i % {_FX.FEATURE_CORRUPT_EVERY} = {_FX.FEATURE_CORRUPT_EVERY - 1}) AS corrupt,
+    (i % 2 = 1) AS swapped
+  FROM (SELECT unnest(range({_FEAT_IMG_N})) AS i)
+)"""
+
+ORACLE_SQL["image_features_clips"] = f"""
+WITH {_FEAT_IMG_CLS}
+SELECT iid AS image_id, NOT corrupt AS ok,
+  CASE WHEN corrupt THEN NULL ELSE CAST(w AS BIGINT) END AS w,
+  CASE WHEN corrupt THEN NULL ELSE CAST(h AS BIGINT) END AS h,
+  CASE WHEN corrupt THEN NULL
+       ELSE CAST((c1 + 50) * 10000 AS BIGINT) END AS mean_e4,
+  CASE WHEN corrupt THEN NULL
+       WHEN swapped THEN CAST({_FX.PHASH_LEFT_HIGH} AS BIGINT)
+       ELSE CAST({_FX.PHASH_RIGHT_HIGH} AS BIGINT) END AS phash
+FROM cls
+"""
+
+ORACLE_SQL["image_features_resized"] = f"""
+WITH {_FEAT_IMG_CLS}
+SELECT iid AS image_id, TRUE AS ok,
+  CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+  CAST((c1 + 50) * 10000 AS BIGINT) AS mean_e4,
+  CASE WHEN swapped THEN CAST({_FX.PHASH_LEFT_HIGH} AS BIGINT)
+       ELSE CAST({_FX.PHASH_RIGHT_HIGH} AS BIGINT) END AS phash
+FROM cls WHERE NOT corrupt
+"""
+
+ORACLE_SQL["audio_features_clips"] = f"""
+WITH cls AS (
+  SELECT i, printf('au_%08d', i) AS cid,
+    CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+    1000 + (i * 97) % 3000 AS n,
+    1000 + (i * 37) % 20000 AS amp,
+    (i % {_FX.FEATURE_CORRUPT_EVERY} = {_FX.FEATURE_CORRUPT_EVERY - 1}) AS corrupt
+  FROM (SELECT unnest(range({_AUDIO_N})) AS i)
+)
+SELECT cid AS clip_id, NOT corrupt AS ok,
+  CASE WHEN corrupt THEN NULL ELSE CAST(sr AS BIGINT) END AS sample_rate,
+  CASE WHEN corrupt THEN NULL ELSE CAST(1 AS BIGINT) END AS n_channels,
+  CASE WHEN corrupt THEN NULL ELSE CAST(n AS BIGINT) END AS n_samples,
+  CASE WHEN corrupt THEN NULL
+       ELSE CAST(floor(n::DOUBLE / sr * 1e6) AS BIGINT) END AS dur_e6,
+  CASE WHEN corrupt THEN NULL
+       ELSE CAST(floor(amp::DOUBLE / 32768 * 1e6) AS BIGINT) END AS rms_e6,
+  CASE WHEN corrupt THEN NULL
+       ELSE CAST(floor(((n - 1) // 2)::DOUBLE / (n - 1) * 1e6) AS BIGINT)
+       END AS zcr_e6
+FROM cls
+"""
+
+ORACLE_SQL["video_frame_features"] = f"""
+WITH cls AS (
+  SELECT i, 6 + i % 15 AS nf, 8 + 4 * (i % 5) AS w, 6 + i % 7 AS h
+  FROM (SELECT unnest(range({_VIDEO_N})) AS i)
+  WHERE i % {_FX.FEATURE_CORRUPT_EVERY} != {_FX.FEATURE_CORRUPT_EVERY - 1}
+), fr AS (
+  SELECT i, w, h, unnest(generate_series(0, nf - 1, 5)) AS f FROM cls
+)
+SELECT printf('vc_%08d:%d', i, f) AS frame_id, TRUE AS ok,
+  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+  CAST((((i * 37 + f * 53 + 11) % 128) + 50) * 10000 AS BIGINT) AS mean_e4,
+  CASE WHEN (i + f) % 2 = 1 THEN CAST({_FX.PHASH_LEFT_HIGH} AS BIGINT)
+       ELSE CAST({_FX.PHASH_RIGHT_HIGH} AS BIGINT) END AS phash
+FROM fr
 """
 
 # streaming exact dedup: duplicating every row must be invisible — the

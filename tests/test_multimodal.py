@@ -131,3 +131,25 @@ def test_avi_encode_rejects_mixed_frames():
     assert pb.shape[:2] != pa.shape[:2]
     with pytest.raises(ValueError, match="dims"):
         codecs.avi_encode([png, codecs.png_encode(pb)])
+
+
+def test_feature_fixture_corrupt_payloads_never_decode():
+    # the gate oracles assert ok=False exactly on the seeded residue — a
+    # truncated payload that still decodes would silently flip a row
+    for i in range(0, 200):
+        corrupt = i % fixtures.FEATURE_CORRUPT_EVERY == fixtures.FEATURE_CORRUPT_EVERY - 1
+        png = codecs.png_encode(fixtures.feature_image_pixels(i))
+        payload = png[: max(8, len(png) // 3)] if corrupt else png
+        try:
+            codecs.decode(payload)
+            assert not corrupt, i
+        except Exception:
+            assert corrupt, i
+        sr, _, _ = fixtures.audio_clip_params(i)
+        wav = codecs.wav_encode(fixtures.audio_clip_samples(i), sr)
+        wpayload = wav[:20] if corrupt else wav
+        try:
+            codecs.wav_decode(wpayload)
+            assert not corrupt, i
+        except ValueError:
+            assert corrupt, i
