@@ -170,36 +170,57 @@ def run_resumable(
         for f in df.schema.fields
         if f.dataType.typeName() in ("integer", "long", "double", "float")
     ]
+    from pyspark.sql import Observation
+
     for b in pending:
         t0 = time.time()
-        # ONE scan per bucket: three actions consume the subset (violations
-        # write, verdicts collect, column_stats collect) — without the
-        # persist each re-reads the bucket from the source (3x input I/O per
-        # bucket at 100 TB). MEMORY_AND_DISK so oversized buckets spill
-        # instead of OOMing; released before the next bucket starts.
+        # ONE scan, TWO jobs per bucket (down from one scan / three jobs):
+        # - the violations WRITE carries an Observation, so n_violations is
+        #   computed during the write itself — the violation pipeline
+        #   (including the Arrow decode branch) runs exactly once instead
+        #   of being re-evaluated by a separate verdicts collect;
+        # - row count + every per-column metric fold into ONE single-row
+        #   aggregate over the persisted subset (the old column_stats call
+        #   was a third action).
+        # The persist stays because validate_fn fans the subset into
+        # several branches (metadata / batch / per-partition counts) —
+        # without it each branch re-reads the bucket from the source.
+        # MEMORY_AND_DISK so oversized buckets spill instead of OOMing;
+        # released before the next bucket starts. An input-side Observation
+        # cannot replace the aggregate: the observed node would sit in
+        # every branch of the violation plan and double-count.
         sub = df.filter(bucket_expr == F.lit(b)).persist()
         try:
             res = validate_fn(sub)
-            viol = res.violations.withColumn("bucket", F.lit(b))
+            obs = Observation()
+            viol = res.violations.withColumn("bucket", F.lit(b)).observe(
+                obs, F.count(F.lit(1)).alias("n_violations")
+            )
             # idempotent per-bucket output: dynamic partition overwrite
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             viol.write.mode("overwrite").partitionBy("bucket").parquet(
                 ckpt.violations_dir
             )
-            verdicts = res.verdicts.collect()
-            n_rows = sum(v.n_rows for v in verdicts)
-            n_viol = sum(v.n_violations for v in verdicts)
-            # per-partition metrics (north_star: manifest carries metrics per
-            # partition): null counts + min/max of every numeric column
-            from .table_rules import column_stats
-
+            n_viol = int(obs.get["n_violations"])
+            # per-partition metrics (north_star: manifest carries metrics
+            # per partition): null counts + min/max of every numeric column
+            aggs = [F.count(F.lit(1)).alias("_n_rows")]
+            for c in metric_cols:
+                aggs.append(
+                    F.coalesce(
+                        F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+                    ).alias(f"_nn_{c}")
+                )
+                aggs.append(F.min(c).alias(f"_mn_{c}"))
+                aggs.append(F.max(c).alias(f"_mx_{c}"))
+            row = sub.agg(*aggs).collect()[0]
+            n_rows = int(row["_n_rows"])
             metrics: dict[str, float] = {}
-            if metric_cols:
-                for r in column_stats(sub, metric_cols).collect():
-                    metrics[f"{r.column_name}.n_nulls"] = float(r.n_nulls)
-                    if r.min_value is not None:
-                        metrics[f"{r.column_name}.min"] = float(r.min_value)
-                        metrics[f"{r.column_name}.max"] = float(r.max_value)
+            for c in metric_cols:
+                metrics[f"{c}.n_nulls"] = float(row[f"_nn_{c}"])
+                if row[f"_mn_{c}"] is not None:
+                    metrics[f"{c}.min"] = float(row[f"_mn_{c}"])
+                    metrics[f"{c}.max"] = float(row[f"_mx_{c}"])
         finally:
             sub.unpersist()
         ckpt.write_bucket(
