@@ -1001,6 +1001,187 @@ def q_validate_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_fraction_approx_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gates the APPROXIMATE top-fraction path (the 100 TB one) via
+    engine-independent invariants: per stratum, the approx keep-set must
+    (a) contain every row strictly above the exact boundary score
+    (percentile_approx's rank error at accuracy 10^4 is < 1 row at gate
+    scale, and boundary ties only ADD rows) and (b) have a size within
+    max(2% of the stratum, 25) of the exact count (tie-group + sketch
+    slack). The booleans are computed by actually running the operator;
+    the oracle recomputes the deterministic counts and asserts TRUE."""
+    from pyspark.sql import Window
+
+    from .functions.sampling import filter_top_fraction
+
+    frac = 0.4
+    d = _read(spark, sf_dir, "documents")
+    kept = filter_top_fraction(
+        d, F.col("n_chars"), frac, "doc_id",
+        stratum_col=F.col("lang"), approximate=True,
+    ).select("doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.md5(F.col("doc_id").cast("string"))
+    )
+    ranked = d.select("doc_id", "lang", "n_chars").withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    exact = ranked.filter(
+        F.col("_rn") <= F.ceil(F.lit(frac) * F.col("_n")).cast("bigint")
+    )
+    thr = exact.groupBy("lang").agg(
+        F.min("n_chars").alias("_thr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.max("_n").cast("bigint").alias("_sz"),
+    )
+    above = (
+        d.select("doc_id", "lang", "n_chars")
+        .join(F.broadcast(thr.select("lang", "_thr")), "lang")
+        .filter(F.col("n_chars") > F.col("_thr"))
+    )
+    n_above = above.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_above")
+    )
+    n_missing = (
+        above.join(kept, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+    n_approx = (
+        d.select("doc_id", "lang").join(kept, "doc_id", "left_semi")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n_approx"))
+    )
+    tol = F.greatest(F.ceil(F.lit(0.02) * F.col("_sz")), F.lit(25))
+    return (
+        thr.join(n_above, "lang", "left")
+        .join(n_missing, "lang", "left")
+        .join(n_approx, "lang", "left")
+        .select(
+            F.col("lang").alias("stratum"),
+            "n_exact",
+            F.coalesce("n_above", F.lit(0)).cast("bigint").alias("n_above"),
+            (F.coalesce("n_missing", F.lit(0)) == 0).alias("ok_superset"),
+            (
+                F.abs(F.coalesce("n_approx", F.lit(0)) - F.col("n_exact"))
+                <= tol
+            ).alias("ok_bounded"),
+        )
+    )
+
+
+def q_quantiles_approx_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gates column_quantiles' SKETCH path: approx_percentile at
+    accuracy a guarantees a returned element whose rank interval
+    [count(<v)+1, count(<=v)] intersects [q·n − n/a, q·n + n/a]. The gate
+    recomputes the interval against the actual data and asserts it; the
+    oracle regenerates the deterministic (column, q, n) frame with TRUE."""
+    cols, qs = ["l_quantity", "l_extendedprice"], (0.25, 0.5, 0.9)
+    li = _read(spark, sf_dir, "lineitem")
+    approx = table_rules.column_quantiles(li, cols, qs, exact=False)
+    m = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("double").alias("x"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    stats = m.join(F.broadcast(approx), "column_name").groupBy(
+        "column_name", "q", "value"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("x") < F.col("value")).cast("long")).alias("n_below"),
+        F.sum((F.col("x") <= F.col("value")).cast("long")).alias("n_atmost"),
+    )
+    tol = F.ceil(F.col("n") / F.lit(10000)) + F.lit(1)
+    ok = (
+        F.col("n_below") <= F.col("q") * F.col("n") + tol
+    ) & (F.col("n_atmost") >= F.col("q") * F.col("n") - tol)
+    return stats.select(
+        "column_name",
+        F.floor(F.col("q") * 100 + F.lit(0.5)).cast("bigint").alias("q_e2"),
+        F.col("n").cast("bigint").alias("n"),
+        ok.alias("ok_rank"),
+    )
+
+
+# draft-04 spec in the petstore Pet shape
+# (/root/reference/priv/oas/3.0/examples/petstore.json components.schemas.Pet:
+# integer id + string name required, optional string tag), written with
+# draft-04 spellings (minLength/maxLength, boolean exclusiveMinimum, a $ref
+# into definitions) so the gate exercises the WHOLE parser layer: draft
+# selection, $ref resolution + naming, clean_optionals, and draft-04 keyword
+# translation — then the registry-aware Column compiler.
+_PETSTORE_SPEC = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {
+        "id": {"type": "integer", "minimum": 0, "exclusiveMinimum": True},
+        "name": {"$ref": "#/definitions/PetName"},
+        "tag": {"type": "string", "maxLength": 8},
+    },
+    "required": ["id", "name"],
+    "definitions": {
+        "PetName": {"type": "string", "minLength": 1, "maxLength": 12}
+    },
+}
+
+
+def q_validate_oas_petstore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parser layer end-to-end in the gate: parse a draft-04 petstore-Pet
+    spec from a file (ndto_parser:parse/2 analog), compile the parsed
+    registry, and row-object-validate deterministic Pet rows derived from
+    events with seeded mutations. The oracle replays the residue classes
+    with the compiled priority: required ≻ properties in declaration order
+    (id, name, tag), and the $ref'd name validator reporting at its own
+    '$' root (module-per-ref parity)."""
+    import json
+    import os
+    import tempfile
+
+    from .parser import parse
+    from .runner import validate_row_object
+
+    fd, p = tempfile.mkstemp(suffix=".json", prefix="ndto_petstore_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(_PETSTORE_SPEC, f)
+        schemas = dict(parse(p, name="petstore_pet"))
+    finally:
+        os.unlink(p)
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    pets = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.lit(0))
+        .otherwise(F.col("event_id"))
+        .cast("long")
+        .alias("id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 5 == 0, F.lit("abcdefghijklmn"))
+        .when(F.col("event_id") % 3 == 0, F.lit(""))
+        .otherwise(F.lit("rex"))
+        .alias("name"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("overlong_tag"))
+        .otherwise(F.lit("cat"))
+        .alias("tag"),
+    )
+    res = validate_row_object(
+        pets, schemas["petstore_pet"], key="event_id", registry=schemas
+    )
+    return res.violations.select(
+        "event_id",
+        F.col("column").alias("column_name"),
+        "schema_path",
+        "keyword",
+        "description",
+    )
+
+
 # fixed fixture sizes: the oracle SQL regenerates features from the row id,
 # so the gate input must not depend on sf (multimodal bench scale comes from
 # validate_images / bench.py)
@@ -1145,6 +1326,9 @@ QUERIES = {
     "image_features_resized": q_image_features_resized,
     "audio_features_clips": q_audio_features_clips,
     "video_frame_features": q_video_frame_features,
+    "validate_oas_petstore": q_validate_oas_petstore,
+    "top_fraction_approx_invariants": q_top_fraction_approx_invariants,
+    "quantiles_approx_invariants": q_quantiles_approx_invariants,
 }
 
 
@@ -2054,6 +2238,70 @@ SELECT column_name, schema_path, keyword,
   MIN(description) AS description,
   array_to_string(list_slice(list_sort(list(doc_id)), 1, 3), ',') AS example_keys
 FROM v GROUP BY column_name, schema_path, keyword
+"""
+
+# approximate-path invariants: the oracle recomputes the DETERMINISTIC half
+# (exact counts per stratum / the (column, q, n) frame) and asserts the
+# invariant booleans TRUE — a Spark-side sketch wobble beyond the stated
+# tolerance breaks the value hash
+ORACLE_SQL["top_fraction_approx_invariants"] = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR))
+    ) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+), e AS (
+  SELECT lang, n_chars FROM r
+  WHERE rn <= CAST(CEIL(0.4::DOUBLE * n) AS BIGINT)
+), thr AS (
+  SELECT lang, MIN(n_chars) AS thr, COUNT(*)::BIGINT AS n_exact
+  FROM e GROUP BY lang
+), ab AS (
+  SELECT d.lang, COUNT(*)::BIGINT AS n_above
+  FROM documents d JOIN thr t ON d.lang = t.lang AND d.n_chars > t.thr
+  GROUP BY d.lang
+)
+SELECT t.lang AS stratum, t.n_exact,
+       COALESCE(ab.n_above, 0)::BIGINT AS n_above,
+       TRUE AS ok_superset, TRUE AS ok_bounded
+FROM thr t LEFT JOIN ab ON t.lang = ab.lang
+"""
+
+ORACLE_SQL["quantiles_approx_invariants"] = """
+SELECT c AS column_name, CAST(q AS BIGINT) AS q_e2, n.n::BIGINT AS n,
+       TRUE AS ok_rank
+FROM (SELECT count(*) AS n FROM lineitem) n,
+     (VALUES ('l_quantity'), ('l_extendedprice')) AS t(c),
+     (VALUES (25), (50), (90)) AS s(q)
+"""
+
+# parser-layer E2E: the residue classes replay the compiled priority of the
+# parsed draft-04 Pet spec — required beats properties; properties report
+# the FIRST declared offender (id, name, tag); the $ref'd PetName validator
+# reports at its own '$' root (module-per-ref parity, see
+# tests/test_parser_and_pyval.py)
+ORACLE_SQL["validate_oas_petstore"] = """
+SELECT event_id, '$row' AS column_name, v[1] AS schema_path, v[2] AS keyword,
+       v[3] AS description
+FROM (SELECT event_id, CASE
+  WHEN event_id % 7 = 0
+    THEN ['$.required', 'required', '$ is missing required property <<"name">>']
+  WHEN event_id % 11 = 0
+    THEN ['$.properties.id.minimum', 'minimum',
+          'Value is not a number greater than 0']
+  WHEN event_id % 5 = 0
+    THEN ['$.max_length', 'max_length',
+          'String length "Length" is greater than 12']
+  WHEN event_id % 3 = 0
+    THEN ['$.min_length', 'min_length',
+          'String length "Length" is less than 1']
+  WHEN event_id % 13 = 0
+    THEN ['$.properties.tag.max_length', 'max_length',
+          'String length "Length" is greater than 8']
+  END AS v FROM events) WHERE v IS NOT NULL
 """
 
 # multimodal feature oracles: the fixtures are built so every feature is an

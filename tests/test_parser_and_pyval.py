@@ -198,3 +198,34 @@ def test_parsed_spec_compiles_to_columns(spark, tmp_path):
     # 'number' → any_of[integer, float]; a failing double fails both branches
     assert not rows[3].p and rows[3].v.schema_path == "$.properties.score.any_of"
     assert not rows[4].p and rows[4].v.schema_path == "$.required"
+
+
+# --- parser registry (ndto_parser:parse/2,3 dispatch parity) ------------------
+
+
+def test_parser_registry_dispatch(tmp_path):
+    import json as _json
+
+    from ndto_spark.parser import (
+        DEFAULT_PARSER,
+        ParseError,
+        parse,
+        register_parser,
+        registered_parsers,
+    )
+
+    assert DEFAULT_PARSER in registered_parsers()
+    p = tmp_path / "s.json"
+    p.write_text(_json.dumps({"type": "string", "minLength": 2}))
+    # default dialect still reachable positionally (backward compatible)
+    root_name, root = parse(str(p), name="s")[0]
+    assert root_name == "s" and root.get("min_length") == 2
+
+    # a second dialect: trivial "everything is a universal schema" parser
+    def universal(path, name=None):
+        return [(name or "u", True)]
+
+    register_parser("universal", universal)
+    assert parse(str(p), name="x", parser="universal") == [("x", True)]
+    with pytest.raises(ParseError, match="unknown spec parser"):
+        parse(str(p), parser="no_such_dialect")
