@@ -88,10 +88,12 @@ def main() -> None:
     spark = get_spark(CPUS)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
-    # n_partitions=8 matches the gate queries' synth_images_cached key — one
-    # shared cache (scan parallelism comes from maxPartitionBytes, not file
-    # count, so 8 files do not bound the decode stage)
-    img_path = materialize_images(spark, N_IMAGES, 8)
+    # n_partitions=16 matches q_validate_images' synth_images_cached key —
+    # one shared cache. 16 files, not 8: each ~1 KB-row file holds ONE row
+    # group, and a parquet split only does work if a row-group midpoint
+    # falls in it — so file count IS the decode-stage task count here
+    # (measured: 8 files halved images rows/s on local[16]).
+    img_path = materialize_images(spark, N_IMAGES, 16)
 
     from ndto_spark.queries import QUERIES
 

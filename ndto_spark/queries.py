@@ -880,7 +880,10 @@ def q_validate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     n = max(1000, int(sf * 200_000))
-    df = fixtures.synth_images_cached(spark, n, n_partitions=8, seed=42)
+    # 16 files = 16 decode-stage tasks (one row group per ~1 KB-row file;
+    # splits without a row-group midpoint do no work) — must match
+    # bench.materialize_images' key so both share one cache
+    df = fixtures.synth_images_cached(spark, n, n_partitions=16, seed=42)
     res = validate_images(df, seed=42, phash_partitions=8)
     return res.violations.select(
         "image_id", F.col("column").alias("column_name"), "schema_path",
