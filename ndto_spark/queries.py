@@ -691,6 +691,61 @@ def q_streaming_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ck_dir, ignore_errors=True)
 
 
+def q_validate_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATELESS streaming surface in the gate: validate_stream binds
+    the same compiled EVENT_RULES to a readStream and emits per-record
+    violation rows in append mode — zero state, zero shuffle, so its
+    oracle is exactly the batch validate_events oracle (identical rules,
+    identical rows). Parquet sink: no driver round-trip."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import validate_stream
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="ndto_vstream_src_")
+    ck_dir = tempfile.mkdtemp(prefix="ndto_vstream_ck_")
+    out_dir = tempfile.mkdtemp(prefix="ndto_vstream_out_")
+    q = None
+    try:
+        os.symlink(
+            os.path.abspath(path), os.path.join(src_dir, "events.parquet")
+        )
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        out = validate_stream(stream, EVENT_RULES, key="event_id")
+        with _conf(spark, _GATE_STREAM_SHUFFLE):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ck_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "validate_stream_events did not finish within 300s — "
+                "refusing to read a partially-filled sink"
+            )
+        return spark.read.parquet(out_dir).select(
+            "event_id",
+            F.col("column").alias("column_name"),
+            "schema_path",
+            "keyword",
+            "description",
+        )
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+
 def q_validate_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array keywords in the gate: items / min_items / unique_items over the
     first-12-token array of each document. Priority (reverse declaration
@@ -1332,6 +1387,7 @@ QUERIES = {
     "validate_oas_petstore": q_validate_oas_petstore,
     "top_fraction_approx_invariants": q_top_fraction_approx_invariants,
     "quantiles_approx_invariants": q_quantiles_approx_invariants,
+    "validate_stream_events": q_validate_stream_events,
 }
 
 
@@ -2280,6 +2336,10 @@ FROM (SELECT count(*) AS n FROM lineitem) n,
      (VALUES ('l_quantity'), ('l_extendedprice')) AS t(c),
      (VALUES (25), (50), (90)) AS s(q)
 """
+
+# the stateless streaming validator emits exactly the batch violations —
+# one oracle, two execution modes
+ORACLE_SQL["validate_stream_events"] = ORACLE_SQL["validate_events"]
 
 # parser-layer E2E: the residue classes replay the compiled priority of the
 # parsed draft-04 Pet spec — required beats properties; properties report
