@@ -507,6 +507,17 @@ def _staged_source(tag: str, sf_dir: str, build) -> str:
     return path
 
 
+def _read_stream_sink(spark: SparkSession, out_dir: str, schema) -> DataFrame:
+    """Read a finished parquet streaming sink; an EMPTY stream writes no
+    part files, so fall back to an explicit-schema empty frame instead of
+    letting schema inference throw."""
+    import os
+
+    if any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return spark.read.parquet(out_dir)
+    return spark.createDataFrame([], schema)
+
+
 def q_dedup_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup in the gate: the events table duplicated 2x
     into ONE staged file (single micro-batch, so watermark state covers
@@ -560,7 +571,8 @@ def q_dedup_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dedup_stream_events did not finish within 300s — refusing "
                 "to read a partially-filled sink"
             )
-        return spark.read.parquet(out_dir).select(
+        sink = _read_stream_sink(spark, out_dir, ev.schema)
+        return sink.select(
             "event_id",
             F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
             "user_id",
@@ -731,7 +743,13 @@ def q_validate_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "validate_stream_events did not finish within 300s — "
                 "refusing to read a partially-filled sink"
             )
-        return spark.read.parquet(out_dir).select(
+        sink = _read_stream_sink(
+            spark,
+            out_dir,
+            "event_id bigint, column string, schema_path string, "
+            "keyword string, description string",
+        )
+        return sink.select(
             "event_id",
             F.col("column").alias("column_name"),
             "schema_path",

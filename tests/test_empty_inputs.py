@@ -19,6 +19,12 @@ _SKIP = {
     "stateful_verdicts_events",
     "validate_images",
     "validate_images_meta",
+    # fixed-size synthetic fixtures — these ignore sf_dir entirely, so an
+    # empty-tables sweep would not exercise an empty input
+    "image_features_clips",
+    "image_features_resized",
+    "audio_features_clips",
+    "video_frame_features",
 }
 
 
