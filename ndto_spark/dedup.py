@@ -425,9 +425,15 @@ def near_dup_groups(
 
     shortcut_after = 4
     spark = df.sparkSession
-    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # persist the BASE pair set before the symmetrize union: the union has
+    # two branches and each would otherwise re-execute the full upstream
+    # pair pipeline (minhash + banding + verify) — one materialization, the
+    # swapped branch reads the cache (measured ~2x the upstream cost)
+    base = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).persist()
+    edges = base.union(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
     labels = df.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
@@ -501,6 +507,7 @@ def near_dup_groups(
         raise
     finally:
         edges.unpersist()
+        base.unpersist()
     if changed != 0:
         # silent non-convergence = under-dedup (one duplicate cluster split
         # across several keepers) with no signal — a validation engine must
