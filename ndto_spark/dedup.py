@@ -50,12 +50,19 @@ def tokens(col: Column) -> Column:
 
 
 def word_shingles(col: Column, k: int) -> Column:
-    """Distinct k-token shingles (strings) of a text column."""
+    """Distinct k-token shingles (strings) of a text column.
+
+    Docs with fewer than k tokens yield an EMPTY array — guarded
+    explicitly: ``sequence(1, 0)`` is a DESCENDING [1, 0] in Spark, whose
+    0 start position makes ANSI-mode ``slice`` throw (latent until a
+    short-doc corpus hit it)."""
     toks = tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(sh)
+    return F.when(n >= F.lit(k), F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -688,3 +695,51 @@ def embedding_near_dups(
             "cosine_sim"
         ),
     ).filter(F.col("cosine_sim") >= threshold)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: Optional[str] = None,
+    k: int = 5,
+    spread: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any k-token
+    shingle with an evaluation set — (id, n_hits) for contaminated docs.
+
+    The 100 TB shape: eval sets are SMALL (thousands of documents), so
+    their distinct shingle set broadcasts; the corpus side is an
+    explode + broadcast hash join + per-doc partial-aggregated count —
+    the big side never shuffles its text, only (id, matched-shingle)
+    survivor rows reach the per-doc groupBy. n_hits counts DISTINCT
+    overlapping shingles (word_shingles is distinct per doc on both
+    sides), so thresholds compose with shingle counts from fingerprint().
+    """
+    bench_text_col = bench_text_col or text_col
+    b = (
+        benchmark.select(
+            F.explode_outer(
+                word_shingles(F.col(bench_text_col), k)
+            ).alias("shingle")
+        )
+        .filter(F.col("shingle").isNotNull())
+        .dropDuplicates(["shingle"])
+    )
+    rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    if spread:
+        rows = _spread(rows)  # shingling must not ride the 1-task scan
+    d = (
+        rows.select(
+            "doc",
+            F.explode_outer(word_shingles(F.col("_t"), k)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    return (
+        d.join(F.broadcast(b), "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .select(F.col("doc").alias(id_col), "n_hits")
+    )

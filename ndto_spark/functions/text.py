@@ -126,3 +126,61 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         token_count(t).cast("bigint").alias("n_ws_tokens"),
         bpe_ish_token_count(t).cast("bigint").alias("n_bpe_ish_tokens"),
     )
+
+
+def ngrams(col: Column, n: int) -> Column:
+    """NON-distinct n-token grams of a text column (order preserved) —
+    unlike word_shingles, repeats are kept: repetition metrics need the
+    multiset. Docs with fewer than n tokens yield an empty array (same
+    short-doc ANSI slice guard as word_shingles)."""
+    toks = tokens(col)
+    m = F.size(toks)
+    idx = F.sequence(F.lit(1), m - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(m >= F.lit(n), grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    (id, n_grams, n_distinct_grams, dup_gram_frac_e6, top_gram_count,
+    top_gram_share_e6): duplicate-gram fraction = 1 - distinct/total, and
+    the most-frequent gram's share — the classic filters for boilerplate /
+    looping generations. Docs with fewer than ``n`` tokens emit no row.
+
+    Scale shape: explode → per-(doc, gram) count (map-side partial agg,
+    keyed by doc so the groupBy shuffles each doc's grams once) → per-doc
+    sum/max. No per-doc O(tokens²) HOF work — a 10k-token document costs
+    10k rows, not 10^8 comparisons. explode_outer + post-filter keeps
+    InferFiltersFromGenerate from re-evaluating the gram construction per
+    row (the repo-wide generator rule).
+    """
+    g = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(ngrams(F.col(text_col), n)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    per = g.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("c").alias("tc"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("nd").cast("bigint").alias("n_distinct_grams"),
+        F.floor(
+            (F.lit(1.0) - F.col("nd") / F.col("n_grams")) * F.lit(1e6)
+        ).cast("bigint").alias("dup_gram_frac_e6"),
+        F.col("tc").cast("bigint").alias("top_gram_count"),
+        F.floor(F.col("tc") / F.col("n_grams") * F.lit(1e6))
+        .cast("bigint")
+        .alias("top_gram_share_e6"),
+    )

@@ -1077,6 +1077,27 @@ def q_validate_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics over the documents
+    table: duplicate-bigram fraction + top-bigram share, the standard
+    boilerplate/looping-generation filters."""
+    from .functions.text import repetition_metrics
+
+    return repetition_metrics(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=2
+    )
+
+
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination in the gate: docs with doc_id % 97 == 0
+    play the evaluation set; every corpus doc sharing a 5-token shingle
+    with it is flagged with its distinct-overlap count. The eval shingle
+    set is broadcast — the corpus side never shuffles its text."""
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return dedup.decontaminate(d, bench, "doc_id", "text", k=5)
+
+
 def q_top_fraction_approx_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gates the APPROXIMATE top-fraction path (the 100 TB one) via
     engine-independent invariants: per stratum, the approx keep-set must
@@ -1406,6 +1427,8 @@ QUERIES = {
     "top_fraction_approx_invariants": q_top_fraction_approx_invariants,
     "quantiles_approx_invariants": q_quantiles_approx_invariants,
     "validate_stream_events": q_validate_stream_events,
+    "repetition_documents": q_repetition_documents,
+    "decontaminate_documents": q_decontaminate_documents,
 }
 
 
@@ -2358,6 +2381,40 @@ FROM (SELECT count(*) AS n FROM lineitem) n,
 # the stateless streaming validator emits exactly the batch violations —
 # one oracle, two execution modes
 ORACLE_SQL["validate_stream_events"] = ORACLE_SQL["validate_events"]
+
+# Gopher-style repetition: the same non-distinct bigram multiset rebuilt
+# with a 1-based list comprehension; float ratios quantized e6 (exact-int
+# IEEE division on both engines)
+ORACLE_SQL["repetition_documents"] = f"""
+WITH toks AS (SELECT doc_id, {_DOC_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS g
+  FROM toks WHERE len(t) >= 2
+),
+per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+a AS (
+  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS nd, MAX(c) AS tc
+  FROM per GROUP BY 1
+)
+SELECT doc_id, n_grams::BIGINT AS n_grams, nd::BIGINT AS n_distinct_grams,
+  CAST(floor((1.0::DOUBLE - nd::DOUBLE / n_grams) * 1e6) AS BIGINT)
+    AS dup_gram_frac_e6,
+  tc::BIGINT AS top_gram_count,
+  CAST(floor(tc::DOUBLE / n_grams * 1e6) AS BIGINT) AS top_gram_share_e6
+FROM a
+"""
+
+# decontamination: distinct 5-token shingles of the doc_id%97 eval set,
+# joined against each doc's distinct shingle set
+ORACLE_SQL["decontaminate_documents"] = f"""
+WITH {_shingle_cte(5)},
+b AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+d AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+SELECT d.doc_id, COUNT(*)::BIGINT AS n_hits
+FROM d JOIN b ON d.s = b.s
+GROUP BY 1
+"""
 
 # parser-layer E2E: the residue classes replay the compiled priority of the
 # parsed draft-04 Pet spec — required beats properties; properties report

@@ -234,3 +234,59 @@ def test_synth_documents_planted_near_dups_recovered(spark):
     }
     want = {(i - 1, i) for i in range(7, n, 7)}
     assert got == want
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from ndto_spark.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains eval shingle
+            (2, "one two three four five six"),           # clean
+            (3, "x alpha beta gamma delta epsilon tail"), # shifted overlap
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r.n_hits for r in
+           decontaminate(corpus, bench, "doc_id", "text", k=5, spread=False).collect()}
+    # doc 1 shares both 5-shingles of its first 6 tokens? bench has exactly
+    # ONE 5-shingle; doc 1 contains it at position 0, doc 3 at position 1
+    assert out == {1: 1, 3: 1}
+
+
+def test_repetition_metrics_known_values(spark):
+    from ndto_spark.functions.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),    # bigrams: ab ba ab ba ab → top 'a b' ×3 of 5
+            (2, "u v w x"),        # 3 distinct bigrams, no repeats
+            (3, "single"),         # < 2 tokens → no row
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in
+            repetition_metrics(df, "doc_id", "text", n=2).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1.n_grams, r1.n_distinct_grams, r1.top_gram_count) == (5, 2, 3)
+    assert r1.dup_gram_frac_e6 == 600000 and r1.top_gram_share_e6 == 600000
+    r2 = rows[2]
+    assert (r2.n_grams, r2.n_distinct_grams, r2.top_gram_count) == (3, 3, 1)
+    assert r2.dup_gram_frac_e6 == 0
+
+
+def test_word_shingles_short_docs_yield_empty(spark):
+    # regression: ANSI slice(…, 0, k) threw for docs shorter than k tokens
+    from ndto_spark.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b c d e")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r.sh for r in
+            df.select("doc_id", word_shingles(F.col("text"), 5).alias("sh")).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["a b c d e"]
