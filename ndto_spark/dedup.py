@@ -743,3 +743,66 @@ def decontaminate(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
         .select(F.col("doc").alias(id_col), "n_hits")
     )
+
+
+def phash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs: (id_a, id_b, hamming ≤ τ).
+
+    The image-payload analog of MinHash banding: the ``bits``-bit phash is
+    split into ``bands`` equal bit-bands; two images agreeing on ANY band
+    become a candidate pair (pigeonhole: hamming ≤ bands-1 guarantees at
+    least one agreeing band, so recall is exact for
+    max_hamming < bands), and candidates are verified with the exact
+    popcount of the XOR. All expression-side — band keys are an explode of
+    ``bands`` ints per row, the join is a band-key equi-join, verification
+    is two bigint ops; nothing leaves the JVM and the only shuffles are
+    the band join and the candidate dedup. Hot identical-phash clusters
+    (the skew the images table plants) stay correct: they collapse into
+    one band bucket and the id ordering bounds each pair to one output.
+    """
+    assert bits % bands == 0, "bits must split evenly into bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    v = df.select(
+        F.col(id_col).alias("vid"), F.col(phash_col).cast("bigint").alias("ph")
+    )
+    banded = v.select(
+        "vid",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("ph", b * width).bitwiseAND(
+                            F.lit(mask)
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vid", "ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(
+        F.col("vid").alias("id_a"), F.col("ph").alias("ph_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("vid").alias("id_b"), F.col("ph").alias("ph_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= F.lit(max_hamming))

@@ -1077,6 +1077,33 @@ def q_validate_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_near_dup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup banding in the gate, over a DERIVED
+    deterministic 60-bit phash (md5-low60 of the event id — 15 hex chars
+    keep the value under 2^63 for ANSI bigint; engine-portable like
+    md5_low32). Every 50th event carries the previous event's phash with
+    bit 3 flipped — a planted hamming-1 neighbor the 4×15-bit band join
+    must recover exactly (pigeonhole: hamming ≤ 3 < bands guarantees an
+    agreeing band, so recall is exact, and the oracle replays the same
+    banding)."""
+    ev = _read(spark, sf_dir, "events").select("event_id")
+
+    def md5_low60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    src = F.when(
+        F.col("event_id") % 50 == 0, F.col("event_id") - 1
+    ).otherwise(F.col("event_id"))
+    ph = md5_low60(src.cast("string"))
+    ph = F.when(
+        F.col("event_id") % 50 == 0, ph.bitwiseXOR(F.lit(8))
+    ).otherwise(ph)
+    imgs = ev.select(F.col("event_id").alias("img_id"), ph.alias("phash60"))
+    return dedup.phash_near_dups(
+        imgs, "img_id", "phash60", bits=60, bands=4, max_hamming=2
+    )
+
+
 def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition metrics over the documents
     table: duplicate-bigram fraction + top-bigram share, the standard
@@ -1429,6 +1456,7 @@ QUERIES = {
     "validate_stream_events": q_validate_stream_events,
     "repetition_documents": q_repetition_documents,
     "decontaminate_documents": q_decontaminate_documents,
+    "phash_near_dup_events": q_phash_near_dup_events,
 }
 
 
@@ -2403,6 +2431,31 @@ SELECT doc_id, n_grams::BIGINT AS n_grams, nd::BIGINT AS n_distinct_grams,
   tc::BIGINT AS top_gram_count,
   CAST(floor(tc::DOUBLE / n_grams * 1e6) AS BIGINT) AS top_gram_share_e6
 FROM a
+"""
+
+# phash near-dup: the oracle replays the derived 60-bit phash, the 4-band
+# split, the band-key equi-join, and the exact popcount verify
+ORACLE_SQL["phash_near_dup_events"] = """
+WITH p AS (
+  SELECT event_id,
+    CASE WHEN event_id % 50 = 0
+      THEN xor(('0x' || substr(md5(CAST(event_id - 1 AS VARCHAR)), 1, 15))::BIGINT, 8)
+      ELSE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+    END AS ph
+  FROM events
+),
+banded AS (
+  SELECT event_id, ph, b, (ph >> (b * 15)) & 32767 AS key
+  FROM p, (VALUES (0), (1), (2), (3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.event_id AS id_a, b.event_id AS id_b,
+         a.ph AS pa, b.ph AS pb
+  FROM banded a
+  JOIN banded b ON a.b = b.b AND a.key = b.key AND a.event_id < b.event_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 2
 """
 
 # decontamination: distinct 5-token shingles of the doc_id%97 eval set,

@@ -290,3 +290,21 @@ def test_word_shingles_short_docs_yield_empty(spark):
             df.select("doc_id", word_shingles(F.col("text"), 5).alias("sh")).collect()}
     assert rows[1] == [] and rows[2] == []
     assert rows[3] == ["a b c d e"]
+
+
+def test_phash_near_dups_banding_and_verify(spark):
+    from ndto_spark.dedup import phash_near_dups
+
+    rows = [
+        (1, 0b1010_0101_1100_0011),
+        (2, 0b1010_0101_1100_0010),  # hamming 1 from id 1
+        (3, 0b1010_0101_1100_0011),  # identical to id 1 (hot cluster)
+        (4, 0b0101_1010_0011_1100),  # far from everything
+        (5, 0b1010_0101_0011_0011),  # hamming 4 from id 1 -> candidate, fails verify
+    ]
+    df = spark.createDataFrame(rows, "img bigint, ph bigint")
+    out = {(r.id_a, r.id_b): r.hamming for r in
+           phash_near_dups(df, "img", "ph", bits=16, bands=4, max_hamming=2).collect()}
+    assert out == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+    with pytest.raises(AssertionError):
+        phash_near_dups(df, "img", "ph", bits=16, bands=3)
