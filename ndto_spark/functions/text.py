@@ -166,6 +166,14 @@ def repetition_metrics(
         )
         .filter(F.col("g").isNotNull())
     )
+    # PLAN NOTE: deliberately TWO exchanges, not a shared repartition(_id).
+    # A pre-repartition on _id alone would satisfy both aggregations'
+    # clustering (measured: 1 Exchange vs 2) but showed no wall-clock win
+    # and concentrates each document on ONE partition — a single
+    # billion-token document would hot-spot a task. Partitioning the first
+    # aggregation by (_id, g) spreads a pathological doc across partitions
+    # and its map-side partial combine shrinks the shuffle; the second
+    # shuffle carries only one row per distinct (doc, gram).
     per = g.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("c"))
     agg = per.groupBy("_id").agg(
         F.sum("c").alias("n_grams"),
