@@ -1077,6 +1077,14 @@ def q_validate_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_groups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL distinct users per event_type — the grouped sketch
+    variant; the oracle replays the register math per group."""
+    return table_rules.approx_distinct_hll_portable_grouped(
+        _read(spark, sf_dir, "events"), "user_id", "event_type", p=10
+    )
+
+
 def q_phash_near_dup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup banding in the gate, over a DERIVED
     deterministic 60-bit phash (md5-low60 of the event id — 15 hex chars
@@ -1457,6 +1465,7 @@ QUERIES = {
     "repetition_documents": q_repetition_documents,
     "decontaminate_documents": q_decontaminate_documents,
     "phash_near_dup_events": q_phash_near_dup_events,
+    "hll_groups_events": q_hll_groups_events,
 }
 
 
@@ -2431,6 +2440,37 @@ SELECT doc_id, n_grams::BIGINT AS n_grams, nd::BIGINT AS n_distinct_grams,
   tc::BIGINT AS top_gram_count,
   CAST(floor(tc::DOUBLE / n_grams * 1e6) AS BIGINT) AS top_gram_share_e6
 FROM a
+"""
+
+# grouped HLL: the global-oracle register math, partitioned per group
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 32 - _HLL_P
+_HLL_MASK = (1 << _HLL_WBITS) - 1
+ORACLE_SQL["hll_groups_events"] = f"""
+WITH h AS (
+  SELECT event_type AS grp, {_md5_low32_sql("user_id::VARCHAR")} AS x
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+regs AS (
+  SELECT grp, (x >> {_HLL_WBITS}) AS reg,
+         max(CASE WHEN (x & {_HLL_MASK}) = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(x & {_HLL_MASK})) END)
+           AS mrho
+  FROM h GROUP BY 1, 2
+),
+stats AS (
+  SELECT grp, count(*) AS seen, sum(power(2.0, -mrho)) AS s
+  FROM regs GROUP BY 1
+)
+SELECT grp AS event_type,
+  floor(CASE WHEN ({table_rules.hll_alpha(_HLL_M)!r}::DOUBLE * {_HLL_M} * {_HLL_M})
+                   / ({_HLL_M}.0 - seen + s) <= {2.5 * _HLL_M}
+              AND ({_HLL_M} - seen) > 0
+         THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - seen))
+         ELSE ({table_rules.hll_alpha(_HLL_M)!r}::DOUBLE * {_HLL_M} * {_HLL_M})
+              / ({_HLL_M}.0 - seen + s) END)::BIGINT AS approx_distinct
+FROM stats
 """
 
 # phash near-dup: the oracle replays the derived 60-bit phash, the 4-band

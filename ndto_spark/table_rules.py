@@ -396,3 +396,58 @@ def drift_per_partition(
         + (p(r) - q(r)) * F.log((p(r) + F.lit(eps)) / (q(r) + F.lit(eps))),
     )
     return folded.select("partition_id", ks.alias("ks"), psi.alias("psi"))
+
+
+def approx_distinct_hll_portable_grouped(
+    df: DataFrame, col: str, group_col: str, p: int = 10
+) -> DataFrame:
+    """Per-GROUP HyperLogLog distinct counts in one pass — the grouped
+    variant of approx_distinct_hll_portable (same md5-low32 hashing, same
+    register math, same linear-counting correction, so the same DuckDB
+    oracle shape applies per group).
+
+    (group, approx_distinct): groupBy(group, register).max(rho) reduces
+    each map task to ≤ m rows PER GROUP SEEN — the partial aggregation is
+    the treewise per-group sketch merge, so state is bounded by
+    (groups × m) regardless of input size. The Σ2^-rho per group is a sum
+    of exact powers of two bounded by m: every partial sum is exactly
+    representable in float64, making the estimate order-independent —
+    deterministic under any partitioning.
+    """
+    m = 1 << p
+    w_bits = 32 - p
+    mask = (1 << w_bits) - 1
+    x = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = x.bitwiseAND(F.lit(mask))
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.where(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.shiftright(x, w_bits).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    stats = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("seen"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mrho"))).alias("s"),
+    )
+    alpha = hll_alpha(m)
+    e_raw = F.lit(alpha * m * m) / (
+        F.lit(float(m)) - F.col("seen") + F.col("s")
+    )
+    zeros = F.lit(m) - F.col("seen")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return stats.select(
+        F.col("grp").alias(group_col),
+        F.floor(est).cast("bigint").alias("approx_distinct"),
+    )

@@ -124,3 +124,23 @@ def test_codebook_literal_size_guard(spark):
         ann.ivf_topk(df, df, centroids=big)
     # the documented coarse sizes stay well inside the bound
     assert 256 * 256 <= ann.MAX_CODEBOOK_LITERALS
+
+
+def test_grouped_hll_tracks_exact_distinct(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # group 0: 2000 distinct; 1: 500 distinct; 2: 50 distinct
+        F.when(F.col("id") % 3 == 0, F.col("id"))
+        .when(F.col("id") % 3 == 1, F.col("id") % 1500)
+        .otherwise(F.col("id") % 150)
+        .alias("v"),
+    )
+    out = {r.g: r.approx_distinct for r in
+           table_rules.approx_distinct_hll_portable_grouped(df, "v", "g").collect()}
+    exact = {r.g: r.d for r in
+             df.groupBy("g").agg(F.countDistinct("v").alias("d")).collect()}
+    assert set(out) == set(exact)
+    for g, e in exact.items():
+        assert abs(out[g] - e) <= max(3, 0.1 * e), (g, out[g], e)
