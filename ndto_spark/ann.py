@@ -278,17 +278,41 @@ def kmeans_centroids(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).filter(F.col("vec").isNotNull() & (F.size("vec") >= dim))
-    cents = [
-        list(r.vec)
-        for r in base.select("vec", F.md5(F.col("vid").cast("string")).alias("h"))
-        .orderBy("h")
-        .limit(k)
-        .collect()
-    ]
-    if not cents:
-        # nothing to train on: an empty codebook (ivf_topk treats it as
-        # "no lists → no neighbors"), not a zero-arm array() crash below
-        return []
+    # the training frame is scanned by the init sample AND by every Lloyd's
+    # iteration (1 + n_iter jobs): persist for the loop so the source is
+    # read once, not re-scanned + re-filtered per iteration (the repo's
+    # iterative-operator convention, cf. dedup.near_dup_groups)
+    base = base.persist()
+    try:
+        cents = [
+            list(r.vec)
+            for r in base.select(
+                "vec", F.md5(F.col("vid").cast("string")).alias("h")
+            )
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        ]
+        if not cents:
+            # nothing to train on: an empty codebook (ivf_topk treats it as
+            # "no lists → no neighbors"), not a zero-arm array() crash below
+            return []
+        return _lloyds_iterate(base, cents, dim, n_iter, quantize)
+    finally:
+        base.unpersist()
+
+
+def _lloyds_iterate(
+    base: DataFrame,
+    cents: list[list[float]],
+    dim: int,
+    n_iter: int,
+    quantize: Optional[float],
+) -> list[list[float]]:
+    """The Lloyd's loop over a (persisted) training frame; see
+    kmeans_centroids for the plan shape and the quantize contract."""
+    import math
+
     for _ in range(n_iter):
         norms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
         sims = F.array(

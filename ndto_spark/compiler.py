@@ -1084,7 +1084,9 @@ def _py_regex_udf(pattern: str) -> Callable[[Column], Column]:
 
         @pandas_udf(T.BooleanType())
         def py_regex(col: pd.Series) -> pd.Series:
-            return col.map(lambda s: bool(rx.search(s)) if s is not None else None)
+            # Series.str.contains == re.search semantics (unanchored partial
+            # match); vectorized in pandas, nulls propagate as pd.NA
+            return col.str.contains(rx).astype("boolean")
 
         _UDF_CACHE[key] = py_regex
     return _UDF_CACHE[key]

@@ -767,7 +767,17 @@ def phash_near_dups(
     (the skew the images table plants) stay correct: they collapse into
     one band bucket and the id ordering bounds each pair to one output.
     """
-    assert bits % bands == 0, "bits must split evenly into bands"
+    if bits % bands != 0:
+        # ValueError (not assert): the contract must survive python -O
+        raise ValueError(
+            f"bits ({bits}) must split evenly into bands ({bands})"
+        )
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "pigeonhole exact-recall guarantee needs one band untouched by "
+            "every allowed bit flip — raise bands for larger radii"
+        )
     width = bits // bands
     mask = (1 << width) - 1
     v = df.select(

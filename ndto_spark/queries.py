@@ -527,7 +527,6 @@ def q_dedup_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import uuid
 
     from .streaming import dedup_stream
 
@@ -713,7 +712,6 @@ def q_validate_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import uuid
 
     from .streaming import validate_stream
 

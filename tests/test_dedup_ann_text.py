@@ -306,5 +306,7 @@ def test_phash_near_dups_banding_and_verify(spark):
     out = {(r.id_a, r.id_b): r.hamming for r in
            phash_near_dups(df, "img", "ph", bits=16, bands=4, max_hamming=2).collect()}
     assert out == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="split evenly"):
         phash_near_dups(df, "img", "ph", bits=16, bands=3)
+    with pytest.raises(ValueError, match="exact-recall"):
+        phash_near_dups(df, "img", "ph", bits=16, bands=4, max_hamming=4)
