@@ -752,6 +752,8 @@ def phash_near_dups(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 2,
+    max_band_df: Optional[int] = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Perceptual-hash near-duplicate pairs: (id_a, id_b, hamming ≤ τ).
 
@@ -763,9 +765,20 @@ def phash_near_dups(
     popcount of the XOR. All expression-side — band keys are an explode of
     ``bands`` ints per row, the join is a band-key equi-join, verification
     is two bigint ops; nothing leaves the JVM and the only shuffles are
-    the band join and the candidate dedup. Hot identical-phash clusters
-    (the skew the images table plants) stay correct: they collapse into
-    one band bucket and the id ordering bounds each pair to one output.
+    the band join and the candidate dedup.
+
+    ``max_band_df`` caps band-bucket frequency, the same guard
+    ngram_jaccard_pairs puts on shingle DF: a (band, key) bucket shared by
+    d images yields d² join rows, so ONE degenerate constant-phash
+    population (solid-color thumbnails at 100 TB) makes its bucket
+    quadratic. Buckets with DF > cap are removed before the self-join via
+    a broadcast anti-join (the hot set is tiny by construction).
+    CORRECTNESS CAVEAT: pairs whose ONLY agreeing bands are capped are
+    lost — exact recall holds only for pairs untouched by the cap; capped
+    buckets are counted and logged (``log_dropped``, one extra tiny-side
+    job) so the cap is never silent. Identical-phash clusters SMALLER than
+    the cap stay correct either way: they collapse into one band bucket
+    and the id ordering bounds each pair to one output.
     """
     if bits % bands != 0:
         # ValueError (not assert): the contract must survive python -O
@@ -800,6 +813,32 @@ def phash_near_dups(
             )
         ).alias("bk"),
     ).select("vid", "ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_band_df is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_band_df)
+            .select("band", "key", "_df")
+        )
+        if log_dropped:
+            import logging
+
+            # persist: the hot set is ≤ one row per capped bucket (tiny);
+            # without it the count action would re-run the full band
+            # aggregation the anti-join below needs again
+            hot = hot.persist()
+            n_hot = hot.count()
+            if n_hot:
+                logging.getLogger(__name__).warning(
+                    "phash_near_dups: dropping %d band bucket(s) with "
+                    "DF > %d — pairs whose only agreeing bands are capped "
+                    "are lost (recall is no longer exact for them)",
+                    n_hot,
+                    max_band_df,
+                )
+        banded = banded.join(
+            F.broadcast(hot.select("band", "key")), ["band", "key"], "left_anti"
+        )
     a = banded.select(
         F.col("vid").alias("id_a"), F.col("ph").alias("ph_a"), "band", "key"
     )

@@ -1105,8 +1105,12 @@ def q_phash_near_dup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id") % 50 == 0, ph.bitwiseXOR(F.lit(8))
     ).otherwise(ph)
     imgs = ev.select(F.col("event_id").alias("img_id"), ph.alias("phash60"))
+    # band-bucket cap ON in the gate (like ngram's shingle-DF cap): 128 is
+    # far above any md5-uniform 15-bit bucket DF at gate scale (mean ~3 at
+    # sf0.1), so the oracle — which doesn't model the cap — stays exact
     return dedup.phash_near_dups(
-        imgs, "img_id", "phash60", bits=60, bands=4, max_hamming=2
+        imgs, "img_id", "phash60", bits=60, bands=4, max_hamming=2,
+        max_band_df=128,
     )
 
 

@@ -310,3 +310,30 @@ def test_phash_near_dups_banding_and_verify(spark):
         phash_near_dups(df, "img", "ph", bits=16, bands=3)
     with pytest.raises(ValueError, match="exact-recall"):
         phash_near_dups(df, "img", "ph", bits=16, bands=4, max_hamming=4)
+
+
+def test_phash_near_dups_band_cap_drops_mega_cluster(spark, caplog):
+    import logging
+
+    from ndto_spark.dedup import phash_near_dups
+
+    # 40-image constant-phash population (solid-color-thumbnail skew) + one
+    # hamming-1 pair elsewhere: the cap must drop the quadratic bucket,
+    # keep the honest pair, and say so in the log (no silent caps)
+    rows = [(i, 0b1111_0000_1111_0000) for i in range(40)]
+    rows += [(100, 0b1010_0101_1100_0011), (101, 0b1010_0101_1100_0010)]
+    df = spark.createDataFrame(rows, "img bigint, ph bigint")
+    with caplog.at_level(logging.WARNING, logger="ndto_spark.dedup"):
+        out = phash_near_dups(
+            df, "img", "ph", bits=16, bands=4, max_hamming=2, max_band_df=10
+        ).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in out} == {(100, 101, 1)}
+    assert any("band bucket" in r.message for r in caplog.records)
+    # cap ABOVE the cluster size: everything is kept, nothing logged
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="ndto_spark.dedup"):
+        full = phash_near_dups(
+            df, "img", "ph", bits=16, bands=4, max_hamming=2, max_band_df=50
+        )
+        assert full.count() == 40 * 39 // 2 + 1
+    assert not caplog.records
