@@ -571,9 +571,19 @@ def simhash(text_col: Column, bits: int = 16) -> Column:
 
 def simhash_dup_candidates(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16,
-    spread: bool = True,
+    spread: bool = True, max_examples: int = 8,
 ) -> DataFrame:
-    """Docs sharing an identical simhash value: (simhash, n_docs, ids).
+    """Docs sharing an identical simhash value:
+    (simhash, n_docs, example_ids).
+
+    ``n_docs`` is the exact group size; ``example_ids`` is a BOUNDED
+    sample — the ``max_examples`` smallest ids (deterministic across
+    runs/engines). An unbounded collect_list would concentrate a
+    mega-cluster of identical docs (the 100 TB skew case) in one
+    aggregation buffer, so the collection is two-phase like
+    runner.violation_summary: phase 1 takes the k smallest ids per
+    (simhash, input partition) — each list bounded by partition size and
+    sliced BEFORE the shuffle; phase 2 merges the ≤k-item survivors.
 
     PLAN NOTE: the token-hash array is projected behind a repartition
     barrier so the ``bits`` per-bit votes read an attribute instead of
@@ -588,10 +598,27 @@ def simhash_dup_candidates(
         "doc",
         F.transform(tokens(F.col("_t")), md5_low32).alias("hv"),
     ).repartition(F.col("doc"))
+    sh = hashed.select(
+        "doc", simhash_from_hashes(F.col("hv"), bits).alias("simhash")
+    )
+    loc = (
+        sh.withColumn("_p", F.spark_partition_id())
+        .groupBy("simhash", "_p")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.slice(
+                F.array_sort(F.collect_list("doc")), 1, max_examples
+            ).alias("_ex"),
+        )
+    )
     return (
-        hashed.select("doc", simhash_from_hashes(F.col("hv"), bits).alias("simhash"))
-        .groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("ids"))
+        loc.groupBy("simhash")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_docs"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_ex"))), 1, max_examples
+            ).alias("example_ids"),
+        )
         .filter(F.col("n_docs") > 1)
     )
 

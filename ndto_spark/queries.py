@@ -261,9 +261,20 @@ def q_near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_dup_candidates(
-        _read(spark, sf_dir, "documents"), "doc_id", "text", bits=16
-    ).select("simhash", "n_docs")
+    """Simhash collision groups with the BOUNDED example collection in the
+    gate: exact n_docs + the 5 smallest member ids per group, comma-joined
+    so both engines compare one string column."""
+    out = dedup.simhash_dup_candidates(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", bits=16,
+        max_examples=5,
+    )
+    return out.select(
+        "simhash",
+        "n_docs",
+        F.concat_ws(
+            ",", F.transform("example_ids", lambda x: x.cast("string"))
+        ).alias("example_ids"),
+    )
 
 
 def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1608,7 +1619,11 @@ WITH t AS (
   FROM documents
 ),
 s AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM t)
-SELECT simhash, count(*)::BIGINT AS n_docs
+SELECT simhash, count(*)::BIGINT AS n_docs,
+       array_to_string(
+         list_transform(list_sort(list(doc_id))[1:5], x -> CAST(x AS VARCHAR)),
+         ','
+       ) AS example_ids
 FROM s GROUP BY 1 HAVING count(*) > 1
 """
 

@@ -104,8 +104,22 @@ def test_near_dup_groups_raises_on_non_convergence(spark):
 
 def test_simhash_identical_docs_collide(spark, docs):
     rows = dedup.simhash_dup_candidates(docs, "doc_id", "text").collect()
-    groups = [set(r.ids) for r in rows]
+    groups = [set(r.example_ids) for r in rows]
     assert any({1, 2} <= g for g in groups)
+
+
+def test_simhash_example_ids_bounded_and_exact_count(spark):
+    # a 30-doc identical-text mega-cluster: n_docs stays exact, the id
+    # list is capped at max_examples smallest ids (two-phase collection)
+    rows = [(i, "the same exact text repeated verbatim") for i in range(30)]
+    rows += [(100, "something else entirely unrelated here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup.simhash_dup_candidates(
+        df, "doc_id", "text", max_examples=4
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 30
+    assert out[0].example_ids == [0, 1, 2, 3]
 
 
 def test_embedding_near_dups_exact_vs_lsh(spark):

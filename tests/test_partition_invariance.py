@@ -81,7 +81,7 @@ def test_simhash_partition_invariant(spark):
         spark,
         lambda d: dedup.simhash_dup_candidates(
             d, "doc_id", "text", spread=False
-        ).withColumn("ids", F.col("ids").cast("string")),
+        ).withColumn("example_ids", F.col("example_ids").cast("string")),
     )
 
 
