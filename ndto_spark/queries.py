@@ -647,37 +647,62 @@ def q_validate_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming in the gate: events replayed as a file stream
     through streaming.windowed_verdicts (1-hour event-time windows +
-    watermark), driven to completion with availableNow into a memory sink.
-    Window starts are rendered with date_format so the string equals the
-    wall-clock hour truncation for any whole-hour session timezone — the
-    DuckDB oracle recomputes the same windowed counters from the batch
-    table."""
+    watermark), driven to completion with availableNow. Window starts are
+    rendered with date_format so the string equals the wall-clock hour
+    truncation for any whole-hour session timezone — the DuckDB oracle
+    recomputes the same windowed counters from the batch table.
+
+    Sink shape (the dedup_stream treatment): staged /tmp-cached source dir
+    + a parquet sink written by foreachBatch. Complete-mode aggregates
+    can't use the parquet sink directly, so foreachBatch overwrites the
+    sink dir with each (single, availableNow) batch's full aggregate —
+    an executor-side distributed write; the round-4 memory-sink harness
+    round-tripped the verdicts through a driver collect +
+    createDataFrame."""
+    import atexit
     import os
+    import shutil
     import tempfile
-    import uuid
 
     from .streaming import windowed_verdicts
 
-    import shutil
-
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
+
     # FileStreamSource requires a DIRECTORY source; the testdata table is a
-    # single parquet file → stage a symlink in a temp dir
-    src_dir = tempfile.mkdtemp(prefix="ndto_stream_src_")
+    # single parquet file → a cached dir holding one symlink
+    def build(tmp: str) -> None:
+        os.symlink(os.path.abspath(path), os.path.join(tmp, "events.parquet"))
+
+    src_dir = _staged_source("verdicts", sf_dir, build)
     ck_dir = tempfile.mkdtemp(prefix="ndto_stream_ck_")
-    qname = f"ndto_gate_stream_{uuid.uuid4().hex[:8]}"
+    out_dir = tempfile.mkdtemp(prefix="ndto_stream_out_")
+    sink_schema = (
+        "win_start string, n_rows bigint, n_violations bigint, pass boolean"
+    )
     q = None
     try:
-        os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
         stream = spark.readStream.schema(schema).parquet(src_dir)
         out = windowed_verdicts(
             stream, EVENT_RULES, ts_col="ts", window_duration="1 hour"
+        ).select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.col("pass").alias("pass"),
         )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # complete mode re-emits the WHOLE aggregate per batch, so
+            # overwrite keeps the sink = the latest full state; the verdict
+            # table is hundreds of rows → one file reads back cheapest
+            batch_df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+
         with _conf(spark, _GATE_STREAM_SHUFFLE):
             q = (
-                out.writeStream.format("memory")
-                .queryName(qname)
+                out.writeStream.foreachBatch(write_batch)
                 .outputMode("complete")
                 .option("checkpointLocation", ck_dir)
                 .trigger(availableNow=True)
@@ -686,31 +711,16 @@ def q_streaming_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             raise TimeoutError(
                 "streaming_verdicts did not finish within 300s — refusing to "
-                "read a partially-filled memory sink"
+                "read a partially-filled sink"
             )
-        # materialize before dropping the memory-sink table: the returned
-        # DataFrame must outlive the cleanup below
-        rows = (
-            spark.table(qname)
-            .select(
-                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                    "win_start"
-                ),
-                F.col("n_rows").cast("bigint").alias("n_rows"),
-                F.col("n_violations").cast("bigint").alias("n_violations"),
-                F.col("pass").alias("pass"),
-            )
-            .collect()
-        )
-        return spark.createDataFrame(
-            rows, "win_start string, n_rows bigint, n_violations bigint, pass boolean"
-        )
+        return _read_stream_sink(spark, out_dir, sink_schema)
     finally:
         if q is not None:
             q.stop()
-        spark.catalog.dropTempView(qname)
-        shutil.rmtree(src_dir, ignore_errors=True)
+        # src_dir is the shared staged cache — only the per-run checkpoint
+        # is reclaimed eagerly; the sink dir backs the returned DataFrame
         shutil.rmtree(ck_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
 
 def q_validate_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
