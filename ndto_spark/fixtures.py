@@ -182,8 +182,13 @@ def _cached_parquet(spark, path: str, make):
     Concurrent bench/gate runs race on the same key: each writes its own
     claim dir, the first rename wins (rename is atomic), losers discard
     their claim and read the winner's fully-written cache. A stale dir
-    without _SUCCESS (crashed writer of the pre-atomic vintage) is removed
-    before claiming.
+    without _SUCCESS (crashed writer) is moved ASIDE atomically and only
+    then deleted — never rmtree'd in place, so a winner completing its
+    rename between our marker check and the cleanup is either left alone
+    (the aside-rename fails: someone else claimed) or detected complete
+    inside the aside dir and put back. A bare rmtree had a TOCTOU window
+    that could delete a fully-built cache out from under concurrent
+    readers mid-read.
     """
     import os
     import shutil
@@ -191,8 +196,8 @@ def _cached_parquet(spark, path: str, make):
 
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        if os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
+        _clear_stale_dir(path, "_SUCCESS")
+    if not os.path.exists(marker):
         tmp = f"{path}.claim-{uuid.uuid4().hex[:8]}"
         make().write.mode("overwrite").parquet(tmp)
         try:
@@ -200,6 +205,35 @@ def _cached_parquet(spark, path: str, make):
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+def _clear_stale_dir(path: str, marker_name: str) -> None:
+    """Remove a marker-less cache dir without the rmtree TOCTOU race.
+
+    Atomically rename the dir aside; if the aside copy turns out to hold
+    the marker (we yanked a winner that completed between the caller's
+    check and our rename), rename it straight back — readers resolve by
+    ``path``, and the round-trip is two atomic renames with no deletion.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if not os.path.isdir(path):
+        return
+    aside = f"{path}.stale-{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(path, aside)
+    except OSError:
+        return  # someone else moved/claimed it meanwhile
+    if os.path.exists(os.path.join(aside, marker_name)):
+        try:
+            os.rename(aside, path)
+        except OSError:
+            # a new winner landed in the meantime — keep theirs, drop ours
+            shutil.rmtree(aside, ignore_errors=True)
+    else:
+        shutil.rmtree(aside, ignore_errors=True)
 
 
 def synth_images_cached(

@@ -504,8 +504,9 @@ def _staged_source(tag: str, sf_dir: str, build) -> str:
     path = f"/tmp/ndto_gate_stage_{tag}_{fixtures.FIXTURES_VERSION}_{key}"
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
-        if os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
+        # rename-aside, never rmtree-in-place (TOCTOU vs a winner's rename)
+        fixtures._clear_stale_dir(path, "_STAGED")
+    if not os.path.exists(marker):
         tmp = f"{path}.claim-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
         build(tmp)

@@ -140,3 +140,29 @@ def test_verdicts_account_for_all_rows(images_result):
     total = sum(v.n_violations for v in verdicts)
     assert total == len(viols)
     assert not all(v["pass"] for v in verdicts)
+
+
+def test_clear_stale_dir_never_deletes_a_complete_cache(tmp_path):
+    import os
+
+    from ndto_spark.fixtures import _clear_stale_dir
+
+    # a marker-less (crashed-writer) dir is reclaimed
+    stale = tmp_path / "cache_a"
+    stale.mkdir()
+    (stale / "part-0.parquet").write_bytes(b"x")
+    _clear_stale_dir(str(stale), "_SUCCESS")
+    assert not stale.exists()
+
+    # a COMPLETE cache (the TOCTOU case: the winner's rename landed
+    # between the caller's marker check and the cleanup) survives intact
+    done = tmp_path / "cache_b"
+    done.mkdir()
+    (done / "part-0.parquet").write_bytes(b"x")
+    (done / "_SUCCESS").touch()
+    _clear_stale_dir(str(done), "_SUCCESS")
+    assert done.exists() and (done / "_SUCCESS").exists()
+    assert (done / "part-0.parquet").read_bytes() == b"x"
+
+    # a missing dir is a no-op
+    _clear_stale_dir(str(tmp_path / "nope"), "_SUCCESS")
