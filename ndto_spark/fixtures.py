@@ -403,6 +403,72 @@ def synth_feature_images_cached(spark, n_rows: int, n_partitions: int = 4):
     )
 
 
+# phash near-dup fixture: CELL-MASK images. A 16x16 canvas splits into the
+# phash 4x4 pooling grid exactly (4x4-px cells); each cell is painted LO=60
+# or HI=200 per a 16-bit mask with bit 15 forced ON and bit 0 forced OFF, so
+# pooled cell means are exactly 60/200, the overall mean 60 + 8.75*popcount
+# sits strictly between them (popcount is always in [1, 15]), and
+# phash_of == the mask VERBATIM. Groups of three roles: base mask, a
+# hamming-1 single-bit flip, a hamming-2 double flip — planted near-dup
+# triples the band join must recover; every 25th payload truncated
+# (the ok=False exclusion). The mask arithmetic is integer-only so the
+# DuckDB oracle regenerates the phash population the Spark side DECODES.
+
+PHASH_CELL_LO = 60
+PHASH_CELL_HI = 200
+
+
+def phash_image_mask(row_id: int) -> int:
+    """The 16-bit mask (== exact phash) of phash-fixture image ``row_id``
+    (oracle mirror: queries.ORACLE_SQL['phash_near_dup_images'])."""
+    g, r = divmod(row_id, 3)
+    m = 0x8000 | (2 * ((g * 2654435761) % 16384))
+    if r >= 1:
+        m ^= 1 << (1 + g % 14)  # hamming 1 from the base
+    if r == 2:
+        m ^= 1 << (1 + (g + 5) % 14)  # +5 ≠ 0 mod 14 → a SECOND bit
+    return m
+
+
+def phash_image_pixels(row_id: int) -> np.ndarray:
+    m = phash_image_mask(row_id)
+    px = np.empty((16, 16, 3), dtype=np.uint8)
+    for j in range(16):
+        v = PHASH_CELL_HI if (m >> j) & 1 else PHASH_CELL_LO
+        px[4 * (j // 4) : 4 * (j // 4) + 4, 4 * (j % 4) : 4 * (j % 4) + 4] = v
+    return px
+
+
+def synth_phash_images(spark, n_rows: int, n_partitions: int = 4):
+    """(image_id 'pi_%08d', bytes): cell-mask PNGs; every 25th truncated."""
+    import pandas as pd
+
+    base = spark.range(0, n_rows, 1, n_partitions)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                payload = codecs.png_encode(phash_image_pixels(i))
+                if i % FEATURE_CORRUPT_EVERY == FEATURE_CORRUPT_EVERY - 1:
+                    payload = payload[: max(8, len(payload) // 3)]
+                ids.append(f"pi_{i:08d}")
+                blobs.append(payload)
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    return base.mapInPandas(gen, "image_id string, bytes binary")
+
+
+def synth_phash_images_cached(spark, n_rows: int, n_partitions: int = 4):
+    return _cached_parquet(
+        spark,
+        f"/tmp/ndto_bench_phashimg_{FIXTURES_VERSION}"
+        f"_n{n_rows}_p{n_partitions}",
+        lambda: synth_phash_images(spark, n_rows, n_partitions),
+    )
+
+
 def audio_clip_params(row_id: int) -> tuple[int, int, int]:
     """(sample_rate, n_samples, amplitude) for clip ``row_id``."""
     sr = (8000, 16000, 44100)[row_id % 3]

@@ -1136,6 +1136,35 @@ def q_phash_near_dup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_IMG_N = 600
+
+
+def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image near-dup pipeline in the gate: PNG decode →
+    phash_of → band-LSH join, end to end. The cell-mask fixture
+    (fixtures.synth_phash_images) makes every decoded phash equal a
+    closed-form 16-bit mask of the row id — planted (base, hamming-1,
+    hamming-2) triples per 3-image group — so the DuckDB oracle
+    regenerates the phash population from id arithmetic alone and replays
+    the same banding + popcount verify the Spark side runs on pixels it
+    actually decoded. Truncated payloads drop at the ok filter, matching
+    the oracle's exclusion. No band cap: 16-bit/4-band keys are only 4
+    bits wide, so every bucket is hot by construction at fixture scale
+    (the cap path is gated separately by phash_near_dup_events)."""
+    from . import fixtures
+    from .multimodal import decode_image_features
+
+    df = fixtures.synth_phash_images_cached(spark, _PHASH_IMG_N)
+    feats = (
+        decode_image_features(df)
+        .filter(F.col("ok"))
+        .select("image_id", "phash")
+    )
+    return dedup.phash_near_dups(
+        feats, "image_id", "phash", bits=16, bands=4, max_hamming=2
+    )
+
+
 def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition metrics over the documents
     table: duplicate-bigram fraction + top-bigram share, the standard
@@ -1490,6 +1519,7 @@ QUERIES = {
     "decontaminate_documents": q_decontaminate_documents,
     "phash_near_dup_events": q_phash_near_dup_events,
     "hll_groups_events": q_hll_groups_events,
+    "phash_near_dup_images": q_phash_near_dup_images,
 }
 
 
@@ -2521,6 +2551,33 @@ cand AS (
          a.ph AS pa, b.ph AS pb
   FROM banded a
   JOIN banded b ON a.b = b.b AND a.key = b.key AND a.event_id < b.event_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 2
+"""
+
+# phash over REAL decoded images: the cell-mask fixture makes the decoded
+# phash a pure integer expression of the row id (fixtures.phash_image_mask —
+# bit 15 on, bit 0 off, role 0/1/2 = base / 1-bit flip / 2-bit flip), so the
+# oracle regenerates the population and replays the 4x4-bit banding
+ORACLE_SQL["phash_near_dup_images"] = f"""
+WITH cls AS (
+  SELECT printf('pi_%08d', i) AS iid,
+    xor(xor(32768 + 2 * (((i // 3) * 2654435761) % 16384),
+            CASE WHEN i % 3 >= 1 THEN 1 << (1 + (i // 3) % 14) ELSE 0 END),
+        CASE WHEN i % 3 = 2 THEN 1 << (1 + ((i // 3) + 5) % 14) ELSE 0 END
+    ) AS ph
+  FROM (SELECT unnest(range({_PHASH_IMG_N})) AS i)
+  WHERE i % {_FX.FEATURE_CORRUPT_EVERY} != {_FX.FEATURE_CORRUPT_EVERY - 1}
+),
+banded AS (
+  SELECT iid, ph, b, (ph >> (b * 4)) & 15 AS key
+  FROM cls, (VALUES (0), (1), (2), (3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.iid AS id_a, b.iid AS id_b, a.ph AS pa, b.ph AS pb
+  FROM banded a
+  JOIN banded b ON a.b = b.b AND a.key = b.key AND a.iid < b.iid
 )
 SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(pa, pb)) <= 2

@@ -153,3 +153,34 @@ def test_feature_fixture_corrupt_payloads_never_decode():
             assert not corrupt, i
         except ValueError:
             assert corrupt, i
+
+
+def test_phash_fixture_decodes_to_mask_and_triples_recovered(spark):
+    from ndto_spark.dedup import phash_near_dups
+    from ndto_spark.multimodal import decode_image_features
+
+    # 8 groups of 3 (base, 1-bit flip, 2-bit flip) — no corrupt row < 24
+    df = fixtures.synth_phash_images(spark, 24, n_partitions=2)
+    feats = decode_image_features(df).filter(F.col("ok")).collect()
+    assert len(feats) == 24
+    for r in feats:
+        i = int(r.image_id[3:])
+        assert r.phash == fixtures.phash_image_mask(i), r.image_id
+        assert (r.w, r.h) == (16, 16)
+    pairs = phash_near_dups(
+        decode_image_features(df).filter(F.col("ok")).select("image_id", "phash"),
+        "image_id", "phash", bits=16, bands=4, max_hamming=2,
+    ).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    for g in range(8):
+        a, b, c = (f"pi_{3 * g + r:08d}" for r in range(3))
+        assert got[(a, b)] == 1 and got[(b, c)] == 1 and got[(a, c)] == 2
+
+
+def test_phash_fixture_corrupt_rows_drop(spark):
+    from ndto_spark.multimodal import decode_image_features
+
+    df = fixtures.synth_phash_images(spark, 50, n_partitions=2)
+    out = decode_image_features(df).collect()
+    bad = {r.image_id for r in out if not r.ok}
+    assert bad == {"pi_00000024", "pi_00000049"}
