@@ -1165,6 +1165,30 @@ def q_phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image-dedup WORKFLOW end to end: PNG decode → phash →
+    band-LSH candidate pairs → popcount verify → connected components →
+    keeper per image (min id of each near-dup group; singletons keep
+    themselves). Composes the three gated operators a 100 TB image dedup
+    actually chains — decode_image_features, phash_near_dups,
+    near_dup_groups — over the closed-form cell-mask fixture, so the
+    DuckDB oracle replays the pair generation from id arithmetic and
+    closes it transitively with a recursive CTE."""
+    from . import fixtures
+    from .multimodal import decode_image_features
+
+    df = fixtures.synth_phash_images_cached(spark, _PHASH_IMG_N)
+    feats = (
+        decode_image_features(df)
+        .filter(F.col("ok"))
+        .select("image_id", "phash")
+    )
+    pairs = dedup.phash_near_dups(
+        feats, "image_id", "phash", bits=16, bands=4, max_hamming=2
+    )
+    return dedup.near_dup_groups(feats, pairs, "image_id")
+
+
 def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition metrics over the documents
     table: duplicate-bigram fraction + top-bigram share, the standard
@@ -1520,6 +1544,7 @@ QUERIES = {
     "phash_near_dup_events": q_phash_near_dup_events,
     "hll_groups_events": q_hll_groups_events,
     "phash_near_dup_images": q_phash_near_dup_images,
+    "image_dedup_groups": q_image_dedup_groups,
 }
 
 
@@ -2560,8 +2585,7 @@ FROM cand WHERE bit_count(xor(pa, pb)) <= 2
 # phash a pure integer expression of the row id (fixtures.phash_image_mask —
 # bit 15 on, bit 0 off, role 0/1/2 = base / 1-bit flip / 2-bit flip), so the
 # oracle regenerates the population and replays the 4x4-bit banding
-ORACLE_SQL["phash_near_dup_images"] = f"""
-WITH cls AS (
+_PHASH_IMG_CTES = f"""cls AS (
   SELECT printf('pi_%08d', i) AS iid,
     xor(xor(32768 + 2 * (((i // 3) * 2654435761) % 16384),
             CASE WHEN i % 3 >= 1 THEN 1 << (1 + (i // 3) % 14) ELSE 0 END),
@@ -2578,9 +2602,32 @@ cand AS (
   SELECT DISTINCT a.iid AS id_a, b.iid AS id_b, a.ph AS pa, b.ph AS pb
   FROM banded a
   JOIN banded b ON a.b = b.b AND a.key = b.key AND a.iid < b.iid
+),
+ph_pairs AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+  FROM cand WHERE bit_count(xor(pa, pb)) <= 2
+)"""
+
+ORACLE_SQL["phash_near_dup_images"] = f"""
+WITH {_PHASH_IMG_CTES}
+SELECT id_a, id_b, hamming FROM ph_pairs
+"""
+
+# the chained image-dedup workflow: transitive closure (min reachable id)
+# over the same closed-form pair set; singleton images keep themselves
+ORACLE_SQL["image_dedup_groups"] = f"""
+WITH RECURSIVE {_PHASH_IMG_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM ph_pairs
+  UNION
+  SELECT id_b, id_a FROM ph_pairs
+),
+reach(src, dst) AS (
+  SELECT iid, iid FROM cls
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 )
-SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(pa, pb)) <= 2
+SELECT src AS image_id, min(dst) AS keeper_id FROM reach GROUP BY 1
 """
 
 # decontamination: distinct 5-token shingles of the doc_id%97 eval set,
