@@ -882,3 +882,75 @@ def phash_near_dups(
     return cand.select(
         "id_a", "id_b", ham.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= F.lit(max_hamming))
+
+
+def phash_band_stats(
+    df: DataFrame,
+    phash_col: str,
+    bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band-bucket occupancy diagnostics for sizing a phash band-LSH run.
+
+    One row per (band, df_bucket) where ``df_bucket`` is the power-of-two
+    FLOOR of a bucket's document frequency (df 1 → 1, df 2-3 → 2,
+    df 4-7 → 4, …): ``n_buckets`` buckets in that occupancy class holding
+    ``n_rows`` rows, and ``n_cand_pairs`` = Σ df·(df−1)/2 — the EXACT
+    candidate-pair volume the phash_near_dups self-join would emit from
+    those buckets. This is the operator you run BEFORE a 100 TB phash
+    dedup: candidate volume grows quadratically with bucket occupancy, so
+    the histogram both picks ``max_band_df`` (cap where n_cand_pairs
+    explodes) and exposes constant-phash degeneracy (a huge df_bucket
+    class = solid-color thumbnails about to make one bucket quadratic).
+
+    Plan shape: band explode (bands ints per row) → ONE partial-aggregated
+    groupBy(band, key) shuffle → a second groupBy over at most
+    bands·log2(n) histogram rows. No joins, nothing quadratic — the
+    diagnosis costs one aggregation pass over what the join would scan.
+
+    The power-of-two bucketing is integer-exact on any engine
+    (floor_log2(df) = length(bin(df)) − 1) — no float log2 rounding.
+    """
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must split evenly into bands ({bands})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    v = df.select(F.col(phash_col).cast("bigint").alias("ph"))
+    banded = v.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("ph", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    occ = banded.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("df_")
+    )
+    bucket = F.expr(
+        "CAST(shiftleft(1L, CAST(length(bin(df_)) - 1 AS INT)) AS BIGINT)"
+    )
+    return (
+        occ.select(
+            F.col("band").cast("bigint").alias("band"),
+            bucket.alias("df_bucket"),
+            "df_",
+        )
+        .groupBy("band", "df_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("df_").cast("bigint").alias("n_rows"),
+            F.sum(F.expr("df_ * (df_ - 1) div 2"))
+            .cast("bigint")
+            .alias("n_cand_pairs"),
+        )
+    )

@@ -1136,6 +1136,28 @@ def q_phash_near_dup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_band_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket occupancy histogram over the SAME derived 60-bit phash
+    population phash_near_dup_events joins — the cap-sizing diagnosis you
+    run before a 100 TB phash dedup. Exact power-of-two occupancy classes
+    plus the candidate-pair volume each class would feed the self-join, so
+    the oracle replays banding + integer floor-log2 bucketing verbatim."""
+    ev = _read(spark, sf_dir, "events").select("event_id")
+
+    def md5_low60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    src = F.when(
+        F.col("event_id") % 50 == 0, F.col("event_id") - 1
+    ).otherwise(F.col("event_id"))
+    ph = md5_low60(src.cast("string"))
+    ph = F.when(
+        F.col("event_id") % 50 == 0, ph.bitwiseXOR(F.lit(8))
+    ).otherwise(ph)
+    imgs = ev.select(ph.alias("phash60"))
+    return dedup.phash_band_stats(imgs, "phash60", bits=60, bands=4)
+
+
 _PHASH_IMG_N = 600
 
 
@@ -1545,6 +1567,7 @@ QUERIES = {
     "hll_groups_events": q_hll_groups_events,
     "phash_near_dup_images": q_phash_near_dup_images,
     "image_dedup_groups": q_image_dedup_groups,
+    "phash_band_stats_events": q_phash_band_stats_events,
 }
 
 
@@ -2579,6 +2602,33 @@ cand AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(pa, pb)) <= 2
+"""
+
+# band-bucket occupancy histogram: same derived phash population + banding,
+# integer floor-log2 occupancy classes (length(bin(df))-1 — exact on both
+# engines, no float log2), candidate volume = sum df*(df-1)/2 per class
+ORACLE_SQL["phash_band_stats_events"] = """
+WITH p AS (
+  SELECT event_id,
+    CASE WHEN event_id % 50 = 0
+      THEN xor(('0x' || substr(md5(CAST(event_id - 1 AS VARCHAR)), 1, 15))::BIGINT, 8)
+      ELSE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+    END AS ph
+  FROM events
+),
+banded AS (
+  SELECT ph, b, (ph >> (b * 15)) & 32767 AS key
+  FROM p, (VALUES (0), (1), (2), (3)) AS t(b)
+),
+occ AS (
+  SELECT b AS band, key, COUNT(*) AS df_ FROM banded GROUP BY 1, 2
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(1 << (length(bin(df_)) - 1) AS BIGINT) AS df_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(df_) AS BIGINT) AS n_rows,
+       CAST(SUM(df_ * (df_ - 1) // 2) AS BIGINT) AS n_cand_pairs
+FROM occ GROUP BY 1, 2
 """
 
 # phash over REAL decoded images: the cell-mask fixture makes the decoded

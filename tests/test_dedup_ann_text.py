@@ -351,3 +351,28 @@ def test_phash_near_dups_band_cap_drops_mega_cluster(spark, caplog):
         )
         assert full.count() == 40 * 39 // 2 + 1
     assert not caplog.records
+
+
+def test_phash_band_stats_histogram_known_values(spark):
+    from ndto_spark.dedup import phash_band_stats
+
+    # bits=4, bands=2 (2-bit keys). 0b0101 x3, 0b1001 x2, 0b0000 x1:
+    #   band0 keys: 5&3=1 for ALL five of 5/9 (both low bits 01), 0 for 0
+    #   band1 keys: 5>>2=1 (x3), 9>>2=2 (x2), 0 (x1)
+    rows = [(5,), (5,), (5,), (9,), (9,), (0,)]
+    df = spark.createDataFrame(rows, "ph bigint")
+    out = {
+        (r.band, r.df_bucket): (r.n_buckets, r.n_rows, r.n_cand_pairs)
+        for r in phash_band_stats(df, "ph", bits=4, bands=2).collect()
+    }
+    assert out == {
+        # band0: one df=5 bucket (floor-log2 class 4) -> 10 cand pairs,
+        # one singleton
+        (0, 4): (1, 5, 10),
+        (0, 1): (1, 1, 0),
+        # band1: df=3 and df=2 share occupancy class 2 -> 3+1 cand pairs
+        (1, 2): (2, 5, 4),
+        (1, 1): (1, 1, 0),
+    }
+    with pytest.raises(ValueError, match="split evenly"):
+        phash_band_stats(df, "ph", bits=16, bands=3)
