@@ -78,3 +78,102 @@ def pack_chunks(
         end.alias("end"),
         (end - begin).alias("n_tokens"),
     )
+
+
+# the SDXL-style default bucket ladder: portrait -> square -> landscape
+_DEFAULT_LADDER = ((1, 2), (9, 16), (3, 4), (1, 1), (4, 3), (16, 9), (2, 1))
+
+
+def aspect_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    w_col: str,
+    h_col: str,
+    ladder=_DEFAULT_LADDER,
+    batch_size: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Aspect-ratio bucketing + fixed-size batch packing for image training.
+
+    Multimodal training batches images of similar aspect ratio together
+    (resize within a bucket keeps distortion bounded; mixed ratios waste
+    pixels on padding). Each image is assigned the ``ladder`` ratio
+    closest to w/h, then packed into deterministic ``batch_size`` batches
+    within (bucket, shard). Output columns:
+
+      <id_col>, bucket, ratio_w, ratio_h, shard, batch_id, slot, batch_rows
+
+    where ``bucket`` indexes the ladder, ``slot`` is the image's position
+    in its batch, and ``batch_rows`` counts the batch's rows (the final
+    batch of each (bucket, shard) may be partial — filter
+    ``batch_rows = batch_size`` for full batches only).
+
+    Engine-exact by construction, so a SQL oracle can replay it:
+    closeness is argmin over |w/h − rw/rh|, computed as the INTEGER
+    |w·rh − h·rw| · (L/rh) with L = lcm of ladder denominators (common
+    scale, no float division); ties break to the first ladder entry
+    (chained first-match). The shard is the md5-low32 of the id modulo
+    ``n_shards`` — the repo's engine-portable hash.
+
+    Scale shape: no global ordering anywhere — the only shuffle is the
+    window's hash partitioning on (bucket, shard), so parallelism is
+    buckets × shards and each window sorts one shard, not the corpus.
+    Size ``n_shards`` to the cluster (shards are independent batch
+    streams, the way training jobs shard their data loaders anyway).
+    """
+    import math
+
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    lcm = 1
+    for _, rh in ladder:
+        lcm = lcm * rh // math.gcd(lcm, rh)
+    w = F.col(w_col).cast("bigint")
+    h = F.col(h_col).cast("bigint")
+    dists = [
+        F.abs(w * F.lit(rh) - h * F.lit(rw)) * F.lit(lcm // rh)
+        for rw, rh in ladder
+    ]
+    m = F.least(*dists)
+    bucket = F.when(dists[0] == m, F.lit(0))
+    for i in range(1, len(ladder)):
+        bucket = bucket.when(dists[i] == m, F.lit(i))
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(n_shards)
+    )
+    base = df.select(
+        F.col(id_col),
+        bucket.cast("bigint").alias("bucket"),
+        shard.alias("shard"),
+    )
+    win = Window.partitionBy("bucket", "shard").orderBy(id_col)
+    rn = (F.row_number().over(win) - F.lit(1)).cast("bigint")
+    packed = base.select(
+        id_col,
+        "bucket",
+        "shard",
+        rn.alias("rn0"),
+    ).select(
+        id_col,
+        "bucket",
+        "shard",
+        F.expr(f"rn0 div {int(batch_size)}").cast("bigint").alias("batch_id"),
+        (F.col("rn0") % F.lit(batch_size)).cast("bigint").alias("slot"),
+    )
+    bwin = Window.partitionBy("bucket", "shard", "batch_id")
+    rw_arr = F.array(*[F.lit(rw).cast("bigint") for rw, _ in ladder])
+    rh_arr = F.array(*[F.lit(rh).cast("bigint") for _, rh in ladder])
+    return packed.select(
+        id_col,
+        "bucket",
+        F.get(rw_arr, F.col("bucket").cast("int")).alias("ratio_w"),
+        F.get(rh_arr, F.col("bucket").cast("int")).alias("ratio_h"),
+        "shard",
+        "batch_id",
+        "slot",
+        F.count(F.lit(1)).over(bwin).cast("bigint").alias("batch_rows"),
+    )

@@ -430,6 +430,24 @@ def q_pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aspect_batches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing + batch packing (the image analog of
+    sequence packing) over DERIVED integer dims from the events table
+    (w = 1 + id%37, h = 1 + id%23 covers the whole ladder): integer
+    argmin ladder assignment, md5-low32 sharding, windowed batch ids —
+    all engine-exact, so the oracle replays every step."""
+    from .functions.packing import aspect_bucket_batches
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        (F.lit(1) + F.col("event_id") % 37).alias("w"),
+        (F.lit(1) + F.col("event_id") % 23).alias("h"),
+    )
+    return aspect_bucket_batches(
+        ev, "event_id", "w", "h", batch_size=16, n_shards=4
+    )
+
+
 def q_top_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filtering: keep the top 40% of documents by n_chars within
     each language (md5(doc_id) tiebreak), exact windowed mode — the
@@ -1211,6 +1229,45 @@ def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_groups(feats, pairs, "image_id")
 
 
+def q_image_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level drift over REAL decoded image features: decode the
+    two-tone fixture → mean_r (closed-form: the integer c1+50) → per-shard
+    KS/PSI vs the even-row reference profile — the corrupted-shard /
+    ingest-regression probe of a 100 TB image pipeline, composing the
+    multimodal decode with the drift machinery. The repartition inserts
+    ONE shared Exchange so ReuseExchange decodes once across the
+    reference-profile and per-shard branches (CLAUDE.md pattern)."""
+    from . import fixtures
+    from .multimodal import decode_image_features
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    feats = (
+        decode_image_features(df)
+        .filter(F.col("ok"))
+        .select(
+            "mean_r",
+            F.substring("image_id", 4, 8).cast("bigint").alias("rid"),
+        )
+        .repartition(8)
+    )
+    ref = feats.filter(F.col("rid") % 2 == 0)
+    profile = table_rules.reference_profile(ref, "mean_r", 50.0, 178.0, 16)
+    out = table_rules.drift_per_partition(
+        feats,
+        "mean_r",
+        profile,
+        50.0,
+        178.0,
+        16,
+        partition_col=F.pmod(F.col("rid"), F.lit(4)),
+    )
+    return out.select(
+        F.col("partition_id").cast("bigint").alias("partition_id"),
+        F.floor(F.col("ks") * 1e6).cast("bigint").alias("ks_e6"),
+        F.floor(F.col("psi") * 1e6).cast("bigint").alias("psi_e6"),
+    )
+
+
 def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition metrics over the documents
     table: duplicate-bigram fraction + top-bigram share, the standard
@@ -1568,6 +1625,8 @@ QUERIES = {
     "phash_near_dup_images": q_phash_near_dup_images,
     "image_dedup_groups": q_image_dedup_groups,
     "phash_band_stats_events": q_phash_band_stats_events,
+    "aspect_batches_events": q_aspect_batches_events,
+    "image_feature_drift": q_image_feature_drift,
 }
 
 
@@ -2631,6 +2690,48 @@ SELECT CAST(band AS BIGINT) AS band,
 FROM occ GROUP BY 1, 2
 """
 
+# aspect bucketing: replay the integer ladder argmin (dist_i =
+# |w*rh_i - h*rw_i| * (144/rh_i), chained-CASE first-match tie-break),
+# the md5-low32 shard, and the per-(bucket, shard) window packing
+ORACLE_SQL["aspect_batches_events"] = """
+WITH base AS (
+  SELECT event_id, 1 + event_id % 37 AS w, 1 + event_id % 23 AS h FROM events
+),
+d AS (
+  SELECT event_id,
+    abs(w * 2 - h * 1) * 72 AS d0,
+    abs(w * 16 - h * 9) * 9 AS d1,
+    abs(w * 4 - h * 3) * 36 AS d2,
+    abs(w * 1 - h * 1) * 144 AS d3,
+    abs(w * 3 - h * 4) * 48 AS d4,
+    abs(w * 9 - h * 16) * 16 AS d5,
+    abs(w * 1 - h * 2) * 144 AS d6
+  FROM base
+),
+b AS (
+  SELECT event_id,
+    CASE WHEN d0 = m THEN 0 WHEN d1 = m THEN 1 WHEN d2 = m THEN 2
+         WHEN d3 = m THEN 3 WHEN d4 = m THEN 4 WHEN d5 = m THEN 5
+         ELSE 6 END AS bucket,
+    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
+  FROM (SELECT *, least(d0, d1, d2, d3, d4, d5, d6) AS m FROM d)
+),
+rn AS (
+  SELECT event_id, bucket, shard,
+    row_number() OVER (PARTITION BY bucket, shard ORDER BY event_id) - 1 AS rn0
+  FROM b
+)
+SELECT event_id, CAST(bucket AS BIGINT) AS bucket,
+  CAST([1, 9, 3, 1, 4, 16, 2][bucket + 1] AS BIGINT) AS ratio_w,
+  CAST([2, 16, 4, 1, 3, 9, 1][bucket + 1] AS BIGINT) AS ratio_h,
+  shard,
+  CAST(rn0 // 16 AS BIGINT) AS batch_id,
+  CAST(rn0 % 16 AS BIGINT) AS slot,
+  CAST(COUNT(*) OVER (PARTITION BY bucket, shard, rn0 // 16) AS BIGINT)
+    AS batch_rows
+FROM rn
+"""
+
 # phash over REAL decoded images: the cell-mask fixture makes the decoded
 # phash a pure integer expression of the row id (fixtures.phash_image_mask —
 # bit 15 on, bit 0 off, role 0/1/2 = base / 1-bit flip / 2-bit flip), so the
@@ -2754,6 +2855,64 @@ SELECT iid AS image_id, TRUE AS ok,
   CASE WHEN swapped THEN CAST({_FX.PHASH_LEFT_HIGH} AS BIGINT)
        ELSE CAST({_FX.PHASH_RIGHT_HIGH} AS BIGINT) END AS phash
 FROM cls WHERE NOT corrupt
+"""
+
+# image feature drift: regenerate mean_r = c1 + 50 from the residue
+# classes, then replay the drift histogram/CDF/PSI math (the
+# drift_per_partition_lineitem oracle pattern) — bucket width (178-50)/16 = 8
+ORACLE_SQL["image_feature_drift"] = f"""
+WITH {_FEAT_IMG_CLS},
+vals AS (
+  SELECT i, (c1 + 50)::DOUBLE AS v, i % 4 AS partition_id
+  FROM cls WHERE NOT corrupt
+),
+ref AS (
+  SELECT least(greatest(CAST(floor((v - 50.0) / 8.0) AS INT), 0), 15) AS bucket,
+         count(*) AS ref_n
+  FROM vals WHERE i % 2 = 0 GROUP BY 1
+),
+hist AS (
+  SELECT partition_id,
+         least(greatest(CAST(floor((v - 50.0) / 8.0) AS INT), 0), 15) AS bucket,
+         count(*) AS n
+  FROM vals GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.partition_id, b.bucket
+  FROM (SELECT DISTINCT partition_id FROM hist) p
+  CROSS JOIN (SELECT unnest(range(16))::INT AS bucket) b
+),
+full_h AS (
+  SELECT g.partition_id, g.bucket, coalesce(h.n, 0) AS n,
+         coalesce(r.ref_n, 0) AS ref_n
+  FROM grid g
+  LEFT JOIN hist h ON h.partition_id = g.partition_id AND h.bucket = g.bucket
+  LEFT JOIN ref r ON r.bucket = g.bucket
+),
+tot AS (SELECT partition_id, sum(n) AS t, sum(ref_n) AS tr FROM full_h GROUP BY 1),
+terms AS (
+  SELECT f.partition_id, f.bucket, f.n / t.t AS p, f.ref_n / t.tr AS q
+  FROM full_h f JOIN tot t USING (partition_id)
+),
+cdf AS (
+  SELECT partition_id, bucket, p, q,
+         sum(p) OVER (PARTITION BY partition_id ORDER BY bucket) AS cp,
+         sum(q) OVER (PARTITION BY partition_id ORDER BY bucket) AS cq
+  FROM terms
+),
+ks AS (SELECT partition_id, max(abs(cp - cq)) AS ks FROM cdf GROUP BY 1),
+psi AS (
+  SELECT partition_id,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list((p - q) * ln((p + 1e-6) / (q + 1e-6)) ORDER BY bucket)),
+           (a, b) -> a + b) AS psi
+  FROM terms GROUP BY 1
+)
+SELECT k.partition_id,
+       floor(1e6 * k.ks)::BIGINT AS ks_e6,
+       floor(1e6 * s.psi)::BIGINT AS psi_e6
+FROM ks k JOIN psi s USING (partition_id)
 """
 
 ORACLE_SQL["audio_features_clips"] = f"""

@@ -177,3 +177,59 @@ def test_filter_top_fraction_survives_colliding_column_names(spark):
         df, F.col("_score"), 0.5, "doc_id", approximate=True
     ).columns
     assert approx == ["doc_id", "_score", "_s"]
+
+
+def test_aspect_bucket_batches_known_values(spark):
+    from ndto_spark.functions.packing import aspect_bucket_batches
+
+    # ladder idx: 0=(1,2) 1=(9,16) 2=(3,4) 3=(1,1) 4=(4,3) 5=(16,9) 6=(2,1)
+    rows = [
+        (1, 100, 100),  # exact square -> bucket 3
+        (2, 100, 200),  # exact 1:2 -> bucket 0
+        (3, 160, 90),   # exact 16:9 -> bucket 5
+        (4, 101, 100),  # near-square -> bucket 3
+        (5, 7, 8),      # dist ties between 3:4 and 1:1 -> FIRST entry (2)
+    ]
+    df = spark.createDataFrame(rows, "img bigint, w int, h int")
+    out = {
+        r.img: r
+        for r in aspect_bucket_batches(
+            df, "img", "w", "h", batch_size=2, n_shards=1
+        ).collect()
+    }
+    assert {i: out[i].bucket for i in out} == {1: 3, 2: 0, 3: 5, 4: 3, 5: 2}
+    assert (out[3].ratio_w, out[3].ratio_h) == (16, 9)
+    assert (out[5].ratio_w, out[5].ratio_h) == (3, 4)
+    # single shard: bucket-3 members {1, 4} pack into one full batch of 2
+    assert (out[1].batch_id, out[1].slot, out[1].batch_rows) == (0, 0, 2)
+    assert (out[4].batch_id, out[4].slot, out[4].batch_rows) == (0, 1, 2)
+    # singleton buckets -> partial batches, flagged by batch_rows
+    assert (out[2].batch_id, out[2].slot, out[2].batch_rows) == (0, 0, 1)
+    with pytest.raises(ValueError, match="batch_size"):
+        aspect_bucket_batches(df, "img", "w", "h", batch_size=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        aspect_bucket_batches(df, "img", "w", "h", n_shards=0)
+
+
+def test_aspect_bucket_batches_shards_are_deterministic(spark):
+    from ndto_spark.functions.packing import aspect_bucket_batches
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 5, 10) for i in range(200)], "img bigint, w int, h int"
+    )
+    a = aspect_bucket_batches(df, "img", "w", "h", batch_size=8, n_shards=4)
+    b = aspect_bucket_batches(df, "img", "w", "h", batch_size=8, n_shards=4)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # every batch except possibly the last per (bucket, shard) is full
+    import collections
+
+    sizes = collections.defaultdict(int)
+    last = {}
+    for r in a.collect():
+        key = (r.bucket, r.shard)
+        sizes[(key, r.batch_id)] += 1
+        last[key] = max(last.get(key, -1), r.batch_id)
+    for (key, bid), n in sizes.items():
+        assert n == 8 or bid == last[key]

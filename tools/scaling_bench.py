@@ -92,11 +92,40 @@ for _ in range(2):
     pairs.count()
     d = time.time() - t0
     dedup_best = d if dedup_best is None else min(dedup_best, d)
+# fifth datapoint: phash band-LSH near-dup (the round-5 operator) over a
+# synthesized (id, phash60) population — md5-low60 phashes with a planted
+# hamming-1 neighbor every 50th row, exactly the gate query's shape but at
+# scaling volume. Pure JVM: md5 + band explode + self-join + popcount
+# verify — scales the band-bucket join machinery with zero Python.
+# Sizing: 60-bit/4-band keys are 15 bits wide (32k buckets), so bucket
+# occupancy df ~ n/32768 and candidate volume ~ 4 * n * df / 2 grows
+# QUADRATICALLY with n. 500k rows -> df ~15, ~15M candidates (~5 s on
+# local[8]); 4M rows -> df ~122, ~1B candidates (minutes). Keep n well
+# under the cap*32768 = 4.2M quadratic wall.
+from pyspark.sql import functions as F
+from ndto_spark.dedup import phash_near_dups
+n_ph = int(os.environ.get("NDTO_SCALING_PHASH", "500000"))
+src = F.when(F.col("id") % 50 == 0, F.col("id") - 1).otherwise(F.col("id"))
+ph = F.conv(F.substring(F.md5(src.cast("string")), 1, 15), 16, 10).cast("long")
+ph = F.when(F.col("id") % 50 == 0, ph.bitwiseXOR(F.lit(8))).otherwise(ph)
+imgs_ph = spark.range(0, n_ph, 1, cpus * 4).select(
+    F.col("id").alias("img_id"), ph.alias("phash60"))
+ph_pairs = phash_near_dups(imgs_ph, "img_id", "phash60", bits=60, bands=4,
+                           max_hamming=2, max_band_df=128)
+n_ph_pairs = ph_pairs.count()  # warm: codegen + shuffle files
+phash_best = None
+for _ in range(2):
+    t0 = time.time()
+    ph_pairs.count()
+    d = time.time() - t0
+    phash_best = d if phash_best is None else min(phash_best, d)
 print(json.dumps({"cpus": cpus, "sec": best, "rows": rows, "viols": viols,
                   "meta_sec": meta_best, "meta_rows": rows * 20,
                   "arrow_sec": arrow_best,
                   "dedup_sec": dedup_best, "dedup_rows": n_docs,
-                  "dedup_pairs": n_pairs}))
+                  "dedup_pairs": n_pairs,
+                  "phash_sec": phash_best, "phash_rows": n_ph,
+                  "phash_pairs": n_ph_pairs}))
 """
 
 
@@ -130,6 +159,7 @@ def main() -> None:
         out["meta_sec"] = min(a["meta_sec"], b["meta_sec"])
         out["arrow_sec"] = min(a["arrow_sec"], b["arrow_sec"])
         out["dedup_sec"] = min(a["dedup_sec"], b["dedup_sec"])
+        out["phash_sec"] = min(a["phash_sec"], b["phash_sec"])
         return out
 
     r8 = run(BASE)
@@ -149,6 +179,9 @@ def main() -> None:
     dtp8 = r8["dedup_rows"] / r8["dedup_sec"]
     dtp32 = r32["dedup_rows"] / r32["dedup_sec"]
     deff = (dtp32 / dtp8) / 4.0
+    ptp8 = r8["phash_rows"] / r8["phash_sec"]
+    ptp32 = r32["phash_rows"] / r32["phash_sec"]
+    peff = (ptp32 / ptp8) / 4.0
     md = f"""# Raw scaling run, base parallelism {BASE} (see BASELINE.md for curated evidence)
 
 Date: {date.today()}  ·  job: full images validation pipeline (metadata
@@ -198,6 +231,19 @@ after a full warm pass:
 | local[{r32['cpus']}] (4N) | {r32['dedup_sec']:.2f} | {dtp32:,.0f} |
 
 **Dedup-pipeline scaling efficiency N→4N = {deff:.2f}** (target ≥ 0.8).
+
+Phash band-LSH near-dup (bit-band explode, band-bucket self-join with the
+DF cap on, popcount verify — pure JVM join machinery) over a
+{r8['phash_rows']:,}-row synthesized (id, phash60) population with a planted
+hamming-1 neighbor every 50th row ({r8['phash_pairs']:,} verified pairs,
+identical at both sizes), min-of-2 after a full warm pass:
+
+| parallelism | wall sec | rows/sec |
+|---|---|---|
+| local[{r8['cpus']}]  (N)  | {r8['phash_sec']:.2f} | {ptp8:,.0f} |
+| local[{r32['cpus']}] (4N) | {r32['phash_sec']:.2f} | {ptp32:,.0f} |
+
+**Phash-banding scaling efficiency N→4N = {peff:.2f}** (target ≥ 0.8).
 
 Violations found: {r8['viols']:,} (identical at both sizes — same input,
 deterministic pipeline).
