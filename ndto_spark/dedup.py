@@ -954,3 +954,287 @@ def phash_band_stats(
             .alias("n_cand_pairs"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_df: int = 2,
+    spread: bool = True,
+) -> DataFrame:
+    """CCNet-style duplicated-line removal (Wenzek et al. 2019, public):
+    drop every line whose exact content appears in >= ``min_df`` DISTINCT
+    documents (cross-document boilerplate — headers, nav bars, cookie
+    banners), keep the rest in original order.
+
+    Returns one row per input document:
+    ``(id, n_lines, n_dup_lines, clean_text)`` — clean_text is the
+    surviving lines re-joined with ``sep``.
+
+    100 TB shape: lines are keyed by a 128-bit md5, and ONE
+    ``repartition(line_hash)`` Exchange feeds both the document-frequency
+    aggregation and the anti-join back onto the lines (ReuseExchange) —
+    the document text itself is shuffled once as (doc, pos, line) rows,
+    df-counting is partially aggregated map-side, and reassembly is a
+    per-doc groupBy bounded by document size. A line repeated WITHIN one
+    doc counts once toward df (CCNet semantics: cross-document duplication
+    only).
+    """
+    rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    if spread:
+        rows = _spread(rows)  # line splitting must not ride a 1-task scan
+    # explode_outer: InferFiltersFromGenerate would otherwise clone the
+    # split() below an inferred size()>0 filter (see ngram_jaccard_pairs)
+    lines = (
+        rows.select(
+            "doc",
+            F.posexplode_outer(F.split(F.col("_t"), sep, -1)).alias(
+                "pos", "line"
+            ),
+        )
+        .filter(F.col("line").isNotNull())
+        .select("doc", "pos", "line", F.md5(F.col("line")).alias("lh"))
+        .repartition(F.col("lh"))  # one Exchange shared by BOTH branches
+    )
+    dup = (
+        lines.dropDuplicates(["lh", "doc"])
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("lh", F.lit(1).alias("_d"))
+    )
+    flagged = lines.join(dup, "lh", "left")
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.count("_d").cast("bigint").alias("n_dup_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_d").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "n_lines", "n_dup_lines", "clean_text"
+        )
+    )
+
+
+def _bloom_positions_hex(md5hex: Column, m_bits: int, k: int) -> Column:
+    """k Bloom bit positions from one md5, via Kirsch-Mitzenmacher double
+    hashing: g_j = (h1 + j * h2) mod m over two independent 32-bit md5
+    slices (h2 forced odd so the stride is invertible mod a power-of-two
+    m). Engine-portable: DuckDB reproduces every operation bit-for-bit
+    (('0x'||substr(md5,..))::BIGINT, |, %, all on BIGINTs — h1 + j*h2 <
+    2^36 for k <= 16, far from overflow).
+    """
+    h1 = F.conv(F.substring(md5hex, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5hex, 9, 8), 16, 10).cast("long").bitwiseOR(
+        F.lit(1)
+    )
+    return F.array(
+        *[(h1 + F.lit(j) * h2) % F.lit(m_bits) for j in range(k)]
+    )
+
+
+def bloom_build(
+    df: DataFrame, text_col: str, m_bits: int = 1 << 17, k: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over a corpus's content hashes as a DataFrame
+    of DISTINCT set bit positions — ``(bit)``, at most ``m_bits`` rows
+    regardless of corpus size (the 100 TB property: the filter's size is
+    fixed by m, the build is a partially-aggregated distinct, and the
+    result broadcasts — m=2^17 is at most 1 MB of longs).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("ph"))
+        .select(
+            F.explode(_bloom_positions_hex(F.col("ph"), m_bits, k)).alias(
+                "bit"
+            )
+        )
+        .dropDuplicates(["bit"])
+    )
+
+
+def bloom_dedup_flags(
+    new: DataFrame,
+    prev: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+    spread: bool = True,
+) -> DataFrame:
+    """Incremental cross-corpus dedup: flag rows of ``new`` whose content
+    hash is (probably) already in ``prev``, Bloom-first.
+
+    Returns ``(id, bloom_hit, exact_dup)`` for every row of ``new``:
+    bloom_hit iff ALL k bit positions are set in prev's filter; exact_dup
+    iff the md5 itself occurs in prev. Bloom filters have NO false
+    negatives, so exact_dup => bloom_hit and the exact verification runs
+    ONLY on bloom-hit survivors — at 100 TB the broadcast filter prunes
+    the new crawl down to the (tiny) probable-duplicate set before any
+    shuffle join touches prev's full hash set. bloom_hit AND NOT exact_dup
+    rows are the filter's false positives (rate ~ (1 - e^(-kn/m))^k).
+    """
+    bits = F.broadcast(
+        bloom_build(prev, text_col, m_bits, k).select(
+            "bit", F.lit(1).alias("_s")
+        )
+    )
+    n = new.select(F.col(id_col).alias("pid"), F.md5(F.col(text_col)).alias("ph"))
+    if spread:
+        n = _spread(n)
+    per = (
+        n.select(
+            "pid",
+            "ph",
+            F.explode(_bloom_positions_hex(F.col("ph"), m_bits, k)).alias(
+                "bit"
+            ),
+        )
+        .join(bits, "bit", "left")
+        .groupBy("pid", "ph")
+        .agg((F.count("_s") == F.lit(k)).alias("bloom_hit"))
+    )
+    prev_h = (
+        prev.select(F.md5(F.col(text_col)).alias("ph"))
+        .dropDuplicates(["ph"])
+        .select("ph", F.lit(1).alias("_e"))
+    )
+    hits = (
+        per.filter(F.col("bloom_hit"))
+        .join(prev_h, "ph", "left")
+        .select(
+            "pid", "bloom_hit", F.col("_e").isNotNull().alias("exact_dup")
+        )
+    )
+    misses = per.filter(~F.col("bloom_hit")).select(
+        "pid", "bloom_hit", F.lit(False).alias("exact_dup")
+    )
+    return hits.unionByName(misses).select(
+        F.col("pid").alias(id_col), "bloom_hit", "exact_dup"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    quantize: float = 1e6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public): k-means-
+    cluster the embedding space, then mark a vector a SEMANTIC duplicate
+    when a smaller-id vector in the SAME cluster has cosine >= threshold
+    (the deterministic min-id analog of the paper's keep-one-per-group
+    rule).
+
+    Returns ``(id, cid, n_dups, removed)`` for every valid input vector.
+
+    100 TB shape: training + assignment reuse ann.kmeans_centroids'
+    expression-side argmin (k literal dot products, no shuffle; the
+    codebook-literal bound caps k*dim); the pairwise step is confined
+    WITHIN clusters — one repartition(cid) Exchange feeds both sides of
+    the self-join (ReuseExchange), so cost is sum over clusters of
+    |c|^2/2, never n^2. k must scale with the corpus (the paper uses
+    ~sqrt(n) clusters); for k beyond the literal bound run per-shard or
+    use the hyperplane-LSH path (embedding_near_dups).
+    """
+    import math
+
+    from . import ann
+    from .ann import dot, norm
+
+    cents = ann.kmeans_centroids(
+        df, dim=dim, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter,
+        quantize=quantize,
+    )
+    spark = df.sparkSession
+    if not cents:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(id_col, df.schema[id_col].dataType),
+                T.StructField("cid", T.LongType()),
+                T.StructField("n_dups", T.LongType()),
+                T.StructField("removed", T.BooleanType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    norms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
+    sims = F.array(
+        *[
+            F.struct(
+                (
+                    -dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in c]))
+                    / (norm(F.col("vec")) * F.lit(cn))
+                ).alias("neg"),
+                F.lit(i).alias("cid"),
+            )
+            for i, (c, cn) in enumerate(zip(cents, norms))
+        ]
+    )
+    assigned = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .filter(F.col("vec").isNotNull() & (F.size("vec") >= dim))
+        .select(
+            "vid",
+            "vec",
+            F.array_min(sims)["cid"].alias("cid"),
+            norm(F.col("vec")).alias("nrm"),
+        )
+        .repartition(F.col("cid"))  # ONE Exchange, shared by both join sides
+    )
+    a = assigned.select(
+        F.col("vid").alias("id_a"), "cid", F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), "cid", F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dup_counts = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            (
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .groupBy("id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dups"))
+        .withColumnRenamed("id_b", "vid")
+    )
+    return (
+        assigned.select("vid", "cid")
+        .join(dup_counts, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid").cast("bigint").alias("cid"),
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+            (F.coalesce("n_dups", F.lit(0)) > 0).alias("removed"),
+        )
+    )

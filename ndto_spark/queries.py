@@ -1567,6 +1567,66 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINE_CHUNK = 3  # tokens per derived "line" (see q_line_dedup_documents)
+
+
+def q_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-line removal. The documents corpus has no
+    newlines, so the gate derives a multi-line fixture EXPRESSION-SIDE —
+    each doc's text re-chunked into 3-token lines joined by \\n — a
+    derivation both engines replay exactly (Spark sequence/slice vs DuckDB
+    generate_series/list-slice). With the ~30-word vocabulary, ~19% of
+    3-token lines recur across documents (max df 10 at sf0.01), so both
+    the drop and keep branches carry weight. Output keeps the cleaned
+    text's md5 + length rather than the text (compact at sf0.1)."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(toks) / F.lit(float(_LINE_CHUNK))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * _LINE_CHUNK + 1, _LINE_CHUNK)
+        ),
+    )
+    ml = d.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    out = dedup.line_dedup(ml, "doc_id", "text", sep="\n", min_df=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        F.length("clean_text").cast("bigint").alias("clean_chars"),
+    )
+
+
+def q_bloom_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus Bloom dedup: the even md5-residue half of
+    documents plays the previous crawl; every doc is probed against its
+    broadcast Bloom filter (m=2^14 bits, k=4 — sized so the sf0.1 fill
+    ratio leaves a visible false-positive band) and bloom hits are
+    exact-verified. The prev-half rows themselves must all come back
+    (bloom_hit, exact_dup) = (true, true) — no false negatives."""
+    d = _read(spark, sf_dir, "documents")
+    prev = d.filter(dedup.md5_low32(F.col("text")) % 2 == 0)
+    return dedup.bloom_dedup_flags(
+        d, prev, "doc_id", "text", m_bits=1 << 14, k=4
+    )
+
+
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: deterministic k-means (the
+    ann_ivf_trained training loop — md5-ordered init, quantized centroids)
+    then within-cluster cosine >= 0.5 against smaller ids. The oracle
+    replays training via the shared k-means CTE block and self-joins
+    within clusters."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dedup.semantic_dedup(
+        emb, dim=64, k=8, n_iter=2, threshold=0.5, quantize=1e6
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -1627,6 +1687,9 @@ QUERIES = {
     "phash_band_stats_events": q_phash_band_stats_events,
     "aspect_batches_events": q_aspect_batches_events,
     "image_feature_drift": q_image_feature_drift,
+    "line_dedup_documents": q_line_dedup_documents,
+    "bloom_dedup_documents": q_bloom_dedup_documents,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
 }
 
 
@@ -1845,16 +1908,12 @@ FROM ranked WHERE rk <= {k}
 """
 
 
-def _ann_ivf_trained_sql(
-    k: int, n_lists: int, n_probe: int, dim: int, n_iter: int
-) -> str:
-    """IVF over a trained codebook: Lloyd's iterations unrolled as CTEs.
-
-    Replays ann.kmeans_centroids exactly — md5-ordered init, cosine-argmax
-    assignment (ties → lower cid), per-dimension avg means truncated to
-    floor(x*1e6)/1e6, empty clusters keeping the previous centroid — then
-    the same IVF probe/rank as _ann_ivf_sql over the trained centroids.
-    """
+def _kmeans_ctes(n_lists: int, dim: int, n_iter: int) -> list[str]:
+    """CTE block replaying ann.kmeans_centroids exactly — md5-ordered
+    init, cosine-argmax assignment (ties → lower cid), per-dimension avg
+    means truncated to floor(x*1e6)/1e6, empty clusters keeping the
+    previous centroid. Yields ``e`` (the corpus) and ``c{n_iter}`` (the
+    trained codebook); shared by the trained-IVF and SemDeDup oracles."""
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""c0 AS (
@@ -1890,6 +1949,16 @@ def _ann_ivf_trained_sql(
   FROM {prev} p LEFT JOIN m{it} m USING (cid)
 )"""
         )
+    return ctes
+
+
+def _ann_ivf_trained_sql(
+    k: int, n_lists: int, n_probe: int, dim: int, n_iter: int
+) -> str:
+    """IVF over a trained codebook: Lloyd's iterations unrolled as CTEs
+    (_kmeans_ctes), then the same IVF probe/rank as _ann_ivf_sql over the
+    trained centroids."""
+    ctes = _kmeans_ctes(n_lists, dim, n_iter)
     trained = f"c{n_iter}"
     ctes.append(
         f"""assign_all AS (
@@ -2961,3 +3030,101 @@ SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, user_id,
   event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS value_e4
 FROM events
 """
+
+# CCNet-style line dedup: replay the 3-token-chunk multi-line derivation
+# (generate_series is bounded — docs are <= 100 tokens — and i*3 < len(ls)
+# clamps it), then the df-count / drop / reassemble pipeline. clean text is
+# compared by md5 + length to keep the gate output compact at sf0.1.
+ORACLE_SQL["line_dedup_documents"] = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ls[(i*{_LINE_CHUNK}+1):(i*{_LINE_CHUNK}+{_LINE_CHUNK})], ' ') AS line
+  FROM base, generate_series(0, 63) g(i)
+  WHERE i*{_LINE_CHUNK} < len(ls)
+),
+dfreq AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS linedf
+          FROM chunks GROUP BY 1),
+dup AS (SELECT lh FROM dfreq WHERE linedf >= 2),
+flagged AS (
+  SELECT doc_id, pos, line,
+         (md5(line) IN (SELECT lh FROM dup)) AS isdup
+  FROM chunks
+)
+SELECT doc_id,
+  count(*)::BIGINT AS n_lines,
+  sum(CASE WHEN isdup THEN 1 ELSE 0 END)::BIGINT AS n_dup_lines,
+  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+               FILTER (WHERE NOT isdup), '')) AS clean_md5,
+  length(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE NOT isdup), ''))::BIGINT AS clean_chars
+FROM flagged GROUP BY doc_id
+"""
+
+# Bloom incremental dedup: replay the Kirsch-Mitzenmacher positions
+# (h1 + j*(h2|1)) mod m over the two 32-bit md5 slices, build the bit set
+# from the even-residue half, probe all docs, exact-verify hits.
+ORACLE_SQL["bloom_dedup_documents"] = """
+WITH d AS (SELECT doc_id, md5(text) AS ph FROM documents),
+pp AS (SELECT DISTINCT ph FROM d
+       WHERE ('0x'||substr(ph,1,8))::BIGINT % 2 = 0),
+bits AS (
+  SELECT DISTINCT (('0x'||substr(ph,1,8))::BIGINT
+                   + j * ((('0x'||substr(ph,9,8))::BIGINT) | 1)) % 16384 AS bit
+  FROM pp, range(4) t(j)
+),
+probe AS (
+  SELECT doc_id, ph,
+         (('0x'||substr(ph,1,8))::BIGINT
+          + j * ((('0x'||substr(ph,9,8))::BIGINT) | 1)) % 16384 AS bit
+  FROM d, range(4) t(j)
+),
+hits AS (
+  SELECT doc_id, ph,
+         (count(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 END) = 4)
+           AS bloom_hit
+  FROM probe GROUP BY doc_id, ph
+)
+SELECT doc_id, bloom_hit,
+  CASE WHEN bloom_hit THEN ph IN (SELECT ph FROM pp) ELSE FALSE END AS exact_dup
+FROM hits
+"""
+
+
+def _semantic_dedup_sql(n_lists: int, dim: int, n_iter: int, tau: float) -> str:
+    """SemDeDup oracle: shared k-means training CTEs, final assignment,
+    within-cluster smaller-id cosine-duplicate counts."""
+    ctes = _kmeans_ctes(n_lists, dim, n_iter)
+    trained = f"c{n_iter}"
+    ctes.append(
+        f"""assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rk
+    FROM e CROSS JOIN {trained} c
+  ) WHERE rk = 1
+)"""
+    )
+    ctes.append(
+        f"""dups AS (
+  SELECT b.vec_id AS vid, count(*)::BIGINT AS n_dups
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {tau!r}::DOUBLE
+  GROUP BY b.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       coalesce(d.n_dups, 0)::BIGINT AS n_dups,
+       coalesce(d.n_dups, 0) > 0 AS removed
+FROM assign a LEFT JOIN dups d ON d.vid = a.vec_id"""
+    )
+
+
+ORACLE_SQL["semantic_dedup_embeddings"] = _semantic_dedup_sql(
+    n_lists=8, dim=64, n_iter=2, tau=0.5
+)

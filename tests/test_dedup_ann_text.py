@@ -376,3 +376,109 @@ def test_phash_band_stats_histogram_known_values(spark):
     }
     with pytest.raises(ValueError, match="split evenly"):
         phash_band_stats(df, "ph", bits=16, bands=3)
+
+
+def test_line_dedup_removes_cross_doc_lines(spark):
+    # "dup line" appears in docs 1 and 2 (cross-doc -> removed); "solo solo"
+    # repeats WITHIN doc 3 only (df=1 -> kept, CCNet semantics); order of
+    # surviving lines is preserved.
+    rows = [
+        (1, "dup line\nkeep one\ndup line"),
+        (2, "dup line\nkeep two"),
+        (3, "solo solo\nmiddle bit\nsolo solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.line_dedup(df, "doc_id", "text", min_df=2).collect()
+    }
+    assert (out[1].n_lines, out[1].n_dup_lines) == (3, 2)
+    assert out[1].clean_text == "keep one"
+    assert (out[2].n_lines, out[2].n_dup_lines) == (2, 1)
+    assert out[2].clean_text == "keep two"
+    # within-doc repetition does not count toward document frequency
+    assert (out[3].n_lines, out[3].n_dup_lines) == (3, 0)
+    assert out[3].clean_text == "solo solo\nmiddle bit\nsolo solo"
+
+
+def test_line_dedup_all_lines_removed(spark):
+    rows = [(1, "same line"), (2, "same line")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(df, "doc_id", "text").collect()}
+    assert out[1].clean_text == "" and out[2].clean_text == ""
+    assert out[1].n_dup_lines == 1
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    prev = spark.createDataFrame(
+        [(i, f"previous crawl document {i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    new_rows = [(100 + i, f"previous crawl document {i}") for i in range(25)]
+    new_rows += [(200 + i, f"brand new document {i}") for i in range(25)]
+    new = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dedup.bloom_dedup_flags(
+        new, prev, "doc_id", "text", m_bits=1 << 12, k=4
+    ).collect()}
+    assert len(out) == 50
+    # every true duplicate MUST come back (bloom_hit, exact_dup) = (T, T)
+    for i in range(25):
+        assert out[100 + i].bloom_hit and out[100 + i].exact_dup
+    # exact_dup implies bloom_hit everywhere; fresh docs are never exact
+    for r in out.values():
+        assert r.bloom_hit or not r.exact_dup
+        if r.doc_id >= 200:
+            assert not r.exact_dup
+
+
+def test_bloom_false_positive_band_with_tiny_filter(spark):
+    # m=64 bits with 50 builds -> heavy fill: SOME fresh doc should
+    # bloom-hit without being an exact dup, and must be flagged exactly so
+    prev = spark.createDataFrame(
+        [(i, f"previous crawl document {i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(200 + i, f"brand new document {i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    out = dedup.bloom_dedup_flags(
+        new, prev, "doc_id", "text", m_bits=64, k=4
+    ).collect()
+    assert any(r.bloom_hit and not r.exact_dup for r in out)
+    assert not any(r.exact_dup for r in out)
+
+
+def test_semantic_dedup_min_id_keeper(spark):
+    # vecs 1,2,3 identical (one semantic group); 10,11 identical but far
+    # from the first group; 20 isolated. k=3 clusters separate the groups;
+    # within each group every non-min id is removed.
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = (
+        [(i, unit(0.0)) for i in (1, 2, 3)]
+        + [(i, unit(2.0)) for i in (10, 11)]
+        + [(20, unit(4.0))]
+    )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, dim=8, k=3, n_iter=2, threshold=0.95
+    ).collect()}
+    assert len(out) == 6
+    assert not out[1].removed and out[2].removed and out[3].removed
+    assert out[2].n_dups == 1 and out[3].n_dups == 2
+    assert not out[10].removed and out[11].removed
+    assert not out[20].removed
+    # group members share a cluster id
+    assert out[1].cid == out[2].cid == out[3].cid
+    assert out[10].cid == out[11].cid
+
+
+def test_semantic_dedup_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = dedup.semantic_dedup(df, dim=8, k=3, n_iter=1)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cid", "n_dups", "removed"]
