@@ -393,7 +393,10 @@ def near_dup_groups(
     keeper, matching exact_dedup_groups' keeper = min id). Singletons keep
     themselves.
 
-    Algorithm: iterative min-label propagation, hybrid plain/doubling.
+    Algorithm: iterative min-label propagation, hybrid plain/doubling,
+    over the PAIR-GRAPH VERTICES only (rows outside the graph are
+    singletons by definition and rejoin once at the end — the corpus
+    never rides the propagation rounds).
     Every round takes label(v) ← min(label(v), min over neighbors of their
     labels); from round ``shortcut_after`` on it additionally shortcuts
     label(v) ← label(label(v)). Near-dup components are small and dense
@@ -442,8 +445,14 @@ def near_dup_groups(
     edges = base.union(
         base.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    labels = df.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    # iterate ONLY over vertices that appear in some pair: near-dup graphs
+    # touch a tiny fraction of a 100 TB corpus, and the previous shape
+    # shuffled EVERY corpus row through every propagation round. Rows
+    # outside the graph are singletons by definition — they rejoin once at
+    # the end (left join + coalesce to self). edges is symmetric, so
+    # distinct ``a`` covers every endpoint.
+    labels = edges.select("a").dropDuplicates().select(
+        F.col("a").alias("id"), F.col("a").alias("label")
     )
     run_dir = None
     prev_path = None
@@ -451,6 +460,22 @@ def near_dup_groups(
     changed = 0
     try:
         for i in range(max_iter):
+            if i == shortcut_after:
+                # entering shortcut mode: truncate the plain-round persist
+                # chain to a flat parquet scan ONCE, so the first doubling
+                # round's self-join clones a file read instead of the
+                # 4-layer cached join lineage (DeduplicateRelations'
+                # cloned side recomputed it — measured 8.5 s vs 1.4 s for
+                # the first spill-round write on a 600-image chain graph)
+                if run_dir is None:
+                    run_dir = tempfile.mkdtemp(prefix="ndto_neardup_")
+                entry = os.path.join(run_dir, "labels_entry")
+                labels.write.parquet(entry)
+                labels = spark.read.parquet(entry)
+                if prev_cache is not None:
+                    prev_cache.unpersist()
+                    prev_cache = None
+                prev_path = entry
             nmin = (
                 edges.join(labels, F.col("a") == F.col("id"))
                 .groupBy("b")
@@ -469,7 +494,15 @@ def near_dup_groups(
                     F.col("p").alias("new_label"),
                     (F.col("p") < F.col("old")).alias("_chg"),
                 ).persist()
-                changed = upd.filter(F.col("_chg")).limit(1).count()
+                # convergence probe WITHOUT limit(1): CollectLimit stops
+                # computing partitions as soon as one row is found, which
+                # left upd's persist() PARTIALLY populated — every later
+                # round then recomputed the uncached partitions through an
+                # ever-deeper label lineage (measured 3.5 s -> 229 s per
+                # round on a 16-round chain). A full count() computes — and
+                # therefore caches — every partition; the scan it pays IS
+                # the round's join, which the cache was for anyway.
+                changed = upd.filter(F.col("_chg")).count()
                 if prev_cache is not None:
                     prev_cache.unpersist()
                 prev_cache = upd
@@ -529,8 +562,15 @@ def near_dup_groups(
         # the returned DataFrame lazily reads the final round's parquet:
         # reclaim the run-scoped dir at interpreter exit (docstring contract)
         atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
-    return labels.select(
-        F.col("id").alias(id_col), F.col("label").alias("keeper_id")
+    # singletons (rows outside the pair graph) rejoin here, keeping
+    # themselves — the corpus is touched exactly once, not once per round
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("label", "_lbl"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_lbl"), F.col("id")).alias("keeper_id"),
+        )
     )
 
 
