@@ -123,3 +123,64 @@ def filter_top_fraction(
         )
         .drop(c_s, c_score, c_rn, c_n)
     )
+
+
+def source_mixing_weights(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Data-mixture rebalancing: per-source token shares and the sampling
+    weight that moves the mixture to a target distribution —
+    ``(source, n_docs, n_tokens, share_e6, weight_e6)``.
+
+    weight = target_share / current_share (the multiplicative factor a
+    sampler applies to reach the target; >1 = upsample). ``target`` maps
+    source → share and defaults to uniform over the observed sources;
+    missing keys mean 0 (drop the source). Quantized to 1e-6 floors for
+    engine portability.
+
+    100 TB shape: one partially-aggregated groupBy(source) over token
+    counts (pure expressions), then a broadcast of the 1-row global total
+    — sources are few, the corpus is scanned once.
+    """
+    from ..dedup import tokens as _tokens
+
+    per = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(_tokens(F.col(text_col))).cast("bigint").alias("_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_nsrc"),
+    )
+    joined = per.join(F.broadcast(tot))
+    if target is None:
+        tgt = F.lit(1.0) / F.col("_nsrc").cast("double")
+    else:
+        tgt = F.coalesce(
+            *[
+                F.when(F.col("source") == F.lit(s), F.lit(float(v)))
+                for s, v in sorted(target.items())
+            ],
+            F.lit(0.0),
+        )
+    share = F.col("n_tokens").cast("double") / F.col("_total")
+    return joined.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(share * 1e6).cast("bigint").alias("share_e6"),
+        # a zero-token source has no defined upsample factor (inf) — NULL
+        F.when(share > 0, F.floor(tgt / share * 1e6).cast("bigint")).alias(
+            "weight_e6"
+        ),
+    )

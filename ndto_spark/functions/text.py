@@ -192,3 +192,47 @@ def repetition_metrics(
         .cast("bigint")
         .alias("top_gram_share_e6"),
     )
+
+
+def token_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Corpus token-frequency table — ``(token, tf, doc_freq, vocab_rank)`` — the
+    tokenizer-training / vocab-pruning primitive (BPE corpora start from
+    exactly this table).
+
+    tf = total occurrences, doc_freq = documents containing the token,
+    vocab_rank = position by (tf DESC, token ASC) — fully deterministic.
+
+    100 TB shape: explode → partially-aggregated groupBy(token) carrying
+    count + count(DISTINCT doc) (the distinct shuffles (token, doc) pairs,
+    bounded by corpus token volume). The ranking window is GLOBAL (one
+    partition) but runs over the VOCABULARY, not the corpus — filter with
+    ``min_tf`` first; natural-language vocabularies are millions of rows
+    where the corpus is trillions, and a tf floor of even 2 cuts the
+    hapax tail in half.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token").isNotNull())
+    agg = (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.countDistinct("doc").cast("bigint").alias("doc_freq"),
+        )
+        .filter(F.col("tf") >= min_tf)
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return agg.select(
+        "token",
+        "tf",
+        "doc_freq",
+        F.row_number().over(w).cast("bigint").alias("vocab_rank"),
+    )

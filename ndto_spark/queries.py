@@ -1627,6 +1627,25 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table (tokenizer-training prep): tf, document
+    frequency, and deterministic vocabulary rank, tf floor 2."""
+    from .functions.text import token_stats
+
+    return token_stats(_read(spark, sf_dir, "documents"), "doc_id", "text",
+                       min_tf=2)
+
+
+def q_mixing_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares + uniform-target mixing weights over the
+    documents table (data-mixture rebalancing)."""
+    from .functions.sampling import source_mixing_weights
+
+    return source_mixing_weights(
+        _read(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -1690,6 +1709,8 @@ QUERIES = {
     "line_dedup_documents": q_line_dedup_documents,
     "bloom_dedup_documents": q_bloom_dedup_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "token_stats_documents": q_token_stats_documents,
+    "mixing_weights_documents": q_mixing_weights_documents,
 }
 
 
@@ -3128,3 +3149,32 @@ FROM assign a LEFT JOIN dups d ON d.vid = a.vec_id"""
 ORACLE_SQL["semantic_dedup_embeddings"] = _semantic_dedup_sql(
     n_lists=8, dim=64, n_iter=2, tau=0.5
 )
+
+ORACLE_SQL["token_stats_documents"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+agg AS (
+  SELECT token, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS doc_freq
+  FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, tf, doc_freq,
+       (row_number() OVER (ORDER BY tf DESC, token))::BIGINT AS vocab_rank
+FROM agg WHERE tf >= 2
+"""
+
+ORACLE_SQL["mixing_weights_documents"] = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS total, count(*)::BIGINT AS nsrc FROM per)
+SELECT source, n_docs, n_tokens,
+  floor(n_tokens / total * 1e6)::BIGINT AS share_e6,
+  CASE WHEN n_tokens > 0
+       THEN floor((1.0 / nsrc) / (n_tokens / total) * 1e6)::BIGINT END
+    AS weight_e6
+FROM per, tot
+"""

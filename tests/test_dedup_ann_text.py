@@ -482,3 +482,39 @@ def test_semantic_dedup_empty_input(spark):
     out = dedup.semantic_dedup(df, dim=8, k=3, n_iter=1)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cid", "n_dups", "removed"]
+
+
+def test_token_stats_counts_and_rank(spark):
+    rows = [
+        (1, "aa bb aa"),
+        (2, "aa cc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.token: r for r in textfn.token_stats(df, "doc_id", "text").collect()}
+    assert (out["aa"].tf, out["aa"].doc_freq, out["aa"].vocab_rank) == (3, 2, 1)
+    # tf tie between bb and cc: rank breaks by token ascending
+    assert (out["bb"].tf, out["bb"].doc_freq, out["bb"].vocab_rank) == (1, 1, 2)
+    assert (out["cc"].tf, out["cc"].doc_freq, out["cc"].vocab_rank) == (1, 1, 3)
+    pruned = textfn.token_stats(df, "doc_id", "text", min_tf=2).collect()
+    assert [r.token for r in pruned] == ["aa"]
+
+
+def test_source_mixing_weights_uniform_and_explicit(spark):
+    from ndto_spark.functions.sampling import source_mixing_weights
+
+    rows = [(1, "w " * 74 + "w", "a"), (2, "w " * 24 + "w", "b")]  # 75/25
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r.source: r for r in source_mixing_weights(df, "source", "text").collect()}
+    assert out["a"].n_tokens == 75 and out["b"].n_tokens == 25
+    assert out["a"].share_e6 == 750000 and out["b"].share_e6 == 250000
+    # uniform target 0.5: a downweights to 2/3, b upsamples 2x
+    assert out["a"].weight_e6 == 666666 and out["b"].weight_e6 == 2000000
+    tgt = {r.source: r for r in source_mixing_weights(
+        df, "source", "text", target={"a": 0.9, "b": 0.1}
+    ).collect()}
+    assert tgt["a"].weight_e6 == 1200000 and tgt["b"].weight_e6 == 400000
+    # a source missing from the target map gets weight 0
+    none = {r.source: r for r in source_mixing_weights(
+        df, "source", "text", target={"a": 1.0}
+    ).collect()}
+    assert none["b"].weight_e6 == 0
