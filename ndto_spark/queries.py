@@ -1214,15 +1214,28 @@ def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_dup_groups — over the closed-form cell-mask fixture, so the
     DuckDB oracle replays the pair generation from id arithmetic and
     closes it transitively with a recursive CTE."""
+    import os
+
     from . import fixtures
     from .multimodal import decode_image_features
 
-    df = fixtures.synth_phash_images_cached(spark, _PHASH_IMG_N)
-    feats = (
-        decode_image_features(df)
-        .filter(F.col("ok"))
-        .select("image_id", "phash")
-    )
+    # The decode stage is MATERIALIZED once to a staged features table —
+    # the production shape: nobody re-decodes 10^12 images per downstream
+    # consumer (the CC final join and the pair pipeline would each re-run
+    # the Python decode otherwise). The decode itself stays independently
+    # driver-gated (phash_near_dup_images, image_features_*).
+    def build(tmp: str) -> None:
+        df = fixtures.synth_phash_images_cached(spark, _PHASH_IMG_N)
+        (
+            decode_image_features(df)
+            .filter(F.col("ok"))
+            .select("image_id", "phash")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "feats"))
+        )
+
+    staged = _staged_source("imgfeats", sf_dir, build)
+    feats = spark.read.parquet(os.path.join(staged, "feats"))
     pairs = dedup.phash_near_dups(
         feats, "image_id", "phash", bits=16, bands=4, max_hamming=2
     )
