@@ -442,6 +442,13 @@ def near_dup_groups(
     base = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).persist()
+    # materialize base EAGERLY: round 0 now has three consumers of the
+    # pair set (the two symmetrize branches + the vertex frame below), and
+    # branches of one cold job race the cache and re-run the whole
+    # upstream pair pipeline per branch (measured +3 s at sf0.1 when the
+    # vertex frame landed) — one count() populates the cache before any
+    # fan-out reads it
+    base.count()
     edges = base.union(
         base.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
