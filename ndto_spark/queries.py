@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import ann, dedup, table_rules
+from . import ann, dedup, table_rules, temporal
 from . import fixtures as _FX
 from .functions import text as textfn
 from .runner import RuleSet
@@ -1659,6 +1659,132 @@ def q_mixing_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_S = 48 * 3600  # null-out band: purchases older than 48 h don't count
+_RANGE_WINDOW_S = 6 * 3600  # attribute clicks within 6 h of a purchase
+_SESSION_GAP_S = 86400  # per-user events average one ~10 h gap; 24 h merges runs
+
+
+def _events_split(spark: SparkSession, sf_dir: str):
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return ev, clicks, purchases
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click joined to the user's most recent
+    purchase at-or-before it, nulled beyond a 48 h tolerance. The oracle is
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — a fully independent second
+    implementation of the semantics (not an algorithm replay)."""
+    _, clicks, purchases = _events_split(spark, sf_dir)
+    pur = purchases.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    out = temporal.asof_join(
+        clicks, pur, on="ts", by="user_id", tolerance_s=_ASOF_TOL_S
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        temporal.ts_to_us(out, "ts").alias("t_us"),
+        F.floor(F.col("value") * 1e4).cast("bigint").alias("value_e4"),
+        "p_event_id",
+        F.col("asof_ts_us").alias("p_ts_us"),
+        F.floor(F.col("p_value") * 1e4).cast("bigint").alias("p_value_e4"),
+    )
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment via the bucketed equi-join: clicks falling in
+    [purchase, purchase + 6 h) windows of the same user. The oracle is
+    DuckDB's plain inequality join (its IEJoin path) — independent of the
+    bucketing scheme."""
+    _, clicks, purchases = _events_split(spark, sf_dir)
+    iv = purchases.select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr(f"INTERVAL {_RANGE_WINDOW_S} SECONDS")).alias(
+            "end_ts"
+        ),
+    )
+    probes = clicks.select(
+        "event_id", "user_id", F.col("ts").alias("c_ts"), "value"
+    )
+    out = temporal.range_join(
+        probes,
+        iv,
+        "user_id",
+        "c_ts",
+        "start_ts",
+        "end_ts",
+        bucket_s=_RANGE_WINDOW_S,
+    )
+    return out.select(
+        "p_event_id",
+        "event_id",
+        "user_id",
+        F.floor(
+            (temporal.ts_to_us(out, "c_ts") - temporal.ts_to_us(out, "start_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("offset_s"),
+        F.floor(F.col("value") * 1e4).cast("bigint").alias("value_e4"),
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (24 h gap) rolled up per session: counts,
+    first/last µs, integer-cent value sums (order-independent — exact in
+    both engines)."""
+    ev, _, _ = _events_split(spark, sf_dir)
+    out = temporal.session_summary(
+        ev,
+        "user_id",
+        "ts",
+        _SESSION_GAP_S,
+        sum_cols={"sum_cents": F.floor(F.col("value") * 100).cast("long")},
+    )
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "start_us",
+        "end_us",
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical hour→day→week rollup per event_type: ONE corpus scan
+    at hour granularity, coarser levels re-aggregated from the hour
+    partials. The oracle computes every level directly from the raw table
+    — independently checking that the cascade is exact."""
+    ev = _read(spark, sf_dir, "events")
+    out = temporal.time_rollup(
+        ev,
+        "ts",
+        ["event_type"],
+        ("hour", "day", "week"),
+        sum_cols={"sum_cents": F.floor(F.col("value") * 100).cast("long")},
+    )
+    return out.select(
+        "level",
+        "bucket_us",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -1724,6 +1850,10 @@ QUERIES = {
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "token_stats_documents": q_token_stats_documents,
     "mixing_weights_documents": q_mixing_weights_documents,
+    "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
+    "sessionize_events": q_sessionize_events,
+    "rollup_events": q_rollup_events,
 }
 
 
@@ -3190,4 +3320,83 @@ SELECT source, n_docs, n_tokens,
        THEN floor((1.0 / nsrc) / (n_tokens / total) * 1e6)::BIGINT END
     AS weight_e6
 FROM per, tot
+"""
+
+ORACLE_SQL["asof_join_events"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+r AS (
+  SELECT event_id AS p_event_id, user_id, ts, value AS p_value FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+j AS (
+  SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us, l.value,
+         r.p_event_id, epoch_us(r.ts) AS m_us, r.p_value
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT event_id, user_id, t_us,
+       floor(value * 10000)::BIGINT AS value_e4,
+       CASE WHEN t_us - m_us <= 172800000000 THEN p_event_id END AS p_event_id,
+       CASE WHEN t_us - m_us <= 172800000000 THEN m_us END AS p_ts_us,
+       CASE WHEN t_us - m_us <= 172800000000
+            THEN floor(p_value * 10000)::BIGINT END AS p_value_e4
+FROM j
+"""
+
+ORACLE_SQL["range_join_events"] = """
+WITH p AS (
+  SELECT event_id AS p_event_id, user_id, ts AS start_ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+c AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT p.p_event_id, c.event_id, p.user_id,
+       floor((epoch_us(c.ts) - epoch_us(p.start_ts)) / 1000000)::BIGINT
+         AS offset_s,
+       floor(c.value * 10000)::BIGINT AS value_e4
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.start_ts
+ AND epoch_us(c.ts) < epoch_us(p.start_ts) + 21600000000
+"""
+
+ORACLE_SQL["sessionize_events"] = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+t AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM s
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+       sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM t GROUP BY user_id, t.session_id
+"""
+
+ORACLE_SQL["rollup_events"] = """
+SELECT 'hour' AS level, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+       event_type, count(*)::BIGINT AS n,
+       sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', epoch_us(date_trunc('day', ts)), event_type,
+       count(*)::BIGINT, sum(floor(value * 100)::BIGINT)::BIGINT
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'week', epoch_us(date_trunc('week', ts)), event_type,
+       count(*)::BIGINT, sum(floor(value * 100)::BIGINT)::BIGINT
+FROM events GROUP BY 2, 3
 """

@@ -1,0 +1,399 @@
+"""Temporal relational extensions: as-of join, range join, sessionization,
+hierarchical time rollup.
+
+These are the time-series operators the reference ecosystem's users reach
+for that vanilla Spark SQL lacks as primitives (cf. the task brief's
+"as-of join, range join, hypertable rollup"). Each is expressed as a
+composition of built-in DataFrame operators — no UDFs, no cartesian
+products — so Catalyst/Tungsten keep the whole path in codegen:
+
+- ``asof_join``: the classic point-in-time join. NOT a join at all in the
+  physical plan: both sides are unioned and a single running
+  ``last(ignorenulls)`` window per key carries the most recent right-side
+  payload onto each left row. One Exchange on the key, zero join fan-out,
+  no per-row probe — the shape that survives a 100 TB left side. (The
+  textbook inequality-join formulation becomes a BroadcastNestedLoopJoin
+  or an exploding theta-join at scale; this never does.)
+- ``range_join``: points-to-intervals via bucketed equi-join. Intervals
+  are exploded into the fixed-width time buckets they cover (bounded
+  fan-out, guarded by ``max_buckets``), probes hash to one bucket, and the
+  residual range predicate refines the equi-join. Shuffles on
+  (key, bucket) like any equi-join — never all-pairs.
+- ``sessionize``: gap-based session assignment with one window per key
+  (lag + running sum). ``session_summary`` aggregates per session.
+- ``time_rollup``: hypertable-style hierarchical rollup. The corpus is
+  scanned ONCE at the finest granularity; every coarser level re-aggregates
+  the finest partials (count + integer sums are exactly re-aggregable), so
+  at 100 TB the hour→day→week cascade costs one corpus scan plus
+  aggregations over the (tiny) bucket table.
+
+All time arithmetic is integer microseconds — exact and engine-portable,
+so the DuckDB gate oracles compare bit-for-bit. TIMESTAMP_NTZ columns
+(what parquet scans usually yield) are converted with wall-clock
+``timestamp_diff`` arithmetic, NEVER a cast through TIMESTAMP: the cast
+re-interprets the wall clock in the session timezone, so the same parquet
+file would produce different epochs under different ``session.timeZone``
+settings (and disagree with DuckDB's ``epoch_us``, which reads NTZ as
+UTC wall clock). Bucket truncation is likewise integer modulo on µs —
+``F.date_trunc`` silently converts NTZ to session-tz TIMESTAMP and would
+shift bucket boundaries off UTC.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+# fixed-width granularities only: calendar units (month/quarter/year) are
+# variable-width and would need tz-sensitive date arithmetic
+_GRANULARITY_US = {
+    "minute": 60 * _US,
+    "hour": 3600 * _US,
+    "day": 86400 * _US,
+    "week": 7 * 86400 * _US,
+}
+# 1970-01-01 is a Thursday: shift by 3 days so week buckets start Monday
+# (date_trunc('week') parity in both Spark and DuckDB)
+_EPOCH_MONDAY_SHIFT_US = 3 * 86400 * _US
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def ts_to_us(df: DataFrame, col: str) -> Column:
+    """Epoch microseconds (BIGINT) of a timestamp column, timezone-proof:
+    TIMESTAMP uses ``unix_micros``; TIMESTAMP_NTZ uses wall-clock
+    ``timestamp_diff`` from the NTZ epoch (identical to DuckDB's
+    ``epoch_us`` regardless of ``spark.sql.session.timeZone``)."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "timestamp_ntz":
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+            F.col(col),
+        )
+    return F.unix_micros(F.col(col))
+
+
+def _trunc_us(us: Column, granularity: str) -> Column:
+    """Truncate epoch-µs to the start of its bucket (pure integer modulo;
+    assumes post-1970 timestamps — negative epochs would round up)."""
+    w = _GRANULARITY_US[granularity]
+    if granularity == "week":
+        return us - ((us + F.lit(_EPOCH_MONDAY_SHIFT_US)) % F.lit(w))
+    return us - (us % F.lit(w))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str],
+    *,
+    tolerance_s: float | None = None,
+    direction: str = "backward",
+    matched_ts_col: str = "asof_ts_us",
+) -> DataFrame:
+    """Point-in-time join: attach to each left row the nearest right row
+    per key — at-or-before its timestamp (``direction="backward"``, the
+    default) or at-or-after (``"forward"``).
+
+    ``on`` must name a timestamp column present in BOTH frames; ``by`` the
+    equi-key column(s). Every right column other than ``by``/``on`` is
+    carried onto the matched left rows (column names must not collide with
+    left's — rename beforehand). ``matched_ts_col`` receives the matched
+    right timestamp as BIGINT microseconds (NULL when unmatched). With
+    ``tolerance_s``, a nearest match farther than the tolerance nulls the
+    payload (tolerance bounds the match, it does not pick a farther one).
+
+    Right rows must be unique per (by, on); equal-timestamp duplicates
+    would make "the" nearest row ambiguous (dedupe upstream).
+
+    Plan shape: union + one running-frame window — a single Exchange on
+    ``by``, no join operator, no fan-out. Scale note: a pathologically hot
+    key serializes its partition through one task (window functions are
+    order-dependent and cannot be salted); at 100 TB shard such keys
+    upstream if per-key order across shards is not required.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = _as_list(by)
+    payload = [c for c in right.columns if c not in set(by) | {on}]
+    if not payload:
+        raise ValueError("right frame has no payload columns beyond by/on")
+    collisions = set(payload) & set(left.columns)
+    if collisions:
+        raise ValueError(f"right payload collides with left columns: {sorted(collisions)}")
+    if matched_ts_col in left.columns or matched_ts_col in payload:
+        raise ValueError(f"matched_ts_col {matched_ts_col!r} collides")
+
+    p_struct = F.struct(
+        ts_to_us(right, on).alias("__m_us"),
+        *[F.col(c) for c in payload],
+    )
+    p_type = right.select(p_struct.alias("p")).schema["p"].dataType.simpleString()
+
+    lcols = left.columns
+    ldtypes = dict(left.dtypes)
+    lpart = left.select(
+        *[F.col(c) for c in lcols],
+        ts_to_us(left, on).alias("__t_us"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(p_type).alias("__p"),
+    )
+    rpart = right.select(
+        *[
+            (F.col(c) if c in by else F.lit(None).cast(ldtypes[c])).alias(c)
+            for c in lcols
+        ],
+        ts_to_us(right, on).alias("__t_us"),
+        F.lit(0).alias("__side"),
+        p_struct.alias("__p"),
+    )
+
+    # at equal timestamps the right row sorts first (side 0 < 1) in both
+    # directions, making the match inclusive — DuckDB ASOF (ts >= / <=)
+    # parity.
+    order = (
+        [F.col("__t_us").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__t_us").desc(), F.col("__side").asc()]
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__p", ignorenulls=True).over(w)
+    out = lpart.union(rpart).withColumn("__m", matched).filter(F.col("__side") == 1)
+
+    if tolerance_s is not None:
+        tol_us = int(round(tolerance_s * _US))
+        delta = (
+            F.col("__t_us") - F.col("__m.__m_us")
+            if direction == "backward"
+            else F.col("__m.__m_us") - F.col("__t_us")
+        )
+        out = out.withColumn(
+            "__m", F.when(delta <= F.lit(tol_us), F.col("__m"))
+        )
+
+    return out.select(
+        *[F.col(c) for c in lcols],
+        F.col("__m.__m_us").alias(matched_ts_col),
+        *[F.col(f"__m.{c}").alias(c) for c in payload],
+    )
+
+
+def range_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    by: str | Sequence[str],
+    probe_ts: str,
+    start_ts: str,
+    end_ts: str,
+    *,
+    bucket_s: float,
+    max_buckets: int = 1 << 12,
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Join probe rows to every interval [start, end) (or [start, end]
+    with ``end_inclusive``) that contains them, per key.
+
+    Physical shape: intervals explode into the fixed-width ``bucket_s``
+    time buckets they cover; probes hash to exactly one bucket; the join
+    is a plain equi-join on (by…, bucket) refined by the exact range
+    predicate. Each qualifying (probe, interval) pair is produced exactly
+    once (the probe's single bucket is covered once per interval).
+
+    Pick ``bucket_s`` near the typical interval length: fan-out per
+    interval is ``len/bucket_s + 1`` rows. ``max_buckets`` guards against
+    a degenerate interval exploding the build side (fails the job loudly
+    via ``assert_true`` rather than silently materializing it).
+
+    Output columns are all interval columns followed by all probe columns
+    (names must be disjoint). Scale note: shuffles on (by, bucket) — skew
+    only if one key×bucket is hot, which salting the probe side + double
+    bucket replication would address; at the gate scale AQE's skew-join
+    handles it.
+    """
+    by = _as_list(by)
+    dup = (set(intervals.columns) & set(probe.columns)) - set(by)
+    if dup:
+        raise ValueError(f"interval/probe column collision: {sorted(dup)}")
+    w_us = int(round(bucket_s * _US))
+    if w_us <= 0:
+        raise ValueError("bucket_s must be positive")
+
+    s_us = ts_to_us(intervals, start_ts)
+    e_us = ts_to_us(intervals, end_ts)
+    last_us = e_us if end_inclusive else e_us - F.lit(1)
+    first_b = F.floor(s_us / F.lit(w_us))
+    last_b = F.floor(last_us / F.lit(w_us))
+    n_b = last_b - first_b + F.lit(1)
+    guard = F.assert_true(
+        n_b <= F.lit(int(max_buckets)),
+        F.concat(
+            F.lit(f"range_join: interval covers > {max_buckets} buckets "
+                  f"of {bucket_s}s (raise bucket_s or max_buckets); start="),
+            F.col(start_ts).cast("string"),
+        ),
+    )
+    iv = intervals.filter(last_us >= s_us).select(
+        "*",
+        F.when(guard.isNull(), F.sequence(first_b, last_b)).alias("__bs"),
+    )
+    iv = iv.select(
+        *[F.col(c) for c in intervals.columns],
+        F.explode("__bs").alias("__b"),
+    )
+
+    pr = probe.withColumn(
+        "__b", F.floor(ts_to_us(probe, probe_ts) / F.lit(w_us))
+    )
+    # the joined frame preserves each side's dtypes, so the source frames'
+    # dtype maps stay valid for the refinement predicate
+    p_us = ts_to_us(probe, probe_ts)
+    upper = (p_us <= e_us) if end_inclusive else (p_us < e_us)
+    joined = iv.join(pr, on=by + ["__b"], how="inner").filter(
+        (p_us >= s_us) & upper
+    )
+    out_cols = list(intervals.columns) + [
+        c for c in probe.columns if c not in by
+    ]
+    return joined.select(*out_cols)
+
+
+def sessionize(
+    df: DataFrame,
+    by: str | Sequence[str],
+    ts: str,
+    gap_s: float,
+    *,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when the
+    gap since the key's previous event exceeds ``gap_s``. Session ids are
+    0-based, ordered by time within each key.
+
+    One window per key (lag + running sum) — a single Exchange; the
+    standard sessionization shape. See ``asof_join`` for the hot-key note.
+    """
+    by = _as_list(by)
+    if session_col in df.columns:
+        raise ValueError(f"session_col {session_col!r} collides")
+    gap_us = int(round(gap_s * _US))
+    t = ts_to_us(df, ts)
+    w = Window.partitionBy(*by).orderBy(t.asc())
+    prev = F.lag(t).over(w)
+    brk = (prev.isNull() | ((t - prev) > F.lit(gap_us))).cast("long")
+    run = Window.partitionBy(*by).orderBy(t.asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(session_col, F.sum(brk).over(run) - F.lit(1))
+
+
+def session_summary(
+    df: DataFrame,
+    by: str | Sequence[str],
+    ts: str,
+    gap_s: float,
+    *,
+    sum_cols: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-session aggregates over ``sessionize``'s assignment: row count,
+    first/last event time (BIGINT µs), plus optional integer-valued sums
+    (pass pre-quantized expressions — integer sums are order-independent,
+    keeping the output engine-exact)."""
+    by = _as_list(by)
+    s = sessionize(df, by, ts, gap_s)
+    t = ts_to_us(df, ts)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(t).alias("start_us"),
+        F.max(t).alias("end_us"),
+    ]
+    for name, col in (sum_cols or {}).items():
+        aggs.append(F.sum(col).alias(name))
+    return s.groupBy(*by, "session_id").agg(*aggs)
+
+
+def time_rollup(
+    df: DataFrame,
+    ts: str,
+    group_cols: Sequence[str],
+    granularities: Sequence[str] = ("hour", "day", "week"),
+    *,
+    sum_cols: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Hierarchical tumbling-window rollup (hypertable continuous-aggregate
+    style): counts + integer sums per (granularity, bucket, group…).
+
+    The input is aggregated ONCE at the finest granularity; every coarser
+    level re-aggregates those partials (exact for counts and integer sums
+    — pass pre-quantized integer expressions in ``sum_cols``). At 100 TB
+    the corpus is scanned a single time; the cascade runs over the bucket
+    table (≤ buckets × groups rows).
+
+    Output: ``level`` (granularity name), ``bucket_us`` (BIGINT µs, bucket
+    start), the group columns, ``n`` plus one column per ``sum_cols`` key.
+    """
+    grans = list(granularities)
+    if not grans:
+        raise ValueError("need at least one granularity")
+    for g in grans:
+        if g not in _GRANULARITY_US:
+            raise ValueError(
+                f"unknown/unsupported granularity {g!r} "
+                f"(fixed-width only: {sorted(_GRANULARITY_US)})"
+            )
+    finest = grans[0]
+    for g in grans[1:]:
+        if _GRANULARITY_US[g] <= _GRANULARITY_US[finest]:
+            raise ValueError(
+                f"granularities must be finest-first: {g!r} not coarser than {finest!r}"
+            )
+    sum_cols = sum_cols or {}
+    group_cols = list(group_cols)
+
+    base_aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(col).alias(name) for name, col in sum_cols.items()
+    ]
+    partial = df.groupBy(
+        _trunc_us(ts_to_us(df, ts), finest).alias("__bucket_us"), *group_cols
+    ).agg(*base_aggs)
+    # one Exchange feeds every level's re-aggregation (ReuseExchange);
+    # cheap because the partial table is already bucket-sized. Every
+    # supported width divides the coarser ones, so re-truncating the
+    # finest bucket start is exact.
+    measure_names = ["n"] + list(sum_cols)
+
+    levels = [
+        partial.select(
+            F.lit(finest).alias("level"),
+            F.col("__bucket_us").alias("bucket_us"),
+            *group_cols,
+            *measure_names,
+        )
+    ]
+    for g in grans[1:]:
+        lv = partial.groupBy(
+            _trunc_us(F.col("__bucket_us"), g).alias("__b2"), *group_cols
+        ).agg(*[F.sum(m).alias(m) for m in measure_names])
+        levels.append(
+            lv.select(
+                F.lit(g).alias("level"),
+                F.col("__b2").alias("bucket_us"),
+                *group_cols,
+                *measure_names,
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -1,0 +1,210 @@
+"""Temporal extensions: as-of join, range join, sessionize, time rollup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndto_spark.temporal import (
+    asof_join,
+    range_join,
+    session_summary,
+    sessionize,
+    time_rollup,
+)
+
+T = dt.datetime
+
+
+@pytest.fixture()
+def clicks(spark):
+    return spark.createDataFrame(
+        [
+            (1, 1, T(2024, 1, 1, 0, 5), 1.0),
+            (2, 1, T(2024, 1, 1, 0, 0, 30), 2.0),
+            (3, 2, T(2024, 1, 1, 1, 0), 3.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+
+
+@pytest.fixture()
+def purchases(spark):
+    return spark.createDataFrame(
+        [
+            (10, 1, T(2024, 1, 1, 0, 1), 10.0),
+            (11, 1, T(2024, 1, 1, 0, 4), 20.0),
+            (12, 2, T(2024, 1, 1, 0, 0), 30.0),
+        ],
+        "p_id long, user_id long, ts timestamp, p_value double",
+    )
+
+
+def _matches(df):
+    return {r.event_id: r.p_id for r in df.collect()}
+
+
+def test_asof_backward_picks_latest_at_or_before(clicks, purchases):
+    out = asof_join(clicks, purchases, on="ts", by="user_id")
+    assert _matches(out) == {1: 11, 2: None, 3: 12}
+
+
+def test_asof_equal_timestamp_is_inclusive(spark, purchases):
+    l = spark.createDataFrame(
+        [(7, 1, T(2024, 1, 1, 0, 4), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = asof_join(l, purchases, on="ts", by="user_id")
+    assert _matches(out) == {7: 11}
+
+
+def test_asof_forward(clicks, purchases):
+    out = asof_join(clicks, purchases, on="ts", by="user_id", direction="forward")
+    assert _matches(out) == {1: None, 2: 10, 3: None}
+
+
+def test_asof_tolerance_nulls_far_matches(clicks, purchases):
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id", tolerance_s=120
+    )
+    # user 2's nearest purchase is 1 h back -> nulled; user 1's is 60 s
+    assert _matches(out) == {1: 11, 2: None, 3: None}
+    row = {r.event_id: r for r in out.collect()}[3]
+    assert row.asof_ts_us is None and row.p_value is None
+
+
+def test_asof_rejects_collisions_and_bad_direction(clicks, purchases):
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(
+            clicks,
+            purchases.withColumnRenamed("p_value", "value"),
+            on="ts",
+            by="user_id",
+        )
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(clicks, purchases, on="ts", by="user_id", direction="nearest")
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        rows, "iv_id long, user_id long, start timestamp, end timestamp"
+    )
+
+
+def test_range_join_boundaries_and_multi_bucket(spark, clicks):
+    pr = clicks.withColumnRenamed("ts", "cts")
+    iv = _iv(
+        spark,
+        [
+            # [00:00:30, 00:05): includes probes at 00:00:30 (start is
+            # inclusive) but not 00:05 (end exclusive); spans 2+ buckets
+            (100, 1, T(2024, 1, 1, 0, 0, 30), T(2024, 1, 1, 0, 5)),
+            # [00:30, 02:00) catches user 2's 01:00 probe across buckets
+            (101, 2, T(2024, 1, 1, 0, 30), T(2024, 1, 1, 2, 0)),
+        ],
+    )
+    out = range_join(
+        pr, iv, "user_id", "cts", "start", "end", bucket_s=120
+    )
+    got = sorted((r.iv_id, r.event_id) for r in out.collect())
+    assert got == [(100, 2), (101, 3)]
+    # end_inclusive picks up the 00:05 probe too
+    out2 = range_join(
+        pr, iv, "user_id", "cts", "start", "end", bucket_s=120,
+        end_inclusive=True,
+    )
+    got2 = sorted((r.iv_id, r.event_id) for r in out2.collect())
+    assert got2 == [(100, 1), (100, 2), (101, 3)]
+
+
+def test_range_join_pairs_are_unique_per_interval(spark, clicks):
+    # a wide interval covering many buckets still yields each pair once
+    pr = clicks.withColumnRenamed("ts", "cts")
+    iv = _iv(spark, [(200, 1, T(2024, 1, 1, 0, 0), T(2024, 1, 2, 0, 0))])
+    out = range_join(pr, iv, "user_id", "cts", "start", "end", bucket_s=60)
+    assert sorted((r.iv_id, r.event_id) for r in out.collect()) == [
+        (200, 1),
+        (200, 2),
+    ]
+
+
+def test_range_join_max_buckets_guard_raises(spark, clicks):
+    pr = clicks.withColumnRenamed("ts", "cts")
+    iv = _iv(spark, [(300, 1, T(2024, 1, 1, 0, 0), T(2024, 1, 2, 0, 0))])
+    bad = range_join(
+        pr, iv, "user_id", "cts", "start", "end", bucket_s=60, max_buckets=10
+    )
+    with pytest.raises(Exception, match="range_join"):
+        bad.collect()
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        (1, T(2024, 1, 1, 0, 0)),
+        (1, T(2024, 1, 1, 0, 10)),
+        (1, T(2024, 1, 1, 2, 0)),  # 110 min gap -> new session
+        (2, T(2024, 1, 1, 5, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, "user_id", "ts", gap_s=3600)
+    got = sorted((r.user_id, r.ts.minute + r.ts.hour * 60, r.session_id)
+                 for r in out.collect())
+    assert got == [(1, 0, 0), (1, 10, 0), (1, 120, 1), (2, 300, 0)]
+
+
+def test_session_summary_counts_and_integer_sums(spark):
+    rows = [
+        (1, T(2024, 1, 1, 0, 0), 1.5),
+        (1, T(2024, 1, 1, 0, 10), 2.25),
+        (1, T(2024, 1, 1, 2, 0), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, v double")
+    out = session_summary(
+        df, "user_id", "ts", gap_s=3600,
+        sum_cols={"cents": F.floor(F.col("v") * 100).cast("long")},
+    )
+    got = {r.session_id: (r.n_events, r.cents) for r in out.collect()}
+    assert got == {0: (2, 375), 1: (1, 400)}
+
+
+def test_time_rollup_cascade_is_exact_and_week_starts_monday(spark):
+    # 2024-01-01 is a Monday; 2023-12-31 (Sunday) belongs to the prior week
+    rows = [
+        (T(2023, 12, 31, 23, 30), "a", 1.0),
+        (T(2024, 1, 1, 0, 15), "a", 2.0),
+        (T(2024, 1, 1, 0, 45), "b", 3.0),
+        (T(2024, 1, 1, 1, 15), "a", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    out = time_rollup(
+        df, "ts", ["k"], ("hour", "day", "week"),
+        sum_cols={"cents": F.floor(F.col("v") * 100).cast("long")},
+    )
+    rowsd = {(r.level, r.bucket_us, r.k): (r.n, r.cents) for r in out.collect()}
+    us = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    # hour level
+    assert rowsd[("hour", us(T(2024, 1, 1, 0)), "a")] == (1, 200)
+    assert rowsd[("hour", us(T(2024, 1, 1, 1)), "a")] == (1, 400)
+    assert rowsd[("hour", us(T(2024, 1, 1, 0)), "b")] == (1, 300)
+    # day re-aggregates hours exactly
+    assert rowsd[("day", us(T(2024, 1, 1)), "a")] == (2, 600)
+    # week buckets: Monday 2024-01-01 vs Monday 2023-12-25
+    assert rowsd[("week", us(T(2024, 1, 1)), "a")] == (2, 600)
+    assert rowsd[("week", us(T(2023, 12, 25)), "a")] == (1, 100)
+    # every level sums to the same totals (n=4, cents=1000)
+    import collections
+
+    tot = collections.Counter()
+    for (level, _, _), (n, c) in rowsd.items():
+        tot[level] += n
+    assert tot == {"hour": 4, "day": 4, "week": 4}
+
+
+def test_time_rollup_validates_granularities(spark):
+    df = spark.createDataFrame([(T(2024, 1, 1), "a")], "ts timestamp, k string")
+    with pytest.raises(ValueError, match="finest-first"):
+        time_rollup(df, "ts", ["k"], ("day", "hour"))
+    with pytest.raises(ValueError, match="unsupported"):
+        time_rollup(df, "ts", ["k"], ("month",))
