@@ -1785,6 +1785,168 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256  # 150-1500 users across SFs: real collisions, bounded table
+_HH_THRESHOLD = 75  # per-user counts span 45-99 at every SF: nonempty, selective
+
+
+def q_cms_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min counter table over events.user_id: the sketch is
+    deterministic md5-low32 arithmetic, so DuckDB rebuilds every counter
+    bit-exact — a full value-hash gate on the frequency-sketch state
+    itself (the HLL-register-precision treatment for frequencies)."""
+    from . import sketches
+
+    ev = _read(spark, sf_dir, "events")
+    cms = sketches.cms_table(
+        ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return cms.select(
+        F.col("j").cast("bigint").alias("j"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+def q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-filtered heavy hitters end to end: CMS literal-map row filter
+    (one-sided error — no heavy key can be dropped) + exact count over
+    survivors only. The oracle is the NAIVE exact GROUP BY ... HAVING —
+    an independent implementation whose agreement proves the sketch
+    filter changed nothing but the shuffle volume."""
+    from . import sketches
+
+    ev = _read(spark, sf_dir, "events")
+    out = sketches.heavy_hitters(
+        ev, "user_id", _HH_THRESHOLD, depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return out.select(
+        "user_id", F.col("n").cast("bigint").alias("n_events")
+    )
+
+
+def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-version compaction: each (user_id, event_type)'s
+    newest event, event_id as the equal-timestamp tiebreak. The oracle is
+    DuckDB's own row_number window — independent top-1-per-group."""
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    out = temporal.latest_snapshot(
+        ev, ["user_id", "event_type"], "ts", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        temporal.ts_to_us(out, "ts").alias("t_us"),
+        F.floor(F.col("value") * 1e4).cast("bigint").alias("value_e4"),
+    )
+
+
+def q_session_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap sessionization: the batch sessionize_events semantics
+    run as an append-mode session_window aggregate (bounded state, final
+    rows on watermark eviction), replayed availableNow over two staged
+    micro-batches — the events file, then a far-future sentinel row whose
+    only job is to advance the watermark past every real session end so
+    the final no-data batch flushes all state. Window bounds are rendered
+    as wall-clock strings (tz-proof round trip, the streaming_verdicts
+    treatment); the oracle recomputes the sessions from the batch table.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import session_stream
+
+    path = f"{sf_dir}/events.parquet"
+    ev = spark.read.parquet(path).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    schema = ev.schema
+
+    def build(tmp: str) -> None:
+        def put(df: DataFrame, name: str, tsec: int) -> None:
+            out = os.path.join(tmp, "_build")
+            df.coalesce(1).write.mode("overwrite").parquet(out)
+            part = next(
+                f
+                for f in os.listdir(out)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(tmp, name)
+            shutil.move(os.path.join(out, part), dst)
+            shutil.rmtree(out, ignore_errors=True)
+            os.utime(dst, (tsec, tsec))
+
+        put(ev, "batch_0.parquet", 1_600_000_000)
+        # sentinel: fixed far-future ts > any testdata ts + gap; filtered
+        # from the output (user_id -1), exists only to advance the watermark
+        sentinel = spark.createDataFrame(
+            [(-1, __import__("datetime").datetime(2100, 1, 1), -1,
+              "sentinel", 0.0, "{}")],
+            schema,
+        )
+        put(sentinel, "batch_1.parquet", 1_600_003_600)
+
+    src_dir = _staged_source("session", sf_dir, build)
+    ck_dir = tempfile.mkdtemp(prefix="ndto_session_ck_")
+    out_dir = tempfile.mkdtemp(prefix="ndto_session_out_")
+    sink_schema = (
+        "user_id bigint, start_str string, end_str string, "
+        "n_events bigint, sum_cents bigint"
+    )
+    q = None
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = session_stream(
+            stream,
+            "user_id",
+            "ts",
+            "24 hours",
+            sum_cols={"sum_cents": F.floor(F.col("value") * 100).cast("long")},
+        ).select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "start_str"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "end_str"
+            ),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        with _conf(spark, _GATE_STREAM_SHUFFLE):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ck_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "session_stream_events did not finish within 300s — "
+                "refusing to read a partially-filled sink"
+            )
+        sink = _read_stream_sink(spark, out_dir, sink_schema)
+        return sink.filter(F.col("user_id") >= 0)
+    finally:
+        if q is not None:
+            q.stop()
+        # src_dir is the shared staged cache — only the per-run checkpoint
+        # is reclaimed eagerly; the sink dir backs the returned DataFrame
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -1854,6 +2016,10 @@ QUERIES = {
     "range_join_events": q_range_join_events,
     "sessionize_events": q_sessionize_events,
     "rollup_events": q_rollup_events,
+    "cms_counts_events": q_cms_counts_events,
+    "heavy_hitters_events": q_heavy_hitters_events,
+    "latest_events": q_latest_events,
+    "session_stream_events": q_session_stream_events,
 }
 
 
@@ -3399,4 +3565,60 @@ UNION ALL
 SELECT 'week', epoch_us(date_trunc('week', ts)), event_type,
        count(*)::BIGINT, sum(floor(value * 100)::BIGINT)::BIGINT
 FROM events GROUP BY 2, 3
+"""
+
+ORACLE_SQL["cms_counts_events"] = """
+WITH ex AS (
+  SELECT jj.j,
+         ('0x' || substr(md5(jj.j::VARCHAR || ':' || e.user_id::VARCHAR),
+                         1, 8))::BIGINT % 256 AS pos
+  FROM events e
+  CROSS JOIN (SELECT unnest(range(4)) AS j) jj
+  WHERE e.user_id IS NOT NULL
+)
+SELECT j::BIGINT AS j, pos::BIGINT AS pos, count(*)::BIGINT AS cnt
+FROM ex GROUP BY 1, 2
+"""
+
+ORACLE_SQL["heavy_hitters_events"] = """
+SELECT user_id, count(*)::BIGINT AS n_events
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING count(*) >= 75
+"""
+
+ORACLE_SQL["latest_events"] = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us,
+       floor(value * 10000)::BIGINT AS value_e4
+FROM r WHERE rn = 1
+"""
+
+ORACLE_SQL["session_stream_events"] = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+t AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_str,
+       strftime(max(ts) + INTERVAL 24 HOUR, '%Y-%m-%d %H:%M:%S') AS end_str,
+       count(*)::BIGINT AS n_events,
+       sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM t GROUP BY user_id, t.sid
 """

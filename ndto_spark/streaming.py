@@ -187,3 +187,46 @@ def dedup_stream(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [id_col]
     )
+
+
+def session_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str,
+    watermark: str = "1 second",
+    sum_cols: Optional[dict] = None,
+) -> DataFrame:
+    """Streaming gap-based sessionization: the batch ``temporal.sessionize``
+    semantics (a new session starts iff the gap since the key's previous
+    event EXCEEDS ``gap``; an exactly-``gap`` delta merges — verified
+    parity with ``F.session_window``'s inclusive window-overlap rule) as
+    an event-time session-window aggregate.
+
+    Append mode emits each session ONCE, as a final row, when the
+    watermark passes the session end (= last event + gap) and its state is
+    evicted — so state is bounded by the open sessions per key, not the
+    stream length. A session stays open (and unemitted) until the
+    watermark advances past its end: a quiet key's last session needs
+    later traffic (or a sentinel row, as the gate harness stages) to
+    flush. Output: key, session_start, session_end (timestamps), n_events,
+    plus one column per ``sum_cols`` entry (pass pre-quantized integer
+    expressions — integer sums stay order-independent and engine-exact).
+    """
+    # watermarks require TIMESTAMP (with timezone); parquet often yields NTZ
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for name, col in (sum_cols or {}).items():
+        aggs.append(F.sum(col).alias(name))
+    out = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col(key_col),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in out.columns if c not in (key_col, "session_window")],
+    )

@@ -323,6 +323,37 @@ def session_summary(
     return s.groupBy(*by, "session_id").agg(*aggs)
 
 
+def latest_snapshot(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    ts: str,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """CDC-style compaction: keep each key's newest row (the
+    upsert-stream → current-snapshot collapse a training-data refresh
+    needs before dedup/packing).
+
+    Newest = max ``ts`` per key; ``tiebreak`` (a column name, larger wins)
+    makes equal-timestamp updates deterministic — required when the
+    source can emit several versions in one timestamp tick.
+
+    One window per key (row_number over a single Exchange) — the standard
+    top-1-per-group shape; Spark's WindowGroupLimit pushes the rank <= 1
+    filter below the sort at scale, so no per-key full sort survives in
+    the physical plan."""
+    keys = _as_list(keys)
+    order = [ts_to_us(df, ts).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def time_rollup(
     df: DataFrame,
     ts: str,

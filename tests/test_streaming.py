@@ -137,3 +137,77 @@ def test_dedup_stream_emits_first_occurrence_only(spark, tmp_path):
     finally:
         q.stop()
         spark.catalog.dropTempView(qn)
+
+
+def test_session_stream_flushes_on_sentinel(spark, tmp_path):
+    """Append-mode session_window: sessions emit once the watermark passes
+    their end — staged sentinel batch advances it past every real session
+    (the gate-harness shape); exact-gap delta merges (sessionize parity)."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from ndto_spark.streaming import session_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 5.0),
+        (1, t0 + dt.timedelta(hours=24), 1.0),      # delta == gap: merges
+        (1, t0 + dt.timedelta(hours=72), 2.0),      # gap 48h > 24h: new
+        (2, t0 + dt.timedelta(hours=71), 3.0),      # session near stream end
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def put(d, name, tsec):
+        out = str(tmp_path / "_b")
+        d.coalesce(1).write.mode("overwrite").parquet(out)
+        part = next(
+            f for f in os.listdir(out)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = str(src / name)
+        shutil.move(os.path.join(out, part), dst)
+        shutil.rmtree(out, ignore_errors=True)
+        os.utime(dst, (tsec, tsec))
+
+    put(df, "b0.parquet", 1_600_000_000)
+    sentinel = spark.createDataFrame(
+        [(-1, dt.datetime(2100, 1, 1), 0.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    put(sentinel, "b1.parquet", 1_600_003_600)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = session_stream(
+        stream, "user_id", "ts", "24 hours",
+        sum_cols={"cents": F.floor(F.col("value") * 100).cast("long")},
+    )
+    sink = str(tmp_path / "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["cents"])
+        for r in spark.read.parquet(sink)
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    }
+    day = dt.timedelta(hours=24)
+    assert got == {
+        (1, t0, t0 + 2 * day, 2, 600),
+        (1, t0 + 3 * day, t0 + 4 * day, 1, 200),
+        (2, t0 + dt.timedelta(hours=71), t0 + dt.timedelta(hours=95), 1, 300),
+    }

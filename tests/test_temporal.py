@@ -208,3 +208,21 @@ def test_time_rollup_validates_granularities(spark):
         time_rollup(df, "ts", ["k"], ("day", "hour"))
     with pytest.raises(ValueError, match="unsupported"):
         time_rollup(df, "ts", ["k"], ("month",))
+
+
+def test_latest_snapshot_keeps_newest_with_tiebreak(spark):
+    from ndto_spark.temporal import latest_snapshot
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, T(2024, 1, 1, 0, 0)),
+            (2, "a", 10, T(2024, 1, 2, 0, 0)),   # newer ts wins
+            (3, "a", 20, T(2024, 1, 1, 0, 0)),
+            (4, "a", 20, T(2024, 1, 1, 0, 0)),   # equal ts: larger id wins
+            (5, "b", 10, T(2024, 1, 5, 0, 0)),
+        ],
+        "event_id long, k string, sub long, ts timestamp",
+    )
+    out = latest_snapshot(df, ["k", "sub"], "ts", tiebreak="event_id")
+    got = {(r["k"], r["sub"], r["event_id"]) for r in out.collect()}
+    assert got == {("a", 10, 2), ("a", 20, 4), ("b", 10, 5)}
