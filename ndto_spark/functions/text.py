@@ -236,3 +236,88 @@ def token_stats(
         "doc_freq",
         F.row_number().over(w).cast("bigint").alias("vocab_rank"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical relevance of every MATCHING document against a fixed
+    query-term set — the lexical-retrieval complement to the ANN embedding
+    family (docs matching no term are omitted; their score is 0).
+
+    Output ``(id, n_terms, score)``: n_terms = distinct query terms
+    matched, score = Robertson/Sparck-Jones BM25 with idf =
+    ln(1 + (N - df + .5)/(df + .5)). The per-document reduction folds
+    term scores in token order (array_sort + F.aggregate — the drift
+    oracle's deterministic-float discipline), so the float64 result is
+    order-independent and engine-portable; quantize downstream when
+    comparing across engines.
+
+    100 TB shape: the exploded (doc, token) stream is filtered to the
+    query-term literal set BEFORE any shuffle, so only matching pairs
+    reach the tf groupBy. Per-term document frequencies and the 1-row
+    (N, avgdl) corpus aggregate are broadcast; document lengths join the
+    survivor set by id — shuffle volume is the (id, dl) integer pair
+    stream plus survivors, never the text. Two column-pruned scans of the
+    text column (lengths + filtered explode). Caveat: a stopword-grade
+    query term makes the survivor set approach the corpus; BM25's idf
+    already makes such terms worthless — drop them from the query.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    dls = base.select("id", token_count(F.col("text")).alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        base.select("id", F.explode_outer(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(list(query_terms)))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct("id").cast("double").alias("df")
+    )
+    joined = (
+        tf.join(broadcast(dfreq), "token")
+        .join(dls, "id")
+        .join(broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_doc = joined.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("token"), term_score.alias("s")))
+        ).alias("terms")
+    )
+    score = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, t: acc + t["s"],
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        F.size("terms").cast("bigint").alias("n_terms"),
+        score.alias("score"),
+    )

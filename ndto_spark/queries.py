@@ -1844,6 +1844,25 @@ def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 retrieval scores over the documents table (the
+    embedding-ANN family's lexical complement). The float fold is
+    token-ordered in both engines; scores quantized to 1e-6."""
+    from .functions.text import bm25_scores
+
+    out = bm25_scores(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", _BM25_TERMS
+    )
+    return out.select(
+        "doc_id",
+        "n_terms",
+        F.floor(F.col("score") * 1e6).cast("bigint").alias("score_e6"),
+    )
+
+
 def q_session_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING gap sessionization: the batch sessionize_events semantics
     run as an append-mode session_window aggregate (bounded state, final
@@ -2020,6 +2039,7 @@ QUERIES = {
     "heavy_hitters_events": q_heavy_hitters_events,
     "latest_events": q_latest_events,
     "session_stream_events": q_session_stream_events,
+    "bm25_documents": q_bm25_documents,
 }
 
 
@@ -3621,4 +3641,36 @@ SELECT user_id,
        count(*)::BIGINT AS n_events,
        sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
 FROM t GROUP BY user_id, t.sid
+"""
+
+ORACLE_SQL["bm25_documents"] = """
+WITH dls AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS dl
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dls),
+tf AS (
+  SELECT doc_id, token, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL)
+  WHERE token IN ('spark', 'join', 'window')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1),
+terms AS (
+  SELECT t.doc_id, t.token,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * t.tf * (1.2 + 1)
+           / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS term_score
+  FROM tf t
+  JOIN dfreq d USING (token)
+  JOIN dls l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, count(*)::BIGINT AS n_terms,
+       floor(1e6 * list_reduce(
+         list_prepend(0.0::DOUBLE, list(term_score ORDER BY token)),
+         (a, b) -> a + b))::BIGINT AS score_e6
+FROM terms GROUP BY doc_id
 """
