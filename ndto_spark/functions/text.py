@@ -252,72 +252,89 @@ def bm25_scores(
 
     Output ``(id, n_terms, score)``: n_terms = distinct query terms
     matched, score = Robertson/Sparck-Jones BM25 with idf =
-    ln(1 + (N - df + .5)/(df + .5)). The per-document reduction folds
-    term scores in token order (array_sort + F.aggregate — the drift
-    oracle's deterministic-float discipline), so the float64 result is
-    order-independent and engine-portable; quantize downstream when
-    comparing across engines.
+    ln(1 + (N - df + .5)/(df + .5)). Term contributions are added in
+    sorted-term order fixed inside ONE expression, so the float64 result
+    is deterministic and engine-portable (absent terms add literal 0.0 —
+    IEEE-exact no-op); quantize downstream when comparing across engines.
 
-    100 TB shape: the exploded (doc, token) stream is filtered to the
-    query-term literal set BEFORE any shuffle, so only matching pairs
-    reach the tf groupBy. Per-term document frequencies and the 1-row
-    (N, avgdl) corpus aggregate are broadcast; document lengths join the
-    survivor set by id — shuffle volume is the (id, dl) integer pair
-    stream plus survivors, never the text. Two column-pruned scans of the
-    text column (lengths + filtered explode). Caveat: a stopword-grade
-    query term makes the survivor set approach the corpus; BM25's idf
-    already makes such terms worthless — drop them from the query.
+    100 TB shape — one tokenization per job, zero joins:
+
+    - ONE wide groupBy(id) computes the document length AND every per-term
+      tf as conditional-count columns in the same pass; partial
+      aggregation collapses the token stream map-side, so the shuffle is
+      |docs| compact rows of (2 + |terms|) longs — the text never
+      shuffles. (The join formulation re-scanned + re-tokenized the
+      corpus once per branch: tf, df, dl, stats — four passes; inferred
+      IsNotNull filters and column pruning de-canonicalize the subtrees,
+      so ReuseExchange cannot merge them.)
+    - ONE eager 1-row aggregate over those rows yields N, avgdl, and
+      every term's document frequency; they embed as literals in the
+      scoring expression (the IVF-codebook discipline, ann.py) — idf is
+      still computed BY the engine's ln so both engines' libm agree.
+    - The score is then a pure column expression over the wide tf row.
+
+    ``query_terms`` is capped at 128 (each term adds agg + scoring
+    expression width; lexical queries beyond that want a different
+    algorithm, not a wider expression). Eager: the stats job runs at call
+    time (like ann.kmeans_centroids).
     """
-    from pyspark.sql.functions import broadcast
-
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    )
-    dls = base.select("id", token_count(F.col("text")).alias("dl"))
-    stats = dls.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
-    tf = (
-        base.select("id", F.explode_outer(tokens(F.col("text"))).alias("token"))
-        .filter(F.col("token").isin(list(query_terms)))
-        .groupBy("id", "token")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(
-        F.countDistinct("id").cast("double").alias("df")
-    )
-    joined = (
-        tf.join(broadcast(dfreq), "token")
-        .join(dls, "id")
-        .join(broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    term_score = idf * (
-        F.col("tf")
-        * F.lit(k1 + 1.0)
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    terms = sorted(set(query_terms))
+    if len(terms) > 128:
+        raise ValueError(
+            f"{len(terms)} query terms: bm25_scores caps at 128 (expression "
+            "width); split the query or prune terms"
         )
+    base = df.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    toks = base.select(
+        "id", F.explode_outer(tokens(F.col("text"))).alias("token")
     )
-    per_doc = joined.groupBy("id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("token"), term_score.alias("s")))
-        ).alias("terms")
+    per_doc = toks.groupBy("id").agg(
+        F.count("token").alias("dl"),  # count(col) skips the explode_outer
+        # null of an empty doc → dl = 0
+        *[
+            F.count(F.when(F.col("token") == F.lit(t), 1)).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    score = F.aggregate(
-        F.col("terms"),
-        F.lit(0.0),
-        lambda acc, t: acc + t["s"],
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs = float(stats["n"])
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 1.0
+    dfs = [float(stats[f"__df_{i}"]) for i in range(len(terms))]
+
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
     )
-    return per_doc.select(
-        F.col("id").alias(id_col),
-        F.size("terms").cast("bigint").alias("n_terms"),
-        score.alias("score"),
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (F.lit(n_docs) - F.lit(dfs[i]) + F.lit(0.5))
+            / (F.lit(dfs[i]) + F.lit(0.5))
+        )
+        score = score + F.when(
+            F.col(f"__tf_{i}") > 0,
+            idf * tf * F.lit(k1 + 1.0) / (tf + norm),
+        ).otherwise(F.lit(0.0))
+    n_terms = sum(
+        (F.col(f"__tf_{i}") > 0).cast("long") for i in range(len(terms))
+    )
+    return (
+        per_doc.withColumn("n_terms", n_terms)
+        .filter(F.col("n_terms") > 0)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            score.alias("score"),
+        )
     )
