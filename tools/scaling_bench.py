@@ -119,13 +119,37 @@ for _ in range(2):
     ph_pairs.count()
     d = time.time() - t0
     phash_best = d if phash_best is None else min(phash_best, d)
+# sixth datapoint: the WINDOW-FUNCTION path — as-of join (round-5 temporal
+# family: union + one running last(ignorenulls) window per key, a single
+# Exchange, zero join fan-out). Synthesized deterministic (key, ts) event
+# stream: n left rows + n/5 right rows over 10k keys — enough keys that the
+# window stage parallelizes, big enough partitions that sort cost shows.
+from ndto_spark.temporal import asof_join
+n_asof = int(os.environ.get("NDTO_SCALING_ASOF", "2000000"))
+lhs = spark.range(0, n_asof, 1, cpus * 4).select(
+    F.col("id").alias("ev_id"),
+    (F.col("id") % 10000).alias("k"),
+    F.timestamp_micros((F.col("id") * 48271) % 86400000000).alias("ts"))
+rhs = spark.range(0, n_asof // 5, 1, cpus * 4).select(
+    (F.col("id") % 10000).alias("k"),
+    F.timestamp_micros((F.col("id") * 69621) % 86400000000).alias("ts"),
+    (F.col("id") * 7).alias("payload"))
+aj = asof_join(lhs, rhs, on="ts", by="k", tolerance_s=7200)
+n_asof_rows = aj.count()  # warm: codegen + shuffle files
+asof_best = None
+for _ in range(2):
+    t0 = time.time()
+    aj.count()
+    d = time.time() - t0
+    asof_best = d if asof_best is None else min(asof_best, d)
 print(json.dumps({"cpus": cpus, "sec": best, "rows": rows, "viols": viols,
                   "meta_sec": meta_best, "meta_rows": rows * 20,
                   "arrow_sec": arrow_best,
                   "dedup_sec": dedup_best, "dedup_rows": n_docs,
                   "dedup_pairs": n_pairs,
                   "phash_sec": phash_best, "phash_rows": n_ph,
-                  "phash_pairs": n_ph_pairs}))
+                  "phash_pairs": n_ph_pairs,
+                  "asof_sec": asof_best, "asof_rows": n_asof}))
 """
 
 
@@ -160,6 +184,7 @@ def main() -> None:
         out["arrow_sec"] = min(a["arrow_sec"], b["arrow_sec"])
         out["dedup_sec"] = min(a["dedup_sec"], b["dedup_sec"])
         out["phash_sec"] = min(a["phash_sec"], b["phash_sec"])
+        out["asof_sec"] = min(a["asof_sec"], b["asof_sec"])
         return out
 
     r8 = run(BASE)
@@ -182,6 +207,9 @@ def main() -> None:
     ptp8 = r8["phash_rows"] / r8["phash_sec"]
     ptp32 = r32["phash_rows"] / r32["phash_sec"]
     peff = (ptp32 / ptp8) / 4.0
+    jtp8 = r8["asof_rows"] / r8["asof_sec"]
+    jtp32 = r32["asof_rows"] / r32["asof_sec"]
+    jeff = (jtp32 / jtp8) / 4.0
     md = f"""# Raw scaling run, base parallelism {BASE} (see BASELINE.md for curated evidence)
 
 Date: {date.today()}  ·  job: full images validation pipeline (metadata
@@ -244,6 +272,19 @@ identical at both sizes), min-of-2 after a full warm pass:
 | local[{r32['cpus']}] (4N) | {r32['phash_sec']:.2f} | {ptp32:,.0f} |
 
 **Phash-banding scaling efficiency N→4N = {peff:.2f}** (target ≥ 0.8).
+
+As-of join (round-5 temporal family — the WINDOW-FUNCTION path: union +
+one running last(ignorenulls) window per key, single Exchange, zero join
+fan-out) over a synthesized {r8['asof_rows']:,}-row event stream
+(+ 1/5 right side, 10k keys, identical at both sizes), min-of-2 after a
+full warm pass:
+
+| parallelism | wall sec | rows/sec |
+|---|---|---|
+| local[{r8['cpus']}]  (N)  | {r8['asof_sec']:.2f} | {jtp8:,.0f} |
+| local[{r32['cpus']}] (4N) | {r32['asof_sec']:.2f} | {jtp32:,.0f} |
+
+**As-of-join scaling efficiency N→4N = {jeff:.2f}** (target ≥ 0.8).
 
 Violations found: {r8['viols']:,} (identical at both sizes — same input,
 deterministic pipeline).
