@@ -243,7 +243,11 @@ def minhash_lsh_pairs(
     filter), so output pairs are true near-dups. False negatives are bounded
     by the (bands, r) S-curve.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # ValueError (not assert): the contract must survive python -O
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     r = num_hashes // bands
     # PLAN NOTE: two deliberate materialization barriers (repartition).
     # Without them CollapseProject inlines (a) the shingle+crc32 base-hash
