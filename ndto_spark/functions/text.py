@@ -308,9 +308,14 @@ def bm25_scores(
             for i in range(len(terms))
         ],
     ).collect()[0]
+    # empty corpus: avg/sum aggregates come back NULL — any value works,
+    # the result frame is empty either way
     n_docs = float(stats["n"])
     avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 1.0
-    dfs = [float(stats[f"__df_{i}"]) for i in range(len(terms))]
+    dfs = [
+        float(stats[f"__df_{i}"]) if stats[f"__df_{i}"] is not None else 0.0
+        for i in range(len(terms))
+    ]
 
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
