@@ -119,6 +119,21 @@ def asof_join(
     key serializes its partition through one task (window functions are
     order-dependent and cannot be salted); at 100 TB shard such keys
     upstream if per-key order across shards is not required.
+
+    Two session defaults gut the window stage at scale (measured on a
+    40M-row leg, tools/scaling_bench.py):
+
+    - AQE's 64 MB ``advisoryPartitionSizeInBytes`` coalesces this
+      operator's narrow unioned rows (~40 B) into multi-million-row sort
+      partitions — 2.2x slower than ~750k-row partitions. Lower the
+      advisory size (8m) or raise ``spark.sql.shuffle.partitions`` so
+      post-shuffle sorts stay cache-sized.
+    - ``spark.sql.windowExec.buffer.in.memory.threshold`` (default 4096)
+      pushes every key group larger than 4096 rows into a per-group
+      UnsafeExternalSorter; raise it when keys carry more rows than that.
+
+    With both set, the window stage scales 0.91 N→4N on the two-size
+    harness — as well as the bare sort machinery it sits on (0.85).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
