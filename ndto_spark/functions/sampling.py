@@ -63,6 +63,55 @@ def stratified_sample(
     return df.filter(sample_bucket(F.col(key_col), seed) < thr)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: Column | str,
+    key_col: str,
+    k: int,
+    seed: int = 42,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Fixed-size deterministic sample: exactly ``min(k, |group|)`` rows
+    per group — the reservoir-sampling analog for eval-set carving,
+    per-domain caps, and debugging slices, minus the nondeterminism.
+
+    Rows are ranked inside each group by (md5(key ":" seed), key) — a
+    uniform, seed-switchable order that is a pure function of the key, so
+    the same keys are picked across runs, engines, and partitionings —
+    and rows ranked > k are dropped. ``rank_col`` (1-based) is appended;
+    all input columns survive.
+
+    100 TB shape: the standard top-k-per-group window — one Exchange on
+    the group; Spark's WindowGroupLimit pushes the rank <= k filter below
+    the sort AND to the map side, so each input partition forwards at
+    most k rows per group and no full group ever sorts in one task
+    (cf. temporal.latest_snapshot, the top-1 instance of this shape).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    group = F.col(group_col) if isinstance(group_col, str) else group_col
+    taken = set(df.columns)
+    if rank_col in taken:
+        raise ValueError(f"rank_col {rank_col!r} collides with an input column")
+    tag = 0
+    while any(f"_skg{tag}{s}" in taken for s in ("g", "h")):
+        tag += 1
+    c_g, c_h = f"_skg{tag}g", f"_skg{tag}h"
+    hash_order = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))
+    )
+    w = Window.partitionBy(c_g).orderBy(F.col(c_h), F.col(key_col))
+    return (
+        df.withColumn(c_g, group)
+        .withColumn(c_h, hash_order)
+        .withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        .filter(F.col(rank_col) <= F.lit(k))
+        .drop(c_g, c_h)
+    )
+
+
 def filter_top_fraction(
     df: DataFrame,
     score_col: Column,

@@ -343,3 +343,43 @@ def bm25_scores(
             score.alias("score"),
         )
     )
+
+
+# PII detection/redaction patterns, applied in DECLARATION ORDER (emails
+# first: their local parts may contain digits/dashes that the phone
+# pattern would otherwise bite into). Patterns are deliberately restricted
+# to syntax with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, non-capturing groups,
+# ASCII \b — no lookarounds, no backreferences — so the gate oracle can
+# replay redaction byte-exactly.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,3}-\d{1,4}-\d{4,8}", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IPV4>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4/Dolma-style PII cleanup: per-document match counts for each
+    PII class plus the redacted text.
+
+    Output ``(id, n_email, n_phone, n_ipv4, clean_text)``. Counts are
+    taken on the RAW text per class; redaction then applies every
+    pattern sequentially in ``PII_PATTERNS`` order (a span consumed by an
+    earlier class is invisible to later ones — the standard scrub
+    semantics; the patterns are disjoint on well-formed text).
+
+    100 TB shape: one projection of JVM ``regexp_count`` /
+    ``regexp_replace`` expressions — whole-stage codegen, zero Python,
+    zero shuffle; scans at parquet-read speed and pushes column pruning
+    down to (id, text).
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = t
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(F.col(id_col), *counts, clean.alias("clean_text"))

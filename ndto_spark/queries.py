@@ -1966,6 +1966,68 @@ def q_session_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
 
+def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (C4/Dolma-style cleanup) over documents with
+    deterministically PLANTED identifiers — the synthetic corpus contains
+    none, so the gate appends an email (doc_id % 7), an E.164-ish phone
+    (% 11) and a dotted-quad IP (% 13) to the text; the oracle constructs
+    the byte-identical planted string in SQL. Detection/redaction uses
+    functions/text.PII_PATTERNS, deliberately restricted to Java-regex /
+    RE2-portable syntax. Output: per-class counts + the md5-low32
+    signature of the redacted text (byte-exact redaction parity)."""
+    from .dedup import md5_low32
+    from .functions.text import pii_scrub
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" reach user"), did.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" call +1-555-"), (did % 10000 + 10000).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(planted, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        md5_low32(F.col("clean_text")).alias("clean_sig"),
+    )
+
+
+def q_sample_k_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic per-group sample (the reservoir analog):
+    10 docs per source, ranked by (md5(doc_id ":42"), doc_id) — the
+    oracle replays the identical rank in DuckDB (md5 is engine-portable,
+    hex compares lexicographically the same in both engines)."""
+    from .functions.sampling import sample_k_per_group
+
+    out = sample_k_per_group(
+        _read(spark, sf_dir, "documents"), "source", "doc_id", k=10
+    )
+    return out.select("doc_id", "source", "sample_rank")
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -2040,6 +2102,8 @@ QUERIES = {
     "latest_events": q_latest_events,
     "session_stream_events": q_session_stream_events,
     "bm25_documents": q_bm25_documents,
+    "pii_documents": q_pii_documents,
+    "sample_k_documents": q_sample_k_documents,
 }
 
 
@@ -3673,4 +3737,61 @@ SELECT doc_id, count(*)::BIGINT AS n_terms,
          list_prepend(0.0::DOUBLE, list(term_score ORDER BY token)),
          (a, b) -> a + b))::BIGINT AS score_e6
 FROM terms GROUP BY doc_id
+"""
+
+
+def _pii_oracle_sql() -> str:
+    """Built from functions/text.PII_PATTERNS so the SQL always redacts with
+    the exact patterns the Spark operator uses (constants shared by design;
+    DuckDB's RE2 engine is still the independent evaluator — any semantic
+    divergence from Java regex, or any planted-string construction drift,
+    fails the value hash)."""
+    from .functions.text import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        "CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{n}".format(
+            p=pat.replace("'", "''"), n=name
+        )
+        for name, pat, _tok in PII_PATTERNS
+    )
+    red = "text"
+    for _name, pat, tok in PII_PATTERNS:
+        red = "regexp_replace({r}, '{p}', '{t}', 'g')".format(
+            r=red, p=pat.replace("'", "''"), t=tok
+        )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call +1-555-' || CAST(doc_id % 10000 + 10000 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END
+    AS text
+  FROM documents
+)
+SELECT doc_id,
+  {counts},
+  {_md5_low32_sql(red)} AS clean_sig
+FROM planted
+"""
+
+
+ORACLE_SQL["pii_documents"] = _pii_oracle_sql()
+
+ORACLE_SQL["sample_k_documents"] = """
+WITH ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 10
 """

@@ -233,3 +233,48 @@ def test_aspect_bucket_batches_shards_are_deterministic(spark):
         last[key] = max(last.get(key, -1), r.batch_id)
     for (key, bid), n in sizes.items():
         assert n == 8 or bid == last[key]
+
+
+def test_sample_k_per_group_sizes_and_determinism(spark):
+    from ndto_spark.functions.sampling import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)] + [(1000, "tiny")],
+        "doc_id bigint, grp string",
+    )
+    out = sample_k_per_group(df, "grp", "doc_id", k=5).collect()
+    import collections
+
+    by_grp = collections.defaultdict(list)
+    for r in out:
+        by_grp[r.grp].append(r)
+    # exactly min(k, |group|) rows per group; ranks are 1..n contiguous
+    assert {g: len(v) for g, v in by_grp.items()} == {
+        "g0": 5, "g1": 5, "g2": 5, "tiny": 1
+    }
+    for v in by_grp.values():
+        assert sorted(r.sample_rank for r in v) == list(range(1, len(v) + 1))
+    # determinism: same seed -> same keys; different seed -> different order
+    again = sample_k_per_group(df, "grp", "doc_id", k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = sample_k_per_group(df, "grp", "doc_id", k=5, seed=7).collect()
+    assert {r.doc_id for r in out} != {r.doc_id for r in other}
+    # the sample is the TOP of the full hash order: rank<=k rows are a
+    # prefix of the rank ordering over the whole group
+    full = sample_k_per_group(df, "grp", "doc_id", k=10**6)
+    top = {
+        (r.grp, r.doc_id) for r in full.collect() if r.sample_rank <= 5
+    }
+    assert {(r.grp, r.doc_id) for r in out} == top
+
+
+def test_sample_k_per_group_validates_args(spark):
+    import pytest as _pytest
+
+    from ndto_spark.functions.sampling import sample_k_per_group
+
+    df = spark.createDataFrame([(1, "a", 2)], "doc_id bigint, grp string, sample_rank int")
+    with _pytest.raises(ValueError, match="rank_col"):
+        sample_k_per_group(df, "grp", "doc_id", k=1)
+    with _pytest.raises(ValueError, match="k must be"):
+        sample_k_per_group(df.drop("sample_rank"), "grp", "doc_id", k=0)

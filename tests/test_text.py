@@ -60,3 +60,36 @@ def test_bm25_requires_terms(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="query_terms"):
         bm25_scores(df, "doc_id", "text", [])
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from ndto_spark.functions.text import pii_scrub
+
+    rows = [
+        (1, "mail a.b+tag@ex-ample.co.uk and x_9%y@host.io today"),
+        (2, "call +49-170-1234567 or +1-555-99887766 now"),
+        (3, "host 10.0.255.3 peered with 192.168.1.10"),
+        (4, "mixed: u@h.org, +33-6-55443322, 8.8.8.8"),
+        (5, "clean text with no identifiers at all"),
+        (6, "not-pii: v1.2.3.4.5 chains and a@b (no tld)"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(df, "doc_id", "text").collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 0, 0)
+    assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> today"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 2, 0)
+    assert out[2]["clean_text"] == "call <PHONE> or <PHONE> now"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 2)
+    assert out[3]["clean_text"] == "host <IPV4> peered with <IPV4>"
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (1, 1, 1)
+    assert out[4]["clean_text"] == "mixed: <EMAIL>, <PHONE>, <IPV4>"
+    assert (out[5]["n_email"], out[5]["n_phone"], out[5]["n_ipv4"]) == (0, 0, 0)
+    assert out[5]["clean_text"] == rows[4][1]
+    # v1.2.3.4.5: no word boundary splits 'v1', so the IPv4 match starts
+    # at the first post-dot digit and consumes 2.3.4.5; a@b has no TLD
+    # and must NOT count as an email. Pin both behaviors.
+    assert (out[6]["n_email"], out[6]["n_phone"], out[6]["n_ipv4"]) == (0, 0, 1)
+    assert out[6]["clean_text"] == "not-pii: v1.<IPV4> chains and a@b (no tld)"
