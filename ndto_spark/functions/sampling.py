@@ -63,6 +63,60 @@ def stratified_sample(
     return df.filter(sample_bucket(F.col(key_col), seed) < thr)
 
 
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Disjoint deterministic train/val/test assignment: every row lands
+    in exactly ONE named split, decided by the same md5-low32 key bucket
+    ``deterministic_sample`` uses.
+
+    ``splits`` partitions the [0, 10^6) bucket space into contiguous
+    ranges in dict order, so ``{"train": .9, "val": .05, "test": .05}``
+    sends bucket < 900000 to train, [900000, 950000) to val, the rest to
+    test. Fractions must sum to 1 (±1e-9); the LAST split absorbs the
+    integer rounding so the ranges exactly cover the space. The
+    assignment is a pure function of the key: the same ``key_col`` value
+    lands in the same split across runs, engines, cluster sizes, and
+    TABLES — assign both sides of a join with the same key and the split
+    never leaks pairs across the train/test boundary.
+
+    100 TB shape: a pure projection — zero shuffle, zero Python; Catalyst
+    folds the when-chain into the scan's whole-stage codegen, and a
+    downstream ``filter(split = 'train')`` prunes at scan time.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    for name, frac in splits.items():
+        if frac < 0:
+            raise ValueError(f"fraction for {name!r} must be >= 0, got {frac}")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if split_col in df.columns:
+        raise ValueError(
+            f"split_col {split_col!r} collides with an input column"
+        )
+    names = list(splits)
+    bucket = sample_bucket(F.col(key_col), seed)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        thr = F.lit(int(round(cum * _DENOM)))
+        expr = (
+            F.when(bucket < thr, F.lit(name))
+            if expr is None
+            else expr.when(bucket < thr, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
 def sample_k_per_group(
     df: DataFrame,
     group_col: Column | str,

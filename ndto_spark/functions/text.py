@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..dedup import tokens, word_shingles
+from ..dedup import md5_low32, tokens, word_shingles
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
@@ -342,6 +342,122 @@ def bm25_scores(
             F.col("n_terms").cast("bigint").alias("n_terms"),
             score.alias("score"),
         )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    k: int = 2,
+) -> DataFrame:
+    """DSIR hashed-n-gram importance weights (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023): score
+    every document by how much more likely its hashed k-gram features are
+    under the TARGET distribution (rows matching ``target_pred``) than
+    under the raw corpus.
+
+    Each k-token gram (multiset — repeats count) hashes to a bucket via
+    md5_low32(gram) % n_buckets; bucket unigram models with add-1
+    smoothing give
+
+        logw(doc) = sum over grams g of
+            ln( (tgt_cnt[b(g)]+1) / (tgt_total+B) )
+          - ln( (raw_cnt[b(g)]+1) / (raw_total+B) )
+
+    Output ``(id, n_grams, logw)``; docs with zero grams (< k tokens) are
+    omitted (their weight is vacuously 0, like bm25's non-matchers). The
+    per-doc float fold runs in ascending-bucket order inside ONE
+    expression, so the double result is deterministic and engine-portable
+    (the gate oracle replays it with DuckDB's ``list(... ORDER BY b)``).
+
+    100 TB shape — two jobs (model, then score — the bm25-stats /
+    IVF-codebook discipline), each tokenizing once; nothing wide ever
+    shuffles:
+
+    - explode_outer the hashed-gram array (the rule-safe explode: plain
+      explode lets InferFiltersFromGenerate push the whole gram expression
+      into an inferred filter, re-evaluating it per row), then ONE
+      partially-aggregated groupBy(id, bucket) collapses the gram stream
+      map-side — the shuffle is compact (id, bucket, cnt) longs.
+    - the bucket model is a second partial aggregate over those rows down
+      to ``n_buckets`` rows, collected ONCE to the driver and embedded as
+      a literal log-ratio array (the IVF-codebook / bm25-stats
+      discipline) — scoring is then a pure column expression with ZERO
+      joins. Eager: the model job runs at call time.
+    - ``n_buckets`` caps at 4096 (the literal array rides in every task's
+      serialized plan; DSIR quality plateaus well below that — the paper
+      uses 10k buckets for full CommonCrawl, where you'd shard the score
+      pass instead of widening one literal).
+    """
+    if not 2 <= n_buckets <= 4096:
+        raise ValueError(
+            f"n_buckets must be in [2, 4096], got {n_buckets} (the bucket "
+            "model embeds as a plan literal)"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import math
+
+    base = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        target_pred.cast("boolean").alias("is_tgt"),
+    )
+    buckets = F.transform(
+        ngrams(F.col("text"), k),
+        lambda g: (md5_low32(g) % F.lit(n_buckets)).cast("int"),
+    )
+    g = base.select(
+        "id", "is_tgt", F.explode_outer(buckets).alias("bucket")
+    ).where(F.col("bucket").isNotNull())
+    pdb = g.groupBy("id", "is_tgt", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stats = (
+        pdb.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("raw_cnt"),
+            F.sum(F.when(F.col("is_tgt"), F.col("cnt")).otherwise(0)).alias(
+                "tgt_cnt"
+            ),
+        )
+        .collect()
+    )
+    raw = [0] * n_buckets
+    tgt = [0] * n_buckets
+    for r in stats:
+        raw[r["bucket"]] = int(r["raw_cnt"])
+        tgt[r["bucket"]] = int(r["tgt_cnt"] or 0)
+    raw_tot, tgt_tot = sum(raw), sum(tgt)
+    # one division then ln: both engines see the same exact-rational
+    # inputs, so libm agreement (the bm25 precedent) carries the result
+    lr = [
+        math.log(float(tgt[b] + 1) / float(tgt_tot + n_buckets))
+        - math.log(float(raw[b] + 1) / float(raw_tot + n_buckets))
+        for b in range(n_buckets)
+    ]
+    lr_arr = F.array(*[F.lit(float(v)) for v in lr])
+    terms = pdb.select(
+        "id",
+        "bucket",
+        "cnt",
+        (F.col("cnt").cast("double") * F.get(lr_arr, F.col("bucket"))).alias(
+            "term"
+        ),
+    )
+    folded = terms.groupBy("id").agg(
+        F.sum("cnt").cast("bigint").alias("n_grams"),
+        F.array_sort(F.collect_list(F.struct("bucket", "term"))).alias("_ts"),
+    )
+    return folded.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        F.aggregate(
+            F.col("_ts"), F.lit(0.0), lambda acc, x: acc + x["term"]
+        ).alias("logw"),
     )
 
 

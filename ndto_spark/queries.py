@@ -2028,6 +2028,46 @@ def q_sample_k_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "sample_rank")
 
 
+def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment over documents —
+    the split is a pure function of md5_low32(doc_id ":42") % 10^6, so
+    the oracle replays the exact bucket arithmetic and the same doc lands
+    in the same split in both engines (and on any cluster size)."""
+    from .functions.sampling import assign_splits, sample_bucket
+
+    out = assign_splits(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return out.select(
+        "doc_id",
+        "split",
+        sample_bucket(F.col("doc_id")).cast("bigint").alias("bucket"),
+    )
+
+
+def q_dsir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights, target = English docs.
+    The oracle recomputes the 256-bucket smoothed log-ratio model and the
+    ascending-bucket float fold in DuckDB; scores quantized to 1e-6."""
+    from .functions.text import dsir_weights
+
+    out = dsir_weights(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        F.col("lang") == "en",
+        n_buckets=256,
+        k=2,
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.floor(F.col("logw") * 1e6).cast("bigint").alias("logw_e6"),
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -2104,6 +2144,8 @@ QUERIES = {
     "bm25_documents": q_bm25_documents,
     "pii_documents": q_pii_documents,
     "sample_k_documents": q_sample_k_documents,
+    "split_documents": q_split_documents,
+    "dsir_documents": q_dsir_documents,
 }
 
 
@@ -3784,6 +3826,69 @@ FROM planted
 
 
 ORACLE_SQL["pii_documents"] = _pii_oracle_sql()
+
+ORACLE_SQL["split_documents"] = """
+SELECT doc_id,
+  CASE WHEN b < 900000 THEN 'train'
+       WHEN b < 950000 THEN 'val'
+       ELSE 'test' END AS split,
+  b AS bucket
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+      % 1000000 AS b
+  FROM documents
+)
+"""
+
+# DSIR importance weights: the oracle recomputes the whole pipeline —
+# hashed-bigram buckets, the 256-bucket add-1-smoothed target/raw unigram
+# models, and the per-doc ascending-bucket float fold (same list_reduce
+# ordered-fold treatment as bm25; ln on identical exact-rational inputs,
+# so libm agrees across engines)
+ORACLE_SQL["dsir_documents"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_DOC_TOKS} AS t
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 256 AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest([array_to_string(t[i:i+1], ' ')
+                   for i in range(1, len(t))]) AS gram
+    FROM toks
+  )
+),
+pdb AS (
+  SELECT doc_id, lang, b, count(*)::BIGINT AS cnt FROM g GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT b, sum(cnt) AS raw_cnt,
+         sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS tgt_cnt
+  FROM pdb GROUP BY 1
+),
+tot AS (
+  SELECT sum(raw_cnt)::BIGINT AS raw_tot, sum(tgt_cnt)::BIGINT AS tgt_tot
+  FROM stats
+),
+lr AS (
+  SELECT b,
+         ln((tgt_cnt + 1)::DOUBLE / (tgt_tot + 256)::DOUBLE)
+       - ln((raw_cnt + 1)::DOUBLE / (raw_tot + 256)::DOUBLE) AS lr
+  FROM stats CROSS JOIN tot
+),
+terms AS (
+  SELECT doc_id, p.b, cnt, cnt::DOUBLE * lr AS term
+  FROM pdb p JOIN lr ON p.b = lr.b
+)
+SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+       floor(1e6 * list_reduce(
+         list_prepend(0.0::DOUBLE, list(term ORDER BY b)),
+         (a, c) -> a + c))::BIGINT AS logw_e6
+FROM terms GROUP BY doc_id
+"""
 
 ORACLE_SQL["sample_k_documents"] = """
 WITH ranked AS (

@@ -112,3 +112,27 @@ def test_filter_top_fraction_exact_partition_invariant(spark):
             stratum_col=(F.col("doc_id") % 3),
         ),
     )
+
+
+def test_assign_splits_partition_invariant(spark):
+    from ndto_spark.functions.sampling import assign_splits
+
+    _assert_invariant(
+        spark,
+        lambda d: assign_splits(
+            d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ),
+    )
+
+
+def test_dsir_weights_partition_invariant(spark):
+    # the ascending-bucket fold makes even the FLOAT weight bit-identical
+    # across partitionings (no quantization in this comparison)
+    from ndto_spark.functions.text import dsir_weights
+
+    _assert_invariant(
+        spark,
+        lambda d: dsir_weights(
+            d, "doc_id", "text", F.col("doc_id") % 3 == 0, n_buckets=32
+        ),
+    )

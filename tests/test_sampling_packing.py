@@ -278,3 +278,66 @@ def test_sample_k_per_group_validates_args(spark):
         sample_k_per_group(df, "grp", "doc_id", k=1)
     with _pytest.raises(ValueError, match="k must be"):
         sample_k_per_group(df.drop("sample_rank"), "grp", "doc_id", k=0)
+
+
+def test_assign_splits_disjoint_exhaustive(spark):
+    from ndto_spark.functions.sampling import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k int")
+    out = assign_splits(
+        df, "k", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    rows = out.collect()
+    # every row gets exactly one split; ~90/5/5 at n=500
+    assert len(rows) == 500
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for r in rows:
+        counts[r.split] += 1
+    assert counts["train"] > 400
+    assert counts["val"] > 0 and counts["test"] > 0
+    # assignment agrees with the bucket ranges exactly
+    from ndto_spark.functions.sampling import sample_bucket
+
+    chk = df.select(
+        "k", sample_bucket(F.col("k")).alias("b")
+    ).collect()
+    buckets = {r.k: r.b for r in chk}
+    for r in rows:
+        b = buckets[r.k]
+        want = "train" if b < 900_000 else ("val" if b < 950_000 else "test")
+        assert r.split == want, (r.k, b, r.split)
+
+
+def test_assign_splits_consistent_with_sample(spark):
+    # the same key keeps the same bucket deterministic_sample uses, so a
+    # 90% train split equals a deterministic_sample at fraction 0.9
+    from ndto_spark.functions.sampling import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "k int")
+    train = {
+        r.k
+        for r in assign_splits(df, "k", {"train": 0.9, "rest": 0.1})
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    sampled = {r.k for r in deterministic_sample(df, "k", 0.9).collect()}
+    assert train == sampled
+
+
+def test_assign_splits_validation(spark):
+    from ndto_spark.functions.sampling import assign_splits
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "k", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="must be >= 0"):
+        assign_splits(df, "k", {"a": -0.5, "b": 1.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        assign_splits(df, "k", {})
+    with pytest.raises(ValueError, match="collides"):
+        assign_splits(
+            df.withColumn("split", F.lit("x")), "k", {"a": 1.0}
+        )
+    # single split takes everything, no when-chain needed
+    out = assign_splits(df, "k", {"all": 1.0})
+    assert out.first().split == "all"

@@ -1,8 +1,9 @@
-"""BM25 lexical scoring."""
+"""BM25 lexical scoring + DSIR importance weights."""
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 
@@ -93,3 +94,54 @@ def test_pii_scrub_counts_and_redaction(spark):
     # and must NOT count as an email. Pin both behaviors.
     assert (out[6]["n_email"], out[6]["n_phone"], out[6]["n_ipv4"]) == (0, 0, 1)
     assert out[6]["clean_text"] == "not-pii: v1.<IPV4> chains and a@b (no tld)"
+
+
+def test_dsir_weights_separates_target_from_raw(spark):
+    from ndto_spark.functions.text import dsir_weights
+
+    # target docs share a distinctive bigram vocabulary; raw-only docs
+    # share a different one — target-like docs must score higher
+    tgt = [(i, "alpha beta gamma delta alpha beta", "en") for i in range(8)]
+    raw = [(100 + i, "omega psi chi phi omega psi", "zh") for i in range(8)]
+    mix = [(200, "alpha beta omega psi", "zh")]
+    df = spark.createDataFrame(
+        tgt + raw + mix, "doc_id long, text string, lang string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            df, "doc_id", "text", F.col("lang") == "en", n_buckets=64
+        ).collect()
+    }
+    assert out[0]["n_grams"] == 5
+    assert out[100]["n_grams"] == 5
+    assert out[200]["n_grams"] == 3
+    # target-vocabulary docs score strictly above raw-only docs, the
+    # mixed doc sits between
+    assert out[0]["logw"] > out[200]["logw"] > out[100]["logw"]
+    assert out[0]["logw"] > 0 > out[100]["logw"]
+
+
+def test_dsir_weights_short_and_null_docs_drop(spark):
+    from ndto_spark.functions.text import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "one-token", "en"), (2, None, "en"), (3, "two tokens", "en"),
+         (None, "two tokens", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = dsir_weights(
+        df, "doc_id", "text", F.col("lang") == "en", n_buckets=16
+    ).collect()
+    # only doc 3 has >= 2 tokens and a non-null id
+    assert [(r["doc_id"], r["n_grams"]) for r in rows] == [(3, 1)]
+
+
+def test_dsir_weights_validation(spark):
+    from ndto_spark.functions.text import dsir_weights
+
+    df = spark.createDataFrame([(1, "a b", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(df, "doc_id", "text", F.col("lang") == "en", n_buckets=8192)
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_weights(df, "doc_id", "text", F.col("lang") == "en", k=0)
