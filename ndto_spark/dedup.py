@@ -49,20 +49,41 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
 
 
+def bind(col: Column, body) -> Column:
+    """Let-binding for expression trees: evaluate ``col`` ONCE per row and
+    pass the bound value (a lambda variable) to ``body``.
+
+    Why it exists: higher-order functions run interpreted (CodegenFallback)
+    and re-evaluate their lambda BODY subtrees per element — so a subtree
+    referenced inside a per-element lambda, e.g. the token array that a
+    shingle ``slice`` reads at every position, is recomputed O(n_elements)
+    times. Wrapping it in a one-element array and transforming binds it to
+    a lambda variable, which per-element references read by value.
+    Measured: 5-gram shingling over 200k synth docs 9.1 → 3.9 s (2.3x).
+    """
+    return F.get(F.transform(F.array(col), body), 0)
+
+
 def word_shingles(col: Column, k: int) -> Column:
     """Distinct k-token shingles (strings) of a text column.
 
     Docs with fewer than k tokens yield an EMPTY array — guarded
     explicitly: ``sequence(1, 0)`` is a DESCENDING [1, 0] in Spark, whose
     0 start position makes ANSI-mode ``slice`` throw (latent until a
-    short-doc corpus hit it)."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.when(n >= F.lit(k), F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    short-doc corpus hit it). The token array is let-``bind``-ed so the
+    per-position slice reads a bound value instead of re-tokenizing."""
+
+    def _sh(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+        sh = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+        )
+        return F.when(n >= F.lit(k), F.array_distinct(sh)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind(tokens(col), _sh)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -132,14 +132,20 @@ def ngrams(col: Column, n: int) -> Column:
     """NON-distinct n-token grams of a text column (order preserved) —
     unlike word_shingles, repeats are kept: repetition metrics need the
     multiset. Docs with fewer than n tokens yield an empty array (same
-    short-doc ANSI slice guard as word_shingles)."""
-    toks = tokens(col)
-    m = F.size(toks)
-    idx = F.sequence(F.lit(1), m - F.lit(n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(m >= F.lit(n), grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    short-doc ANSI slice guard, same let-``bind`` as word_shingles)."""
+    from ..dedup import bind
+
+    def _grams(toks: Column) -> Column:
+        m = F.size(toks)
+        idx = F.sequence(F.lit(1), m - F.lit(n - 1))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        )
+        return F.when(m >= F.lit(n), grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind(tokens(col), _grams)
 
 
 def repetition_metrics(

@@ -1593,14 +1593,17 @@ def q_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drop and keep branches carry weight. Output keeps the cleaned
     text's md5 + length rather than the text (compact at sf0.1)."""
     d = _read(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    nch = F.ceil(F.size(toks) / F.lit(float(_LINE_CHUNK))).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), nch - F.lit(1)),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, i * _LINE_CHUNK + 1, _LINE_CHUNK)
-        ),
-    )
+
+    def _chunks(toks):  # let-bound: the split runs once, not once per chunk
+        nch = F.ceil(F.size(toks) / F.lit(float(_LINE_CHUNK))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nch - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * _LINE_CHUNK + 1, _LINE_CHUNK)
+            ),
+        )
+
+    chunks = dedup.bind(F.split(F.col("text"), " "), _chunks)
     ml = d.select("doc_id", F.array_join(chunks, "\n").alias("text"))
     out = dedup.line_dedup(ml, "doc_id", "text", sep="\n", min_df=2)
     return out.select(
