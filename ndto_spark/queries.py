@@ -194,6 +194,67 @@ def q_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deequ-style rule families: predicate compliance, histogram profiles,
+# information metrics, exact-moment correlation, robust outliers
+
+
+def q_compliance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column / cross-row predicate compliance (the Deequ 'satisfies'
+    analog): all rules in ONE wide aggregate — one scan, single-row reduced
+    state, adding a rule adds a column not a pass."""
+    li = _read(spark, sf_dir, "lineitem")
+    return table_rules.compliance(
+        li,
+        {
+            "price_bounded": F.col("l_extendedprice") <= 50000,
+            "qty_low_half": F.col("l_quantity") <= 25,
+            "pre96_ship": F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"),
+            "tax_low": F.col("l_tax") <= 0.05,
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column equi-width histogram profile in one pass (wide
+    conditional-count aggregate — no shuffle of row data)."""
+    return table_rules.histogram_profile(
+        _read(spark, sf_dir, "lineitem"),
+        [("l_quantity", 0.0, 50.0, 10), ("l_extendedprice", 0.0, 120000.0, 12)],
+    )
+
+
+def q_entropy_mi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropies + mutual information between event_type and the
+    value's 50-wide bucket. One groupBy over the table; all four metrics
+    fold over the same reduced joint frame in key order (deterministic
+    float sums, DuckDB-replayable)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        table_rules.bucketize(F.col("value"), 0.0, 500.0, 10).alias("value_bucket"),
+    )
+    return table_rules.entropy_mi(ev, "event_type", "value_bucket")
+
+
+def q_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT decimal(38,0) integer moments —
+    order-independent sums, so the float epilogue is bit-identical in any
+    engine (DuckDB replays with HUGEINT sums)."""
+    return table_rules.correlation_exact(
+        _read(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice", scale=100
+    )
+
+
+def q_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outliers over events.value (exact percentile twin —
+    DuckDB quantile_cont parity; approx_percentile is the scale path,
+    pinned by tests)."""
+    return table_rules.mad_outliers(
+        _read(spark, sf_dir, "events"), "event_id", "value", k=3.5, exact=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup / similarity / text ops
 
 
@@ -2079,6 +2140,11 @@ QUERIES = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "ref_integrity_events": q_ref_integrity_events,
     "drift_lineitem": q_drift_lineitem,
+    "compliance_lineitem": q_compliance_lineitem,
+    "histogram_lineitem": q_histogram_lineitem,
+    "entropy_mi_events": q_entropy_mi_events,
+    "corr_lineitem": q_corr_lineitem,
+    "outliers_events": q_outliers_events,
     "dedup_exact_documents": q_dedup_exact_documents,
     "dedup_apply_documents": q_dedup_apply_documents,
     "quantiles_lineitem": q_quantiles_lineitem,
@@ -3902,4 +3968,118 @@ WITH ranked AS (
 )
 SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= 10
+"""
+
+# Deequ-style rule families (round 5). Each replays the Spark math with
+# engine-portable arithmetic: integer counts everywhere, float epilogues
+# either bit-identical (exact-moment corr: HUGEINT == decimal(38,0) sums)
+# or key-ordered folds (entropy/MI — the drift-oracle convention).
+ORACLE_SQL["compliance_lineitem"] = """
+WITH r AS (
+  SELECT 'price_bounded' AS rule_name,
+         coalesce(l_extendedprice <= 50000, FALSE) AS ok FROM lineitem
+  UNION ALL
+  SELECT 'qty_low_half', coalesce(l_quantity <= 25, FALSE) FROM lineitem
+  UNION ALL
+  SELECT 'pre96_ship',
+         coalesce(l_shipdate < TIMESTAMP '1996-01-01', FALSE) FROM lineitem
+  UNION ALL
+  SELECT 'tax_low', coalesce(l_tax <= 0.05, FALSE) FROM lineitem
+  UNION ALL
+  SELECT 'returnflag_domain',
+         coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE) FROM lineitem
+)
+SELECT rule_name, count(*)::BIGINT AS n_rows,
+       count(*) FILTER (NOT ok)::BIGINT AS n_violations,
+       floor(1e6 * (count(*) - count(*) FILTER (NOT ok)) / count(*))::BIGINT
+         AS compliance_e6
+FROM r GROUP BY rule_name
+"""
+
+ORACLE_SQL["histogram_lineitem"] = """
+WITH q AS (
+  SELECT least(greatest(CAST(floor((l_quantity - 0.0) / 5.0) AS INT), 0), 9)
+           AS bucket, count(*) AS n
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+), e AS (
+  SELECT least(greatest(CAST(floor((l_extendedprice - 0.0) / 10000.0) AS INT), 0), 11)
+           AS bucket, count(*) AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+)
+SELECT 'l_quantity' AS column_name, g.bucket::INT AS bucket,
+       coalesce(q.n, 0)::BIGINT AS n
+FROM (SELECT unnest(range(10)) AS bucket) g LEFT JOIN q ON q.bucket = g.bucket
+UNION ALL
+SELECT 'l_extendedprice', g.bucket::INT, coalesce(e.n, 0)::BIGINT
+FROM (SELECT unnest(range(12)) AS bucket) g LEFT JOIN e ON e.bucket = g.bucket
+"""
+
+# entropy/MI: joint counts -> window-sum marginals (exact ints) -> per-cell
+# float terms folded in (a, b) order; ln written per-factor exactly as the
+# Spark expression (log p - log pa - log pb for the MI term).
+ORACLE_SQL["entropy_mi_events"] = """
+WITH j AS (
+  SELECT event_type AS a,
+         least(greatest(CAST(floor((value - 0.0) / 50.0) AS INT), 0), 9) AS b,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT a, b, cnt,
+         sum(cnt) OVER ()::DOUBLE AS n,
+         sum(cnt) OVER (PARTITION BY a)::DOUBLE AS na,
+         sum(cnt) OVER (PARTITION BY b)::DOUBLE AS nb
+  FROM j
+), t AS (
+  SELECT a, b,
+         -(cnt / n) * ln(na / n) AS ta,
+         -(cnt / n) * ln(nb / n) AS tb,
+         -(cnt / n) * ln(cnt / n) AS tj,
+         (cnt / n) * (ln(cnt / n) - ln(na / n) - ln(nb / n)) AS tm
+  FROM w
+), f AS (
+  SELECT
+    list_reduce(list_prepend(0.0::DOUBLE, list(ta ORDER BY a, b)), (x, y) -> x + y) AS h_a,
+    list_reduce(list_prepend(0.0::DOUBLE, list(tb ORDER BY a, b)), (x, y) -> x + y) AS h_b,
+    list_reduce(list_prepend(0.0::DOUBLE, list(tj ORDER BY a, b)), (x, y) -> x + y) AS h_ab,
+    list_reduce(list_prepend(0.0::DOUBLE, list(tm ORDER BY a, b)), (x, y) -> x + y) AS mi
+  FROM t
+)
+SELECT 'entropy_a' AS metric, floor(1e6 * h_a)::BIGINT AS value_e6 FROM f
+UNION ALL SELECT 'entropy_b', floor(1e6 * h_b)::BIGINT FROM f
+UNION ALL SELECT 'entropy_joint', floor(1e6 * h_ab)::BIGINT FROM f
+UNION ALL SELECT 'mutual_information', floor(1e6 * mi)::BIGINT FROM f
+"""
+
+ORACLE_SQL["corr_lineitem"] = """
+WITH m AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(CAST(round(l_quantity * 100) AS HUGEINT)) AS sx,
+    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+    sum(CAST(round(l_quantity * 100) AS HUGEINT)
+        * CAST(round(l_quantity * 100) AS HUGEINT)) AS sxx,
+    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+    sum(CAST(round(l_quantity * 100) AS HUGEINT)
+        * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+  FROM lineitem
+)
+SELECT 'l_quantity~l_extendedprice' AS pair, n AS n_rows,
+  floor(1e6 * (
+    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+    / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+  ))::BIGINT AS corr_e6
+FROM m
+"""
+
+ORACLE_SQL["outliers_events"] = """
+WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+mad AS (
+  SELECT quantile_cont(abs(value - med.m), 0.5) AS d FROM events, med
+),
+s AS (SELECT med.m AS m, 1.4826::DOUBLE * mad.d AS sc FROM med, mad)
+SELECT event_id, value::DOUBLE AS value,
+       floor(((value - s.m) / s.sc) * 1e4)::BIGINT AS dev_e4
+FROM events, s
+WHERE abs(value - s.m) > 3.5::DOUBLE * s.sc
 """

@@ -136,10 +136,18 @@ def referential_integrity(
 
 
 def bucketize(col: Column, lo: float, hi: float, nbins: int) -> Column:
-    """Fixed-width bin index in [0, nbins-1], clamping out-of-range values."""
+    """Fixed-width bin index in [0, nbins-1], clamping out-of-range values.
+
+    NULL stays NULL (excluded from every bucket). The explicit guard
+    matters: Spark's ``greatest``/``least`` SKIP null arguments rather than
+    propagate them, so without it a NULL value would silently clamp into
+    bucket 0 and distort histograms/drift on nullable columns.
+    """
     step = (hi - lo) / nbins
     raw = F.floor((col - F.lit(lo)) / F.lit(step)).cast("int")
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+    return F.when(
+        col.isNotNull(), F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+    )
 
 
 def histogram(
@@ -450,4 +458,267 @@ def approx_distinct_hll_portable_grouped(
     return stats.select(
         F.col("grp").alias(group_col),
         F.floor(est).cast("bigint").alias("approx_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# predicate compliance, histogram profiles, information metrics, correlation,
+# robust outliers — the Deequ-style constraint families the reference's
+# per-value keywords can't express (cross-column and cross-row rules).
+
+
+def compliance(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
+    """Deequ-style predicate-compliance check: for each named boolean rule,
+    the fraction of rows satisfying it (a NULL predicate counts as a
+    violation — unknown is not compliant).
+
+    Returns (rule_name, n_rows, n_violations, compliance_e6) where
+    compliance_e6 = floor(1e6 * satisfied/rows) as bigint (engine-portable
+    quantization; NULL on an empty table).
+
+    Scale: ONE full scan, all rules evaluated in the same wide aggregate
+    with map-side partial combine — reduced state is a single row
+    regardless of table size, no shuffle of row data. Adding a rule adds a
+    column to the aggregate, not a pass over the table.
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)),
+                F.lit(0),
+            ).alias(f"{name}__viol")
+        )
+    wide = df.agg(*aggs)
+    rows = F.col("__rows")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule_name"),
+                rows.alias("n_rows"),
+                F.col(f"{name}__viol").alias("n_violations"),
+                F.when(
+                    rows > 0,
+                    F.floor(
+                        F.lit(1e6) * (rows - F.col(f"{name}__viol")) / rows
+                    ).cast("long"),
+                ).alias("compliance_e6"),
+            )
+            for name in rules
+        ]
+    )
+    return wide.select(F.explode(entries).alias("s")).select("s.*")
+
+
+def histogram_profile(
+    df: DataFrame, specs: Sequence[tuple]
+) -> DataFrame:
+    """Equi-width histogram profile for several numeric columns in ONE pass.
+
+    ``specs`` is a sequence of (col, lo, hi, nbins). Returns
+    (column_name, bucket, n) — every bucket present (zero-filled), NULLs
+    excluded per column.
+
+    Scale: the bucket of each column is computed once in a projection, then
+    every (column, bucket) count is a conditional sum in a single wide
+    aggregate — one scan, map-side partial combine, single-row reduced
+    state, zero shuffle of row data. The wide-agg path is for
+    sum(nbins) ≲ 10^3 total cells (typical profiles); for very fine
+    histograms use ``histogram`` per column (one tiny shuffle each).
+    """
+    proj = df.select(
+        *[
+            bucketize(F.col(c), lo, hi, nbins).alias(f"__b_{c}")
+            for c, lo, hi, nbins in specs
+        ]
+    )
+    aggs = []
+    for c, lo, hi, nbins in specs:
+        b = F.col(f"__b_{c}")
+        for i in range(nbins):
+            aggs.append(
+                F.sum(F.when(b == i, 1).otherwise(0)).alias(f"__n_{c}_{i}")
+            )
+    wide = proj.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(i).alias("bucket"),
+                F.col(f"__n_{c}_{i}").alias("n"),
+            )
+            for c, lo, hi, nbins in specs
+            for i in range(nbins)
+        ]
+    )
+    return wide.select(F.explode(entries).alias("s")).select("s.*")
+
+
+def entropy_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Shannon entropies H(A), H(B), H(A,B) and mutual information
+    I(A;B), in nats, as (metric, value_e6) rows.
+
+    Every metric is a weighted sum over the joint distribution, so all four
+    fold over the SAME reduced frame: with p = cnt/n, pa = n_a/n (marginal
+    via window sum over the reduced frame), pb = n_b/n —
+    H(A) = Σ -p·ln(pa), H(B) = Σ -p·ln(pb), H(A,B) = Σ -p·ln(p),
+    I = Σ p·ln(p/(pa·pb)) (ln written as a log difference so every term
+    uses the same primitive).
+
+    Scale: ONE groupBy(a, b) over the table — the only shuffle, partial-
+    aggregated, output one row per distinct pair. Marginals come from
+    window sums of exact longs over that reduced frame (order-independent);
+    the float p·ln terms are folded in (a, b) key order (array_sort over
+    collected structs — the drift-oracle convention), so the result is
+    deterministic and replayable by DuckDB's list(term ORDER BY a, b).
+    """
+    from pyspark.sql.window import Window
+
+    joint = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt").over(Window.partitionBy())
+    na = F.sum("cnt").over(Window.partitionBy(col_a))
+    nb = F.sum("cnt").over(Window.partitionBy(col_b))
+    p = F.col("cnt") / F.col("n")
+    t = joint.select(
+        F.struct(F.col(col_a).alias("a"), F.col(col_b).alias("b")).alias("k"),
+        F.col("cnt"),
+        n.alias("n"),
+        na.alias("na"),
+        nb.alias("nb"),
+    ).select(
+        "k",
+        F.struct(
+            (-p * F.log(F.col("na") / F.col("n"))).alias("ta"),
+            (-p * F.log(F.col("nb") / F.col("n"))).alias("tb"),
+            (-p * F.log(p)).alias("tj"),
+            (
+                p
+                * (
+                    F.log(p)
+                    - F.log(F.col("na") / F.col("n"))
+                    - F.log(F.col("nb") / F.col("n"))
+                )
+            ).alias("tm"),
+        ).alias("t"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("k", "t")))
+
+    def _fold(field):
+        def go(acc, s):
+            return acc + s["t"][field]
+
+        return F.aggregate(F.col("terms"), F.lit(0.0), go)
+
+    folded = t.agg(arr.alias("terms")).select(
+        _fold("ta").alias("h_a"),
+        _fold("tb").alias("h_b"),
+        _fold("tj").alias("h_ab"),
+        _fold("tm").alias("mi"),
+    )
+    return folded.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("entropy_a"),
+                    F.lit("entropy_b"),
+                    F.lit("entropy_joint"),
+                    F.lit("mutual_information"),
+                ),
+                F.array(
+                    F.col("h_a"), F.col("h_b"), F.col("h_ab"), F.col("mi")
+                ),
+            )
+        ).alias("metric", "value")
+    ).select(
+        "metric", F.floor(F.col("value") * 1e6).cast("long").alias("value_e6")
+    )
+
+
+def correlation_exact(
+    df: DataFrame, col_x: str, col_y: str, scale: int = 100
+) -> DataFrame:
+    """Pearson correlation with bit-reproducible, order-independent moments.
+
+    Values are scaled to integers (``round(x*scale)``) and the five moments
+    (Σx, Σy, Σx², Σy², Σxy) accumulate as DECIMAL(38,0) — EXACT integer
+    sums, so the result is independent of partition/merge order (a plain
+    float ``corr`` differs between engines by summation order). The final
+    correlation is a handful of IEEE double ops on the exact moments —
+    identical in any engine (DuckDB replays with HUGEINT sums).
+
+    Scale: one scan, wide aggregate, single-row reduced state, no shuffle.
+    Overflow: ANSI decimal aggregation throws rather than wraps; with
+    |x·scale| ≤ 10⁸ the Σxy accumulator holds ≥ 10²² rows.
+
+    Returns (pair, n_rows, corr_e6 bigint).
+    """
+    dec = "decimal(38,0)"
+    xi = F.round(F.col(col_x) * scale).cast(dec)
+    yi = F.round(F.col(col_y) * scale).cast(dec)
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum(yi * yi).alias("syy"),
+        F.sum(xi * yi).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    corr = F.when(den > 0, num / den)
+    return m.select(
+        F.lit(f"{col_x}~{col_y}").alias("pair"),
+        F.col("n").alias("n_rows"),
+        F.floor(corr * 1e6).cast("long").alias("corr_e6"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    col: str,
+    k: float = 3.5,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Robust outliers: rows where |x - median| > k · 1.4826 · MAD.
+
+    MAD (median absolute deviation) is the robust scale estimate; 1.4826
+    makes it consistent with σ under normality. ``exact=True`` uses
+    ``percentile`` (matches DuckDB quantile_cont bit-for-bit — the oracle
+    twin); the 10^12-row path uses ``approx_percentile`` sketches.
+
+    Plan shape: median and MAD are 1-row aggregates broadcast-cross-joined
+    back (no driver collect); inherently two dependent scans (MAD needs the
+    median) plus the filter scan. Returns (key, value, dev_e4) with
+    dev = (x - median)/(1.4826·MAD) floor-quantized.
+    """
+    x = F.col(col).cast("double")
+    pct = (
+        (lambda c: F.percentile(c, F.lit(0.5)))
+        if exact
+        else (lambda c: F.approx_percentile(c, F.lit(0.5), F.lit(accuracy)))
+    )
+    med = df.agg(pct(x).alias("__med"))
+    with_med = df.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        pct(F.abs(x - F.col("__med"))).alias("__mad")
+    )
+    scaled = with_med.crossJoin(F.broadcast(mad)).withColumn(
+        "__s", F.lit(1.4826) * F.col("__mad")
+    )
+    dev = (x - F.col("__med")) / F.col("__s")
+    return (
+        scaled.filter(F.abs(x - F.col("__med")) > F.lit(k) * F.col("__s"))
+        .select(
+            F.col(key),
+            x.alias("value"),
+            F.floor(dev * 1e4).cast("long").alias("dev_e4"),
+        )
     )

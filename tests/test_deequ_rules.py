@@ -1,0 +1,143 @@
+"""Deequ-style rule families: predicate compliance, histogram profiles,
+entropy/mutual information, exact-moment correlation, MAD outliers
+(table_rules.py round-5 additions — the cross-column / cross-row constraint
+surface the reference's per-value keywords can't express)."""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ndto_spark import table_rules as tr
+
+
+def test_compliance_counts_null_predicate_as_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 200.0)], schema="id bigint, x double"
+    )
+    out = tr.compliance(df, {"x_small": F.col("x") < 100}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.rule_name == "x_small"
+    assert r.n_rows == 3
+    # NULL x -> predicate NULL -> violation; 200.0 -> violation
+    assert r.n_violations == 2
+    assert r.compliance_e6 == math.floor(1e6 * 1 / 3)
+
+
+def test_compliance_empty_table_yields_null_fraction(spark):
+    df = spark.createDataFrame([], schema="id bigint, x double")
+    r = tr.compliance(df, {"always": F.col("x") > 0}).collect()[0]
+    assert r.n_rows == 0 and r.n_violations == 0
+    assert r.compliance_e6 is None
+
+
+def test_compliance_multiple_rules_one_aggregate(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], schema="id bigint, x double"
+    )
+    out = {
+        r.rule_name: r
+        for r in tr.compliance(
+            df, {"lt5": F.col("x") < 5, "even": F.col("id") % 2 == 0}
+        ).collect()
+    }
+    assert out["lt5"].n_violations == 5
+    assert out["even"].n_violations == 5
+    assert out["lt5"].compliance_e6 == 500000
+
+
+def test_histogram_profile_zero_fill_clamp_and_null_exclusion(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 1.5, 2.5, 99.0, None]], schema="x double"
+    )
+    out = {
+        (r.column_name, r.bucket): r.n
+        for r in tr.histogram_profile(df, [("x", 0.0, 10.0, 5)]).collect()
+    }
+    # 5 buckets all present (zero-filled), width 2
+    assert len(out) == 5
+    assert out[("x", 0)] == 3  # -5 clamps in, 0.0, 1.5
+    assert out[("x", 1)] == 1  # 2.5
+    assert out[("x", 2)] == 0
+    assert out[("x", 3)] == 0
+    assert out[("x", 4)] == 1  # 99 clamps into the top bucket
+    # NULL contributes to no bucket
+    assert sum(out.values()) == 5
+
+
+def test_histogram_profile_matches_per_column_histogram(spark):
+    df = spark.range(100).select((F.col("id") % 17).cast("double").alias("x"))
+    prof = {
+        r.bucket: r.n
+        for r in tr.histogram_profile(df, [("x", 0.0, 17.0, 17)]).collect()
+    }
+    single = {r.bucket: r.n for r in tr.histogram(df, "x", 0.0, 17.0, 17).collect()}
+    for b in range(17):
+        assert prof[b] == single.get(b, 0)
+
+
+def test_entropy_mi_independent_columns(spark):
+    # a and b independent uniform -> MI == 0 exactly in the empirical joint
+    # (every cell has cnt == n/(|A||B|), so log p - log pa - log pb == 0
+    # up to float; with the balanced construction each term is exactly 0)
+    df = spark.range(64).select(
+        (F.col("id") % 4).alias("a"),
+        (F.floor(F.col("id") / 4).cast("long") % 4).alias("b"),
+    )
+    out = {r.metric: r.value_e6 for r in tr.entropy_mi(df, "a", "b").collect()}
+    assert out["mutual_information"] in (0, -1)  # floor of a ~0 float
+    # H(uniform over 4) = ln 4
+    assert out["entropy_a"] == math.floor(1e6 * math.log(4))
+    assert out["entropy_b"] == math.floor(1e6 * math.log(4))
+    assert out["entropy_joint"] == math.floor(1e6 * math.log(16))
+
+
+def test_entropy_mi_identical_columns(spark):
+    # b == a -> I(A;B) = H(A), H(A,B) = H(A)
+    df = spark.range(90).select(
+        (F.col("id") % 3).alias("a"), (F.col("id") % 3).alias("b")
+    )
+    out = {r.metric: r.value_e6 for r in tr.entropy_mi(df, "a", "b").collect()}
+    h = math.floor(1e6 * math.log(3))
+    assert out["entropy_a"] == h
+    assert out["entropy_joint"] == h
+    assert abs(out["mutual_information"] - h) <= 1
+
+
+def test_correlation_exact_perfect_and_anti(spark):
+    df = spark.range(1000).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2 + 7).cast("double").alias("y"),
+        (-F.col("id")).cast("double").alias("z"),
+    )
+    up = tr.correlation_exact(df, "x", "y").collect()[0]
+    assert up.pair == "x~y" and up.n_rows == 1000
+    assert up.corr_e6 == 1000000
+    dn = tr.correlation_exact(df, "x", "z").collect()[0]
+    assert dn.corr_e6 == -1000000
+
+
+def test_correlation_exact_constant_column_is_null(spark):
+    df = spark.range(10).select(
+        F.col("id").cast("double").alias("x"), F.lit(3.0).alias("y")
+    )
+    assert tr.correlation_exact(df, "x", "y").collect()[0].corr_e6 is None
+
+
+def test_mad_outliers_flags_planted_extremes(spark):
+    rows = [(i, 50.0 + (i % 7)) for i in range(100)] + [(1000, 5000.0), (1001, -900.0)]
+    df = spark.createDataFrame(rows, schema="k bigint, v double")
+    out = tr.mad_outliers(df, "k", "v", k=3.5, exact=True)
+    keys = {r.k for r in out.collect()}
+    assert keys == {1000, 1001}
+    devs = {r.k: r.dev_e4 for r in out.collect()}
+    assert devs[1000] > 0 and devs[1001] < 0
+
+
+def test_mad_outliers_approx_path_agrees_on_clear_outliers(spark):
+    rows = [(i, float(i % 10)) for i in range(500)] + [(9999, 1e6)]
+    df = spark.createDataFrame(rows, schema="k bigint, v double")
+    exact = {r.k for r in tr.mad_outliers(df, "k", "v", exact=True).collect()}
+    approx = {r.k for r in tr.mad_outliers(df, "k", "v", exact=False).collect()}
+    assert 9999 in exact and 9999 in approx
