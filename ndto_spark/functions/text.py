@@ -505,3 +505,138 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for _, pat, token in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, token)
     return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+def remove_common_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 3,
+    max_common: int = 10000,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate removal: delete every line whose
+    corpus DOCUMENT frequency is >= ``min_df`` (cookie banners, nav menus,
+    "subscribe" footers — text repeated verbatim across many pages).
+
+    Frequency is per-document (a doc repeating its own line does not
+    inflate it). Lines shorter than ``min_line_chars`` are never counted
+    nor removed (an empty line is structure, not boilerplate). The common
+    set is bounded to the ``max_common`` most frequent lines
+    (count desc, hash asc — deterministic) and broadcast; the bound is a
+    documented cap, not a silent truncation: callers sizing real corpora
+    should raise it or pre-shard by registrable domain.
+
+    Output ``(id, clean_text, n_lines, n_removed)``.
+
+    100 TB shape: document text never shuffles. The counting pass ships
+    only DISTINCT (doc, md5(line)) pairs (partial-aggregated groupBy);
+    the bounded common set returns to every executor as ONE broadcast
+    array, and cleaning is a per-row expression (filter + array_join)
+    over the re-split text — no explode/regroup round trip of the corpus.
+    The md5 let-binds via dedup.bind so the split runs once per row, not
+    once per line (HOFs re-evaluate lambda-body subtrees per element).
+    """
+    from ..dedup import bind
+
+    lines_col = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    pairs = (
+        df.select(F.col(id_col), F.explode_outer(lines_col).alias("__line"))
+        .filter(
+            F.col("__line").isNotNull()
+            & (F.length("__line") >= F.lit(min_line_chars))
+        )
+        .select(F.col(id_col), F.md5("__line").alias("__h"))
+        .distinct()
+    )
+    common = (
+        pairs.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= F.lit(min_df))
+        .orderBy(F.col("__df").desc(), F.col("__h"))
+        .limit(max_common)
+        .agg(F.array_sort(F.collect_list("__h")).alias("__common"))
+    )
+
+    def _clean(ls: Column) -> Column:
+        kept = F.filter(
+            ls, lambda l: ~F.array_contains(F.col("__common"), F.md5(l))
+        )
+        return F.struct(
+            F.array_join(kept, "\n").alias("clean_text"),
+            F.size(ls).cast("long").alias("n_lines"),
+            (F.size(ls) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+
+    out = df.crossJoin(F.broadcast(common)).select(
+        F.col(id_col), bind(lines_col, _clean).alias("__s")
+    )
+    return out.select(
+        id_col, "__s.clean_text", "__s.n_lines", "__s.n_removed"
+    )
+
+
+def vocab_oov(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 1000
+) -> DataFrame:
+    """Corpus-frequency vocabulary + per-document out-of-vocabulary rate.
+
+    Builds the ``vocab_size`` most frequent whitespace tokens (count desc,
+    token asc — deterministic tie-break), then scores every document by
+    the fraction of its tokens outside that vocabulary — the classic
+    cheap gibberish / wrong-domain quality signal.
+
+    Output ``(id, n_tokens, n_oov, oov_rate_e6)`` — rate floor-quantized
+    to 1e-6 (NULL for token-less docs); empty tokens are ignored.
+
+    100 TB shape: the exploded token stream is repartitioned ONCE on the
+    token so ReuseExchange shares a single scan+explode between the
+    vocab-count branch and the scoring branch (both consume it: the
+    groupBy pre-partitions, the probe reads the same exchange). The vocab
+    is <= vocab_size rows -> broadcast hash join (no shuffle to score);
+    the per-doc rollup is a partial-aggregated groupBy(id). Token-less
+    docs re-enter via a left join against the (id)-projected input.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok").isNotNull() & (F.col("__tok") != ""))
+        .repartition("__tok")
+    )
+    vocab = (
+        toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .select("__tok", F.lit(True).alias("__in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "__tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("__n_oov"),
+        )
+    )
+    nt = F.coalesce(F.col("__n_tokens"), F.lit(0))
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            nt.cast("long").alias("n_tokens"),
+            F.coalesce(F.col("__n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                nt > 0,
+                F.floor(F.lit(1e6) * F.col("__n_oov") / F.col("__n_tokens")),
+            )
+            .cast("long")
+            .alias("oov_rate_e6"),
+        )
+    )

@@ -474,6 +474,69 @@ def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textfn.token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _multiline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-line corpus for the line-removal gate (the
+    closed-form-fixture convention: documents are single-line, so both
+    engines REPLAY this construction — 8-token lines plus seeded
+    boilerplate: a cookie banner in every 3rd doc, a newsletter footer in
+    every 5th, and a rare footer (doc_id % 251) that stays BELOW min_df
+    at sf0.01 and must survive removal)."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+
+    def _chunk(t):
+        n_lines = F.ceil(F.size(t) / F.lit(8)).cast("int")
+
+        def _line(i):
+            return F.array_join(F.slice(t, i * 8 + 1, 8), " ")
+
+        return F.array_join(
+            F.transform(F.sequence(F.lit(0), n_lines - 1), _line), "\n"
+        )
+
+    body = dedup.bind(toks, _chunk)
+    text2 = F.concat_ws(
+        "\n",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("COOKIE NOTICE accept all cookies to continue"),
+        ),
+        body,
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.lit("subscribe to our newsletter for updates"),
+        ),
+        F.when(
+            F.col("doc_id") % 251 == 0,
+            F.lit("rare footer line kept below threshold"),
+        ),
+    )
+    return d.select("doc_id", text2.alias("text"))
+
+
+def q_remove_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style repeated-line (boilerplate) removal over a
+    deterministically constructed multi-line corpus: lines with corpus
+    document-frequency >= 3 are deleted; the bounded broadcast common set
+    keeps document text from ever shuffling."""
+    return textfn.remove_common_lines(
+        _multiline_documents(spark, sf_dir),
+        "doc_id",
+        "text",
+        min_df=3,
+        max_common=10000,
+    )
+
+
+def q_vocab_oov_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus vocabulary + per-doc out-of-vocabulary rate (the
+    cheap gibberish / wrong-domain signal). One shared token exchange
+    feeds both the vocab count and the broadcast-join scoring pass."""
+    return textfn.vocab_oov(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", vocab_size=20
+    )
+
+
 def q_pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing over documents: whitespace token
     counts, 8 streams (doc_id % 8), 512-token chunks. One row per
@@ -2175,6 +2238,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "token_counts_documents": q_token_counts_documents,
+    "remove_lines_documents": q_remove_lines_documents,
+    "vocab_oov_documents": q_vocab_oov_documents,
     "pack_chunks_documents": q_pack_chunks_documents,
     "sample_documents": q_sample_documents,
     "top_fraction_documents": q_top_fraction_documents,
@@ -4082,4 +4147,75 @@ SELECT event_id, value::DOUBLE AS value,
        floor(((value - s.m) / s.sc) * 1e4)::BIGINT AS dev_e4
 FROM events, s
 WHERE abs(value - s.m) > 3.5::DOUBLE * s.sc
+"""
+
+# remove_lines: both engines REPLAY the multi-line construction (8-token
+# lines + seeded boilerplate — the closed-form-fixture convention), then
+# the removal itself: distinct (doc, md5(line)) document frequency, common
+# set bounded (df desc, hash asc, LIMIT), order-preserving line filter.
+ORACLE_SQL["remove_lines_documents"] = """
+WITH base AS (
+  SELECT doc_id, concat_ws(chr(10),
+    CASE WHEN doc_id % 3 = 0
+         THEN 'COOKIE NOTICE accept all cookies to continue' END,
+    array_to_string(
+      list_transform(
+        range(CAST(ceil(len(string_split(coalesce(text, ''), ' '))::DOUBLE / 8.0) AS INT)),
+        i -> array_to_string(
+               list_slice(string_split(coalesce(text, ''), ' '),
+                          i * 8 + 1, i * 8 + 8), ' ')),
+      chr(10)),
+    CASE WHEN doc_id % 5 = 1
+         THEN 'subscribe to our newsletter for updates' END,
+    CASE WHEN doc_id % 251 = 0
+         THEN 'rare footer line kept below threshold' END) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base
+),
+pairs AS (
+  SELECT DISTINCT doc_id, md5(line) AS h FROM lines WHERE length(line) >= 1
+),
+common AS (
+  SELECT h FROM (SELECT h, count(*) AS df FROM pairs GROUP BY 1)
+  WHERE df >= 3 ORDER BY df DESC, h LIMIT 10000
+),
+carr AS (SELECT coalesce(list(h), []) AS hs FROM common)
+SELECT doc_id,
+  array_to_string(
+    list_filter(string_split(text, chr(10)),
+                x -> NOT list_contains(carr.hs, md5(x))),
+    chr(10)) AS clean_text,
+  len(string_split(text, chr(10)))::BIGINT AS n_lines,
+  (len(string_split(text, chr(10)))
+   - len(list_filter(string_split(text, chr(10)),
+                     x -> NOT list_contains(carr.hs, md5(x)))))::BIGINT
+    AS n_removed
+FROM base, carr
+"""
+
+ORACLE_SQL["vocab_oov_documents"] = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split(coalesce(text, ''), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+  ORDER BY cnt DESC, tok LIMIT 20
+),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) AS n_oov
+  FROM toks GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(per.n_oov, 0)::BIGINT AS n_oov,
+  CASE WHEN coalesce(per.n_tokens, 0) > 0
+       THEN floor(1e6 * per.n_oov / per.n_tokens)::BIGINT END AS oov_rate_e6
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """

@@ -1,0 +1,92 @@
+"""remove_common_lines (boilerplate line removal) and vocab_oov
+(vocabulary / out-of-vocabulary rate) — corpus-level text operators."""
+from __future__ import annotations
+
+from ndto_spark.functions import text as textfn
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id bigint, text string")
+
+
+def test_remove_common_lines_drops_only_frequent_lines(spark):
+    boiler = "ACCEPT ALL COOKIES"
+    rows = [
+        (1, f"{boiler}\nalpha one\nrare footer"),
+        (2, f"{boiler}\nbeta two"),
+        (3, f"{boiler}\ngamma three\nrare footer"),
+        (4, "delta four"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in textfn.remove_common_lines(
+            _docs(spark, rows), "doc_id", "text", min_df=3
+        ).collect()
+    }
+    assert out[1].clean_text == "alpha one\nrare footer"
+    assert out[1].n_lines == 3 and out[1].n_removed == 1
+    assert out[2].clean_text == "beta two"
+    # 'rare footer' has df=2 < min_df: kept
+    assert out[3].clean_text == "gamma three\nrare footer"
+    assert out[4].clean_text == "delta four" and out[4].n_removed == 0
+
+
+def test_remove_common_lines_df_is_per_document(spark):
+    # doc 1 repeats the line 3 times, but document frequency is 2 < min_df
+    rows = [(1, "dup\ndup\ndup\nbody"), (2, "dup\nother")]
+    out = {
+        r.doc_id: r
+        for r in textfn.remove_common_lines(
+            _docs(spark, rows), "doc_id", "text", min_df=3
+        ).collect()
+    }
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+
+
+def test_remove_common_lines_short_lines_never_removed(spark):
+    # empty lines appear in every doc but are below min_line_chars
+    rows = [(i, f"a\n\nbody {i}") for i in range(1, 6)]
+    out = textfn.remove_common_lines(
+        _docs(spark, rows), "doc_id", "text", min_df=3, min_line_chars=2
+    ).collect()
+    for r in out:
+        assert r.n_removed == 0
+        assert "\n\n" in r.clean_text  # empty line survives
+
+
+def test_remove_common_lines_max_common_bounds_removal(spark):
+    # two boilerplate lines, cap of 1: only the higher-df one is removed
+    rows = [
+        (i, ("hot line\n" if i <= 5 else "") + ("warm line\n" if i <= 4 else "") + f"body {i}")
+        for i in range(1, 7)
+    ]
+    out = {
+        r.doc_id: r
+        for r in textfn.remove_common_lines(
+            _docs(spark, rows), "doc_id", "text", min_df=3, max_common=1
+        ).collect()
+    }
+    assert out[1].clean_text == "warm line\nbody 1"  # hot removed, warm kept
+    assert out[6].n_removed == 0
+
+
+def test_vocab_oov_rates_and_zero_token_docs(spark):
+    rows = [
+        (1, "the the the cat"),
+        (2, "the dog"),
+        (3, ""),
+        (4, "zzz qqq"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in textfn.vocab_oov(
+            _docs(spark, rows), "doc_id", "text", vocab_size=2
+        ).collect()
+    }
+    # counts: the=5, cat=1, dog=1, zzz=1, qqq=1 -> vocab = {the, cat} (tie
+    # broken token-asc among count-1 tokens)
+    assert out[1].n_tokens == 4 and out[1].n_oov == 0
+    assert out[2].n_tokens == 2 and out[2].n_oov == 1
+    assert out[2].oov_rate_e6 == 500000
+    assert out[3].n_tokens == 0 and out[3].oov_rate_e6 is None
+    assert out[4].n_oov == 2 and out[4].oov_rate_e6 == 1000000
