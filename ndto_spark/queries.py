@@ -459,6 +459,58 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (DuckDB quantile_cont parity); the
+    approx_percentile variant is the scale path, pinned by tests."""
+    out = table_rules.group_quantiles(
+        _read(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        qs=(0.25, 0.5, 0.75),
+        exact=True,
+    )
+    return out.select(
+        "l_returnflag",
+        F.floor(F.col("q") * 100).cast("bigint").alias("q_pct"),
+        F.floor(F.col("value") * 1e4).cast("bigint").alias("value_e4"),
+    )
+
+
+def _corrupted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with deterministically seeded violation classes (the
+    closed-form-fixture convention — DuckDB replays the corruption):
+    vec_id % 89 == 0 truncated to 63 dims, % 83 == 1 all-NaN, % 97 == 2
+    zeroed, % 101 == 3 scaled x3 (norm leaves [0.5, 2.0])."""
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    vid = F.col("vec_id")
+    nan_f = F.lit(float("nan")).cast("float")
+    corrupted = (
+        F.when(vid % 89 == 0, F.slice(v, 1, 63))
+        .when(vid % 83 == 1, F.transform(v, lambda x: nan_f))
+        .when(vid % 97 == 2, F.transform(v, lambda x: F.lit(0.0).cast("float")))
+        .when(
+            vid % 101 == 3,
+            F.transform(v, lambda x: (x * F.lit(3.0)).cast("float")),
+        )
+        .otherwise(v)
+    )
+    return emb.select("vec_id", corrupted.alias("embedding"))
+
+
+def q_validate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity validation (dim / NaN / zero / norm-range) over a
+    seeded-corruption fixture; pure per-row expressions, zero shuffle."""
+    return table_rules.validate_embeddings(
+        _corrupted_embeddings(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        expected_dim=64,
+        norm_lo=0.5,
+        norm_hi=2.0,
+    )
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     pairs = dedup.embedding_near_dups(
@@ -2240,6 +2292,8 @@ QUERIES = {
     "token_counts_documents": q_token_counts_documents,
     "remove_lines_documents": q_remove_lines_documents,
     "vocab_oov_documents": q_vocab_oov_documents,
+    "group_quantiles_lineitem": q_group_quantiles_lineitem,
+    "validate_embeddings": q_validate_embeddings,
     "pack_chunks_documents": q_pack_chunks_documents,
     "sample_documents": q_sample_documents,
     "top_fraction_documents": q_top_fraction_documents,
@@ -4218,4 +4272,59 @@ SELECT d.doc_id,
   CASE WHEN coalesce(per.n_tokens, 0) > 0
        THEN floor(1e6 * per.n_oov / per.n_tokens)::BIGINT END AS oov_rate_e6
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+ORACLE_SQL["group_quantiles_lineitem"] = """
+SELECT l_returnflag, q_pct, value_e4 FROM (
+  SELECT l_returnflag, 25 AS q_pct,
+         CAST(floor(quantile_cont(l_extendedprice, 0.25) * 1e4) AS BIGINT) AS value_e4
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 50,
+         CAST(floor(quantile_cont(l_extendedprice, 0.5) * 1e4) AS BIGINT)
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 75,
+         CAST(floor(quantile_cont(l_extendedprice, 0.75) * 1e4) AS BIGINT)
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+# validate_embeddings: DuckDB replays the seeded corruption, then the same
+# checks — the norm folds in list order with per-element double casts, so
+# floor(norm * 1e6) is bit-identical.
+ORACLE_SQL["validate_embeddings"] = """
+WITH c AS (
+  SELECT vec_id,
+    CASE
+      WHEN vec_id % 89 = 0 THEN list_slice(embedding, 1, 63)
+      WHEN vec_id % 83 = 1 THEN list_transform(embedding, x -> 'NaN'::FLOAT)
+      WHEN vec_id % 97 = 2 THEN list_transform(embedding, x -> 0.0::FLOAT)
+      WHEN vec_id % 101 = 3
+        THEN list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 3.0 AS FLOAT))
+      ELSE embedding
+    END AS v
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, v,
+    len(v)::INT AS dim,
+    len(list_filter(v, x -> isnan(x)))::INT AS n_nan,
+    sqrt(list_reduce(
+      list_prepend(0.0::DOUBLE,
+        list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      (a, b) -> a + b)) AS nrm
+  FROM c
+)
+SELECT vec_id, dim, n_nan,
+  CASE WHEN v IS NOT NULL AND n_nan = 0
+       THEN floor(nrm * 1e6)::BIGINT END AS norm_e6,
+  CASE
+    WHEN v IS NULL THEN 'null_embedding'
+    WHEN dim <> 64 THEN 'dim_mismatch'
+    WHEN n_nan > 0 THEN 'has_nan'
+    WHEN nrm = 0.0 THEN 'zero_vector'
+    WHEN nrm < 0.5::DOUBLE OR nrm > 2.0::DOUBLE THEN 'norm_out_of_range'
+  END AS viol
+FROM m
 """

@@ -722,3 +722,95 @@ def mad_outliers(
             F.floor(dev * 1e4).cast("long").alias("dev_e4"),
         )
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-GROUP quantiles: (group, q, value) — ``column_quantiles``' shape
+    with a grouping key (per-language length profiles, per-source score
+    distributions).
+
+    ``exact=True`` is the oracle twin (``percentile`` == DuckDB
+    quantile_cont); the default ``approx_percentile`` sketch is the scale
+    path — constant state per (group, column), so the reduced size is
+    groups x qs regardless of input rows.
+
+    Scale: ONE partial-aggregated groupBy — the only shuffle; hot groups
+    cost sort-of-group-size on one reducer in exact mode (another reason
+    the sketch is the 100 TB default).
+    """
+    arr = F.array(*[F.lit(float(q)) for q in qs])
+    c = F.col(col).cast("double")
+    agg = (
+        F.percentile(c, arr)
+        if exact
+        else F.approx_percentile(c, arr, F.lit(accuracy))
+    )
+    wide = df.groupBy(F.col(group_col).alias("grp")).agg(agg.alias("__qv"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"), F.col("__qv")[i].alias("value")
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return wide.select(
+        F.col("grp").alias(group_col), F.explode(entries).alias("s")
+    ).select(group_col, "s.q", "s.value")
+
+
+def validate_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    expected_dim: int,
+    norm_lo: float = 0.0,
+    norm_hi: float = float("inf"),
+) -> DataFrame:
+    """Embedding-table sanity validation: dimension consistency, NaN
+    elements, zero vectors, L2-norm range — the checks a training pipeline
+    runs before ANN indexing / contrastive training eats a corrupt shard.
+
+    Output one row per vector: (id, dim, n_nan, norm_e6, viol) where viol
+    is the FIRST failed check (null_embedding > dim_mismatch > has_nan >
+    zero_vector > norm_out_of_range) or NULL for healthy rows. norm_e6 is
+    NULL when any element is NaN (ANSI cast of NaN would throw) — the
+    norm folds in array-element order with per-element double casts, so
+    it is bit-identical across engines (DuckDB list_reduce replays it).
+
+    Scale: pure per-row expressions — no shuffle, no Python; the HOF
+    lambdas only read the bound array reference per element.
+    """
+    v = F.col(vec_col)
+    dim = F.size(v).cast("int")
+    n_nan = F.size(F.filter(v, lambda x: F.isnan(x))).cast("int")
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(sq)
+    viol = (
+        F.when(v.isNull(), F.lit("null_embedding"))
+        .when(dim != F.lit(expected_dim), F.lit("dim_mismatch"))
+        .when(n_nan > 0, F.lit("has_nan"))
+        .when(norm == 0.0, F.lit("zero_vector"))
+        .when(
+            (norm < F.lit(norm_lo)) | (norm > F.lit(norm_hi)),
+            F.lit("norm_out_of_range"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        dim.alias("dim"),
+        n_nan.alias("n_nan"),
+        F.when(v.isNotNull() & (n_nan == 0), F.floor(norm * 1e6))
+        .cast("long")
+        .alias("norm_e6"),
+        viol.alias("viol"),
+    )
