@@ -459,6 +459,17 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic column profiler over a mixed-type column set (bigint, int,
+    double, string, timestamp_ntz) — exact-distinct oracle twin; the
+    approx_count_distinct path is the 100 TB default, pinned by tests."""
+    return table_rules.profile_table(
+        _read(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"],
+        exact_distinct=True,
+    )
+
+
 def q_group_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact quantiles (DuckDB quantile_cont parity); the
     approx_percentile variant is the scale path, pinned by tests."""
@@ -2294,6 +2305,7 @@ QUERIES = {
     "vocab_oov_documents": q_vocab_oov_documents,
     "group_quantiles_lineitem": q_group_quantiles_lineitem,
     "validate_embeddings": q_validate_embeddings,
+    "profile_lineitem": q_profile_lineitem,
     "pack_chunks_documents": q_pack_chunks_documents,
     "sample_documents": q_sample_documents,
     "top_fraction_documents": q_top_fraction_documents,
@@ -4328,3 +4340,44 @@ SELECT vec_id, dim, n_nan,
   END AS viol
 FROM m
 """
+
+# profile: per-dtype min/max normalization mirrors profile_table._norm —
+# ints/strings verbatim, doubles floor-quantized 1e-4, timestamps epoch-µs
+# (DuckDB epoch_us reads NTZ as UTC wall clock == the wall-clock
+# timestamp_diff the Spark side uses).
+_PROFILE_COL_SQL = """
+SELECT '{c}' AS column_name, '{dtype}' AS dtype,
+  count(*)::BIGINT AS n_rows,
+  (count(*) - count({c}))::BIGINT AS n_null,
+  count(DISTINCT {c})::BIGINT AS n_distinct,
+  CASE WHEN count(*) > 0
+       THEN floor(1e6 * (count(*) - count({c})) / count(*))::BIGINT
+  END AS null_e6,
+  {minx}::VARCHAR AS min_norm, {maxx}::VARCHAR AS max_norm
+FROM lineitem
+"""
+
+
+def _profile_norm_sql(c: str, dtype: str, agg: str) -> str:
+    if dtype == "double":
+        return f"CAST(floor({agg}({c}) * 1e4) AS BIGINT)"
+    if dtype == "timestamp_ntz":
+        return f"epoch_us({agg}({c}))"
+    return f"{agg}({c})"
+
+
+ORACLE_SQL["profile_lineitem"] = "\nUNION ALL\n".join(
+    _PROFILE_COL_SQL.format(
+        c=c,
+        dtype=dtype,
+        minx=_profile_norm_sql(c, dtype, "min"),
+        maxx=_profile_norm_sql(c, dtype, "max"),
+    )
+    for c, dtype in [
+        ("l_orderkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_returnflag", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ]
+)

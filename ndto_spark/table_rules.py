@@ -814,3 +814,85 @@ def validate_embeddings(
         .alias("norm_e6"),
         viol.alias("viol"),
     )
+
+
+def profile_table(
+    df: DataFrame,
+    cols: "Sequence[str] | None" = None,
+    exact_distinct: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Generic column profiler (the Deequ ColumnProfiler analog): one row
+    per column with null count, distinct count, and type-normalized
+    min/max — the first thing a validation engine runs on an unknown
+    table.
+
+    Output ``(column_name, dtype, n_rows, n_null, n_distinct, null_e6,
+    min_norm, max_norm)``. min/max are normalized to engine-portable
+    strings by dtype: integers/strings/booleans cast verbatim, floats
+    floor-quantized to 1e-4, timestamps as epoch microseconds (wall-clock
+    arithmetic for NTZ — the temporal.py convention, immune to
+    ``session.timeZone``).
+
+    Scale: ONE wide aggregate — single-row reduced state, no shuffle of
+    row data. ``exact_distinct=True`` (the oracle twin) compiles to
+    Spark's multi-distinct Expand, which replicates the scan output
+    once per profiled column — fine for profiling runs; set
+    ``exact_distinct=False`` for the 100 TB path (HLL sketch per column,
+    no Expand, constant state; estimates are not oracle-replayable).
+    """
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = list(cols or fields)
+
+    def _norm(c: str, v: Column) -> Column:
+        t = fields[c]
+        if t in ("double", "float"):
+            return F.when(v.isNotNull(), F.floor(v * 1e4).cast("bigint").cast("string"))
+        if t == "timestamp_ntz":
+            return F.timestamp_diff(
+                "MICROSECOND",
+                F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+                v,
+            ).cast("string")
+        if t == "timestamp":
+            return F.unix_micros(v).cast("string")
+        return v.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
+            (
+                F.count_distinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col, rsd)
+            ).alias(f"__dist_{c}"),
+            F.min(col).alias(f"__min_{c}"),
+            F.max(col).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.col("__rows")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(fields[c]).alias("dtype"),
+                rows.alias("n_rows"),
+                F.coalesce(F.col(f"__null_{c}"), F.lit(0))
+                .cast("long")
+                .alias("n_null"),
+                F.col(f"__dist_{c}").cast("long").alias("n_distinct"),
+                F.when(
+                    rows > 0,
+                    F.floor(
+                        F.lit(1e6) * F.col(f"__null_{c}") / rows
+                    ).cast("long"),
+                ).alias("null_e6"),
+                _norm(c, F.col(f"__min_{c}")).alias("min_norm"),
+                _norm(c, F.col(f"__max_{c}")).alias("max_norm"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("s")).select("s.*")

@@ -141,3 +141,32 @@ def test_mad_outliers_approx_path_agrees_on_clear_outliers(spark):
     exact = {r.k for r in tr.mad_outliers(df, "k", "v", exact=True).collect()}
     approx = {r.k for r in tr.mad_outliers(df, "k", "v", exact=False).collect()}
     assert 9999 in exact and 9999 in approx
+
+
+def test_profile_table_mixed_types_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, None, "y"), (3, 7.25, None), (3, 7.25, None)],
+        schema="k bigint, v double, s string",
+    )
+    out = {r.column_name: r for r in tr.profile_table(df).collect()}
+    assert out["k"].dtype == "bigint" and out["k"].n_rows == 4
+    assert out["k"].n_distinct == 3 and out["k"].n_null == 0
+    assert out["k"].min_norm == "1" and out["k"].max_norm == "3"
+    assert out["v"].n_null == 1 and out["v"].null_e6 == 250000
+    assert out["v"].min_norm == "25000"  # floor(2.5 * 1e4)
+    assert out["s"].n_null == 2 and out["s"].n_distinct == 2
+
+
+def test_profile_table_approx_distinct_close(spark):
+    df = spark.createDataFrame(
+        [(i % 100,) for i in range(5000)], schema="k bigint"
+    )
+    r = tr.profile_table(df, exact_distinct=False).collect()[0]
+    assert abs(r.n_distinct - 100) <= 10  # HLL within rsd
+
+
+def test_profile_table_empty_table(spark):
+    df = spark.createDataFrame([], schema="k bigint")
+    r = tr.profile_table(df).collect()[0]
+    assert r.n_rows == 0 and r.n_distinct == 0 and r.null_e6 is None
+    assert r.min_norm is None and r.max_norm is None
