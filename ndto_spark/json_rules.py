@@ -177,3 +177,89 @@ def validate_json_column(
         .drop(_PARSED_COL, _BAD_JSON_COL)
     )
     return _result_from_annotated(annotated, key)
+
+
+def infer_json_schema(df: DataFrame, col: str) -> DataFrame:
+    """Schema INFERENCE over a JSON string column — the reverse direction
+    of the validator (reference parses a schema into rules; this derives a
+    draft schema FROM data, the first step when no spec exists yet).
+
+    Discovers top-level keys dynamically (``from_json`` to
+    ``map<string,variant>`` + ``schema_of_variant``) and emits one row per
+    (path, json_type): ``($, object|invalid)`` roots, then ``($.key,
+    integer|number|string|boolean|object|array|null)`` with occurrence
+    count and presence rate over ALL input rows (floor-quantized e6).
+    Variant types normalize to JSON-schema vocabulary: int-like (incl.
+    DECIMAL(p,0)) -> integer, other numerics -> number; non-object JSON
+    (scalars/arrays at the root) counts as ``invalid`` for object
+    inference. Depth is 1 — nested objects/arrays report as terminal
+    ``object``/``array`` types.
+
+    Scale: parse once; the only shuffle is groupBy(key, type) over
+    exploded (key, type) pairs — bounded by keys x types, partial-
+    aggregated; the row total broadcasts back as a 1-row frame.
+    """
+    parsed = df.select(
+        F.col(col).alias("__raw"),
+        F.from_json(F.col(col), "map<string,variant>").alias("__m"),
+    )
+    total = parsed.agg(F.count(F.lit(1)).alias("__n_rows"))
+
+    root = parsed.agg(
+        F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0)).alias("__ok"),
+        F.sum(
+            F.when(F.col("__m").isNull() & F.col("__raw").isNotNull(), 1).otherwise(0)
+        ).alias("__bad"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("$").alias("path"),
+                    F.lit("object").alias("json_type"),
+                    F.col("__ok").cast("long").alias("n"),
+                ),
+                F.struct(
+                    F.lit("$").alias("path"),
+                    F.lit("invalid").alias("json_type"),
+                    F.col("__bad").cast("long").alias("n"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+    t = F.schema_of_variant(F.col("v"))
+    jt = (
+        F.when(t.startswith("OBJECT"), F.lit("object"))
+        .when(t.startswith("ARRAY"), F.lit("array"))
+        .when(t == "STRING", F.lit("string"))
+        .when(t == "BOOLEAN", F.lit("boolean"))
+        .when(t == "VOID", F.lit("null"))
+        .when(
+            t.isin("TINYINT", "SMALLINT", "INT", "BIGINT")
+            | t.rlike(r"^DECIMAL\([0-9]+,0\)$"),
+            F.lit("integer"),
+        )
+        .otherwise(F.lit("number"))
+    )
+    keys = (
+        parsed.select(F.explode("__m").alias("k", "v"))
+        .select(F.concat(F.lit("$."), F.col("k")).alias("path"), jt.alias("json_type"))
+        .groupBy("path", "json_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    return (
+        root.unionByName(keys)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "json_type",
+            "n",
+            F.when(
+                F.col("__n_rows") > 0,
+                F.floor(F.lit(1e6) * F.col("n") / F.col("__n_rows")),
+            )
+            .cast("long")
+            .alias("present_e6"),
+        )
+    )

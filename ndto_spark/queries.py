@@ -1132,6 +1132,33 @@ def q_validate_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_infer_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema inference over an enriched deterministic JSON fixture
+    (mixed-type tag, optional nested object / array / null keys, seeded
+    invalid rows) — keys and types are DISCOVERED, not declared."""
+    from .json_rules import infer_json_schema
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    js = F.when(eid % 101 == 99, F.lit("not json{")).otherwise(
+        F.concat(
+            F.lit('{"k": '),
+            F.get_json_object("props", "$.k"),
+            F.lit(', "tag": '),
+            F.when(eid % 2 == 0, (F.col("user_id") % 20).cast("string")).otherwise(
+                F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))
+            ),
+            F.when(eid % 3 == 0, F.lit(', "meta": {"lang": "en"}')).otherwise(
+                F.lit("")
+            ),
+            F.when(eid % 5 == 0, F.lit(', "arr": [1, 2]')).otherwise(F.lit("")),
+            F.when(eid % 7 == 0, F.lit(', "opt": null')).otherwise(F.lit("")),
+            F.lit("}"),
+        )
+    )
+    return infer_json_schema(ev.select(js.alias("js")), "js")
+
+
 def q_validate_json_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-type any_of over a JSON column: 'tag' is an integer on even
     event_ids and a string otherwise. spec_to_spark_type types the branch
@@ -2306,6 +2333,7 @@ QUERIES = {
     "group_quantiles_lineitem": q_group_quantiles_lineitem,
     "validate_embeddings": q_validate_embeddings,
     "profile_lineitem": q_profile_lineitem,
+    "infer_json_events": q_infer_json_events,
     "pack_chunks_documents": q_pack_chunks_documents,
     "sample_documents": q_sample_documents,
     "top_fraction_documents": q_top_fraction_documents,
@@ -4381,3 +4409,58 @@ ORACLE_SQL["profile_lineitem"] = "\nUNION ALL\n".join(
         ("l_shipdate", "timestamp_ntz"),
     ]
 )
+
+# infer_json: DuckDB replays the fixture construction, then json_each
+# discovers the same keys; its JSON type vocabulary (UBIGINT/BIGINT/DOUBLE/
+# VARCHAR/BOOLEAN/OBJECT/ARRAY/NULL) normalizes to the same json-schema
+# vocabulary as schema_of_variant on the Spark side.
+ORACLE_SQL["infer_json_events"] = """
+WITH src AS (
+  SELECT CASE WHEN event_id % 101 = 99 THEN 'not json{'
+    ELSE '{"k": ' || (props->>'k')
+      || ', "tag": ' || (CASE WHEN event_id % 2 = 0
+                              THEN (user_id % 20)::VARCHAR
+                              ELSE '"' || event_type || '"' END)
+      || (CASE WHEN event_id % 3 = 0 THEN ', "meta": {"lang": "en"}' ELSE '' END)
+      || (CASE WHEN event_id % 5 = 0 THEN ', "arr": [1, 2]' ELSE '' END)
+      || (CASE WHEN event_id % 7 = 0 THEN ', "opt": null' ELSE '' END)
+      || '}' END AS js
+  FROM events
+),
+tot AS (SELECT count(*)::BIGINT AS n_rows FROM src),
+parsed AS (
+  SELECT js,
+         CASE WHEN json_valid(js) AND json_type(js::JSON) = 'OBJECT'
+              THEN js::JSON END AS obj
+  FROM src
+),
+root AS (
+  SELECT '$' AS path, 'object' AS json_type, count(obj)::BIGINT AS n
+  FROM parsed
+  UNION ALL
+  SELECT '$', 'invalid',
+         (count(*) FILTER (js IS NOT NULL AND obj IS NULL))::BIGINT
+  FROM parsed
+),
+kx AS (
+  SELECT obj, unnest(json_keys(obj)) AS k FROM parsed WHERE obj IS NOT NULL
+),
+keys AS (
+  -- json_type(obj, path) is SQL NULL only for a JSON null value (the key
+  -- came from json_keys, so it exists) -> coalesce recovers the type
+  SELECT '$.' || k AS path,
+    CASE coalesce(json_type(obj, '$.' || k), 'NULL')
+      WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+      WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+      WHEN 'NULL' THEN 'null'
+      WHEN 'UBIGINT' THEN 'integer' WHEN 'BIGINT' THEN 'integer'
+      ELSE 'number' END AS json_type,
+    count(*)::BIGINT AS n
+  FROM kx
+  GROUP BY 1, 2
+)
+SELECT r.path, r.json_type, r.n,
+       CASE WHEN tot.n_rows > 0
+            THEN floor(1e6 * r.n / tot.n_rows)::BIGINT END AS present_e6
+FROM (SELECT * FROM root UNION ALL SELECT * FROM keys) r, tot
+"""

@@ -90,3 +90,30 @@ def test_vocab_oov_rates_and_zero_token_docs(spark):
     assert out[2].oov_rate_e6 == 500000
     assert out[3].n_tokens == 0 and out[3].oov_rate_e6 is None
     assert out[4].n_oov == 2 and out[4].oov_rate_e6 == 1000000
+
+
+def test_infer_json_schema_discovers_keys_types_and_invalid(spark):
+    from ndto_spark.json_rules import infer_json_schema
+
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": 1.5, "c": [1], "d": {"e": 2}, "z": null}',),
+        ('{"a": true}',),
+        ("not json",),
+        (None,),
+        ("[1, 2]",),  # valid JSON, not an object -> invalid for inference
+    ]
+    df = spark.createDataFrame(rows, schema="js string")
+    out = {
+        (r.path, r.json_type): r for r in infer_json_schema(df, "js").collect()
+    }
+    assert out[("$", "object")].n == 3
+    assert out[("$", "invalid")].n == 2  # 'not json' + root array; NULL excluded
+    assert out[("$.a", "integer")].n == 1
+    assert out[("$.a", "number")].n == 1
+    assert out[("$.a", "boolean")].n == 1
+    assert out[("$.b", "string")].n == 1
+    assert out[("$.c", "array")].n == 1
+    assert out[("$.d", "object")].n == 1
+    assert out[("$.z", "null")].n == 1
+    assert out[("$", "object")].present_e6 == 500000  # 3 of 6 rows
