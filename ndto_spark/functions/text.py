@@ -640,3 +640,78 @@ def vocab_oov(
             .alias("oov_rate_e6"),
         )
     )
+
+
+def c4_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    mean_len_lo: int = 3,
+    mean_len_hi: int = 10,
+    min_stopwords: int = 2,
+    punct_max_pct: int = 10,
+    distinct_min_pct: int = 30,
+) -> DataFrame:
+    """C4/Gopher-style document quality filter: one keep/drop verdict per
+    doc with the FIRST failing rule as the reason (fixed priority order,
+    the validator convention).
+
+    Rules (Rae et al. Gopher §A1.1 / Raffel et al. C4 heuristics):
+    token count in [min_tokens, max_tokens]; mean token length in
+    [mean_len_lo, mean_len_hi]; at least min_stopwords stopwords;
+    punctuation <= punct_max_pct% of chars; distinct tokens >=
+    distinct_min_pct% of tokens (repetition proxy). Every ratio is
+    compared CROSS-MULTIPLIED on integers (s < lo*n, 100*punct >
+    pct*chars) — no floats anywhere, so any engine replays it exactly.
+
+    Output ``(id, n_tokens, keep, fail_reason)``; fail_reason NULL on keep.
+
+    Scale: one projection of codegen expressions — no shuffle, no Python;
+    the token array let-binds via dedup.bind so it is computed once per
+    row (HOFs re-evaluate lambda-body subtrees per element).
+    """
+    from ..dedup import bind, tokens
+
+    t = F.col(text_col)
+
+    def _verdict(toks: Column) -> Column:
+        n = F.size(toks).cast("long")
+        s = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        n_distinct = F.size(F.array_distinct(toks)).cast("long")
+        n_stop = F.size(
+            F.filter(
+                toks,
+                lambda x: x.isin(*LANG_MARKERS["en"]),
+            )
+        ).cast("long")
+        chars = F.length(t).cast("long")
+        n_punct = (
+            chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+        ).cast("long")
+        reason = (
+            F.when(n < min_tokens, F.lit("too_few_tokens"))
+            .when(n > max_tokens, F.lit("too_many_tokens"))
+            .when(s < F.lit(mean_len_lo) * n, F.lit("mean_token_len_low"))
+            .when(s > F.lit(mean_len_hi) * n, F.lit("mean_token_len_high"))
+            .when(n_stop < min_stopwords, F.lit("low_stopword_count"))
+            .when(
+                F.lit(100) * n_punct > F.lit(punct_max_pct) * chars,
+                F.lit("high_punct_ratio"),
+            )
+            .when(
+                F.lit(100) * n_distinct < F.lit(distinct_min_pct) * n,
+                F.lit("low_distinct_ratio"),
+            )
+        )
+        return F.struct(
+            n.alias("n_tokens"),
+            reason.isNull().alias("keep"),
+            reason.alias("fail_reason"),
+        )
+
+    out = df.select(F.col(id_col), bind(tokens(t), _verdict).alias("__v"))
+    return out.select(id_col, "__v.n_tokens", "__v.keep", "__v.fail_reason")

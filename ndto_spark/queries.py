@@ -1132,6 +1132,23 @@ def q_validate_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher quality filter: keep/drop + first failing rule,
+    all-integer cross-multiplied thresholds (exact in any engine)."""
+    return textfn.c4_filter(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_tokens=40,
+        max_tokens=100_000,
+        mean_len_lo=3,
+        mean_len_hi=10,
+        min_stopwords=1,
+        punct_max_pct=10,
+        distinct_min_pct=30,
+    )
+
+
 def q_infer_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON schema inference over an enriched deterministic JSON fixture
     (mixed-type tag, optional nested object / array / null keys, seeded
@@ -2334,6 +2351,7 @@ QUERIES = {
     "validate_embeddings": q_validate_embeddings,
     "profile_lineitem": q_profile_lineitem,
     "infer_json_events": q_infer_json_events,
+    "c4_filter_documents": q_c4_filter_documents,
     "pack_chunks_documents": q_pack_chunks_documents,
     "sample_documents": q_sample_documents,
     "top_fraction_documents": q_top_fraction_documents,
@@ -4463,4 +4481,34 @@ SELECT r.path, r.json_type, r.n,
        CASE WHEN tot.n_rows > 0
             THEN floor(1e6 * r.n / tot.n_rows)::BIGINT END AS present_e6
 FROM (SELECT * FROM root UNION ALL SELECT * FROM keys) r, tot
+"""
+
+# c4_filter: all-integer rule arithmetic replayed verbatim; toks/stopword
+# conventions shared with text_quality_documents (_DOC_TOKS).
+ORACLE_SQL["c4_filter_documents"] = f"""
+WITH t AS (SELECT doc_id, text, {_DOC_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n,
+    list_sum(list_transform(toks, x -> length(x)))::BIGINT AS s,
+    len(list_distinct(toks))::BIGINT AS n_distinct,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x)))::BIGINT AS n_stop,
+    length(text)::BIGINT AS chars,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct
+  FROM t
+),
+v AS (
+  SELECT doc_id, n,
+    CASE
+      WHEN n < 40 THEN 'too_few_tokens'
+      WHEN n > 100000 THEN 'too_many_tokens'
+      WHEN s < 3 * n THEN 'mean_token_len_low'
+      WHEN s > 10 * n THEN 'mean_token_len_high'
+      WHEN n_stop < 1 THEN 'low_stopword_count'
+      WHEN 100 * n_punct > 10 * chars THEN 'high_punct_ratio'
+      WHEN 100 * n_distinct < 30 * n THEN 'low_distinct_ratio'
+    END AS fail_reason
+  FROM m
+)
+SELECT doc_id, n AS n_tokens, fail_reason IS NULL AS keep, fail_reason FROM v
 """

@@ -117,3 +117,34 @@ def test_infer_json_schema_discovers_keys_types_and_invalid(spark):
     assert out[("$.d", "object")].n == 1
     assert out[("$.z", "null")].n == 1
     assert out[("$", "object")].present_e6 == 500000  # 3 of 6 rows
+
+
+def test_c4_filter_reasons_and_priority(spark):
+    from ndto_spark.functions.text import c4_filter
+
+    rows = [
+        (1, "the " + " ".join(f"word{i}" for i in range(60))),  # keep
+        (2, "the cat"),                                          # too few
+        (3, "the " + "a " * 80),                                 # mean len low (prio over distinct)
+        (4, "the " + " ".join("verylongtokenhere" for _ in range(60))),  # mean len high
+        (5, " ".join(f"tok{i}" for i in range(60))),             # no stopwords
+        (6, "the " + " ".join("!!!" for _ in range(60))),        # punct (mean ok? '!!!' len3) -> punct
+        (7, "the " + "dup " * 70),                               # low distinct ratio
+    ]
+    out = {
+        r.doc_id: r
+        for r in c4_filter(
+            spark.createDataFrame(rows, schema="doc_id bigint, text string"),
+            "doc_id",
+            "text",
+            min_tokens=10,
+            min_stopwords=1,
+        ).collect()
+    }
+    assert out[1].keep and out[1].fail_reason is None
+    assert out[2].fail_reason == "too_few_tokens"
+    assert out[3].fail_reason == "mean_token_len_low"
+    assert out[4].fail_reason == "mean_token_len_high"
+    assert out[5].fail_reason == "low_stopword_count"
+    assert out[6].fail_reason == "high_punct_ratio"
+    assert out[7].fail_reason == "low_distinct_ratio"
