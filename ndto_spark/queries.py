@@ -1132,6 +1132,23 @@ def q_validate_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_count_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day row-count anomaly detection over events with one
+    deterministically seeded half-loaded day (day % 30 == 7 keeps only
+    event_id % 4 == 0) — the ingest monitor catching a partial load.
+    Day = integer epoch-µs // 86400e6 (timezone-proof, exact)."""
+    from . import temporal
+
+    ev = _read(spark, sf_dir, "events")
+    us = temporal.ts_to_us(ev, "ts")
+    day_us = F.lit(86_400_000_000)
+    day = ((us - us % day_us) / day_us).cast("long")
+    seeded = ev.select(day.alias("day"), "event_id").filter(
+        (F.col("day") % 30 != 7) | (F.col("event_id") % 4 == 0)
+    )
+    return table_rules.count_anomalies(seeded, "day", k=3.5, exact=True)
+
+
 def q_c4_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed C4/Gopher quality filter: keep/drop + first failing rule,
     all-integer cross-multiplied thresholds (exact in any engine)."""
@@ -2352,6 +2369,7 @@ QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "infer_json_events": q_infer_json_events,
     "c4_filter_documents": q_c4_filter_documents,
+    "count_anomalies_events": q_count_anomalies_events,
     "pack_chunks_documents": q_pack_chunks_documents,
     "sample_documents": q_sample_documents,
     "top_fraction_documents": q_top_fraction_documents,
@@ -4511,4 +4529,22 @@ v AS (
   FROM m
 )
 SELECT doc_id, n AS n_tokens, fail_reason IS NULL AS keep, fail_reason FROM v
+"""
+
+# count_anomalies: replay the seeded half-day, the per-day counts, and the
+# median/MAD outlier rule (quantile_cont == Spark exact percentile).
+ORACLE_SQL["count_anomalies_events"] = """
+WITH seeded AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_id
+  FROM events
+  WHERE (epoch_us(ts) // 86400000000) % 30 <> 7 OR event_id % 4 = 0
+),
+c AS (SELECT day, count(*)::BIGINT AS n FROM seeded GROUP BY 1),
+med AS (SELECT quantile_cont(n, 0.5) AS m FROM c),
+mad AS (SELECT quantile_cont(abs(n - med.m), 0.5) AS d FROM c, med),
+s AS (SELECT med.m AS m, 1.4826::DOUBLE * mad.d AS sc FROM med, mad)
+SELECT day, n AS n_rows,
+       floor(((n - s.m) / s.sc) * 1e4)::BIGINT AS dev_e4
+FROM c, s
+WHERE abs(n - s.m) > 3.5::DOUBLE * s.sc
 """

@@ -713,7 +713,12 @@ def mad_outliers(
     scaled = with_med.crossJoin(F.broadcast(mad)).withColumn(
         "__s", F.lit(1.4826) * F.col("__mad")
     )
-    dev = (x - F.col("__med")) / F.col("__s")
+    # MAD = 0 (over half the values identical): zero dispersion means ANY
+    # deviation is anomalous — the filter still fires (|x-m| > 0), but the
+    # deviation score is undefined (ANSI division would throw), so NULL.
+    dev = F.when(
+        F.col("__s") > 0, (x - F.col("__med")) / F.col("__s")
+    )
     return (
         scaled.filter(F.abs(x - F.col("__med")) > F.lit(k) * F.col("__s"))
         .select(
@@ -896,3 +901,31 @@ def profile_table(
         ]
     )
     return wide.select(F.explode(entries).alias("s")).select("s.*")
+
+
+def count_anomalies(
+    df: DataFrame,
+    key: str,
+    k: float = 3.5,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Row-count anomaly detection per key (the Deequ anomaly-check
+    analog for batch): count rows per key, then flag keys whose count
+    deviates from the median by more than k · 1.4826 · MAD
+    (``mad_outliers`` over the counts frame) — the ingest monitor that
+    catches a half-loaded day/shard/source before training eats it.
+
+    Output ``(key, n_rows, dev_e4)`` — only the anomalous keys.
+
+    Scale: ONE partial-aggregated groupBy over the table; the robust
+    stats run on the reduced counts frame (one row per key), so the
+    MAD machinery costs O(keys), not O(rows).
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    out = mad_outliers(counts, key=key, col="__n", k=k, exact=exact, accuracy=accuracy)
+    return out.select(
+        F.col(key),
+        F.col("value").cast("long").alias("n_rows"),
+        "dev_e4",
+    )

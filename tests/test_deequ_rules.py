@@ -170,3 +170,31 @@ def test_profile_table_empty_table(spark):
     r = tr.profile_table(df).collect()[0]
     assert r.n_rows == 0 and r.n_distinct == 0 and r.null_e6 is None
     assert r.min_norm is None and r.max_norm is None
+
+
+def test_count_anomalies_flags_half_loaded_key(spark):
+    # 10 keys x 100 rows, key 3 only has 20 rows
+    rows = [(k, i) for k in range(10) for i in range(20 if k == 3 else 100)]
+    df = spark.createDataFrame(rows, schema="day bigint, i bigint")
+    out = tr.count_anomalies(df, "day", k=3.5, exact=True).collect()
+    assert len(out) == 1
+    assert out[0].day == 3 and out[0].n_rows == 20
+    # 9 identical counts -> MAD = 0: the anomaly still flags, but the
+    # deviation score is undefined (NULL), not a division error
+    assert out[0].dev_e4 is None
+
+
+def test_count_anomalies_uniform_counts_yield_nothing(spark):
+    rows = [(k, i) for k in range(10) for i in range(50 + (k % 3))]
+    df = spark.createDataFrame(rows, schema="day bigint, i bigint")
+    assert tr.count_anomalies(df, "day", k=3.5, exact=True).count() == 0
+
+
+def test_count_anomalies_nonzero_mad_scores_deviation(spark):
+    # varied counts so MAD > 0; key 9 is a clear outlier
+    sizes = {0: 48, 1: 50, 2: 52, 3: 49, 4: 51, 5: 53, 6: 47, 7: 50, 8: 52, 9: 5}
+    rows = [(k, i) for k, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, schema="day bigint, i bigint")
+    out = tr.count_anomalies(df, "day", k=3.5, exact=True).collect()
+    assert [r.day for r in out] == [9]
+    assert out[0].dev_e4 is not None and out[0].dev_e4 < 0
