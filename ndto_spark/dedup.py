@@ -1310,3 +1310,32 @@ def semantic_dedup(
             (F.coalesce("n_dups", F.lit(0)) > 0).alias("removed"),
         )
     )
+
+
+def simhash_keepers(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16,
+    spread: bool = True,
+) -> DataFrame:
+    """(simhash, keeper_id, n_docs) — one keeper (min id) per simhash
+    value, singletons included: the GROUPS half of simhash dedup, shaped
+    for ``apply_dedup`` (mirrors exact_dedup_groups' keeper = min id).
+
+    Same plan skeleton as simhash_dup_candidates (spread scan, token-hash
+    array materialized behind a repartition barrier so the per-bit votes
+    read an attribute); the aggregate carries only (min id, count) per
+    group — constant state, mega-cluster-safe with no example lists.
+    """
+    rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    if spread:
+        rows = _spread(rows)
+    hashed = rows.select(
+        "doc",
+        F.transform(tokens(F.col("_t")), md5_low32).alias("hv"),
+    ).repartition(F.col("doc"))
+    sh = hashed.select(
+        "doc", simhash_from_hashes(F.col("hv"), bits).alias("simhash")
+    )
+    return sh.groupBy("simhash").agg(
+        F.min("doc").alias("keeper_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )

@@ -321,6 +321,15 @@ def q_near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_groups(docs, pairs, "doc_id")
 
 
+def q_simhash_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup APPLY via simhash: keep the min-id doc per identical
+    simhash (the groups-then-apply composition the exact path uses —
+    simhash_keepers + apply_dedup)."""
+    docs = _read(spark, sf_dir, "documents")
+    groups = dedup.simhash_keepers(docs, "doc_id", "text", bits=16)
+    return dedup.apply_dedup(docs, groups, "doc_id").select("doc_id", "lang")
+
+
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash collision groups with the BOUNDED example collection in the
     gate: exact n_docs + the 5 smallest member ids per group, comma-joined
@@ -2339,6 +2348,7 @@ QUERIES = {
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "near_dup_groups_documents": q_near_dup_groups_documents,
     "simhash_documents": q_simhash_documents,
+    "simhash_apply_documents": q_simhash_apply_documents,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
@@ -2537,19 +2547,25 @@ SELECT src AS doc_id, min(dst) AS keeper_id FROM reach GROUP BY 1
 """
 
 
-def _simhash_sql(bits: int) -> str:
+def _simhash_cte(bits: int) -> str:
+    """Shared per-doc simhash CTEs (t: token-hash arrays, s: doc simhash)
+    — used by the groups oracle and the apply oracle."""
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) > len(hs)"
         f" THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id,
          list_transform({_DOC_TOKS}, x -> {_md5_low32_sql('x')}) AS hs
   FROM documents
 ),
-s AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM t)
+s AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM t)"""
+
+
+def _simhash_sql(bits: int) -> str:
+    return f"""
+WITH {_simhash_cte(bits)}
 SELECT simhash, count(*)::BIGINT AS n_docs,
        array_to_string(
          list_transform(list_sort(list(doc_id))[1:5], x -> CAST(x AS VARCHAR)),
@@ -4547,4 +4563,10 @@ SELECT day, n AS n_rows,
        floor(((n - s.m) / s.sc) * 1e4)::BIGINT AS dev_e4
 FROM c, s
 WHERE abs(n - s.m) > 3.5::DOUBLE * s.sc
+"""
+
+ORACLE_SQL["simhash_apply_documents"] = f"""
+WITH {_simhash_cte(16)}
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id IN (SELECT min(doc_id) FROM s GROUP BY simhash)
 """

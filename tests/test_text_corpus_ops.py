@@ -148,3 +148,21 @@ def test_c4_filter_reasons_and_priority(spark):
     assert out[5].fail_reason == "low_stopword_count"
     assert out[6].fail_reason == "high_punct_ratio"
     assert out[7].fail_reason == "low_distinct_ratio"
+
+
+def test_simhash_keepers_apply_keeps_min_per_group(spark):
+    from ndto_spark import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),   # identical -> same simhash as 1
+        (3, "totally different words here unrelated content"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    groups = dedup.simhash_keepers(df, "doc_id", "text", bits=16)
+    g = {r.keeper_id: r.n_docs for r in groups.collect()}
+    assert g[1] == 2  # docs 1+2 grouped, min id keeps
+    kept = sorted(
+        r.doc_id for r in dedup.apply_dedup(df, groups, "doc_id").collect()
+    )
+    assert kept == [1, 3]
