@@ -403,6 +403,53 @@ def synth_feature_images_cached(spark, n_rows: int, n_partitions: int = 4):
     )
 
 
+DUP_IMG_GROUP_MOD = 37  # byte-identity classes for the exact-dedup gate
+
+
+def synth_dup_images(
+    spark, n_rows: int, group_mod: int = DUP_IMG_GROUP_MOD, n_partitions: int = 4
+):
+    """(image_id 'di_%08d', bytes): byte-level duplicate PNGs by construction.
+
+    Pixels derive from ``row_id % group_mod`` ONLY, so two payloads are
+    byte-identical iff their ids share a residue class (the PNG encoder is
+    deterministic). feature_image_params is injective for residues < 128
+    (c1 = (37r + 11) % 128 walks a full cycle), so distinct residues give
+    distinct bytes — the duplicate-group structure is exactly the residue
+    partition, which is what lets the DuckDB oracle replay md5-based exact
+    image dedup without being able to encode a PNG. No corrupted payloads:
+    decode robustness is gated elsewhere (image_features_clips).
+    """
+    import pandas as pd
+
+    if not 0 < group_mod <= 128:
+        raise ValueError("group_mod must be in (0, 128] for byte-injectivity")
+    base = spark.range(0, n_rows, 1, n_partitions)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                payload = codecs.png_encode(feature_image_pixels(i % group_mod))
+                ids.append(f"di_{i:08d}")
+                blobs.append(payload)
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    return base.mapInPandas(gen, "image_id string, bytes binary")
+
+
+def synth_dup_images_cached(
+    spark, n_rows: int, group_mod: int = DUP_IMG_GROUP_MOD, n_partitions: int = 4
+):
+    return _cached_parquet(
+        spark,
+        f"/tmp/ndto_bench_dupimg_{FIXTURES_VERSION}"
+        f"_n{n_rows}_g{group_mod}_p{n_partitions}",
+        lambda: synth_dup_images(spark, n_rows, group_mod, n_partitions),
+    )
+
+
 # phash near-dup fixture: CELL-MASK images. A 16x16 canvas splits into the
 # phash 4x4 pooling grid exactly (4x4-px cells); each cell is painted LO=60
 # or HI=200 per a 16-bit mask with bit 15 forced ON and bit 0 forced OFF, so

@@ -1499,6 +1499,30 @@ def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_groups(feats, pairs, "image_id")
 
 
+_DUP_IMG_N = 600
+
+
+def q_image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level EXACT image dedup: md5(bytes) partial-agg groupBy over a
+    fixture whose PNG payloads are byte-identical iff id % G matches
+    (fixtures.synth_dup_images — pixels derive from the residue only, and
+    the param map is injective below 128). The md5 itself can't appear in
+    the output (DuckDB can't encode a PNG to hash it); instead the oracle
+    replays the closed-form residue partition: keeper = the residue id
+    itself (min id in each class), n_copies = ceil((N - r) / G). This is
+    the image-payload analog of dedup_exact_documents — the first pass any
+    100 TB image corpus runs (identical re-crawls collapse before any
+    decode or near-dup work), hashing binary columns straight on the JVM
+    with zero Python."""
+    from . import fixtures
+
+    df = fixtures.synth_dup_images_cached(spark, _DUP_IMG_N)
+    out = dedup.exact_dedup_groups(df, "image_id", "bytes")
+    return out.select(
+        "keeper_id", F.col("n_copies").cast("long").alias("n_copies")
+    )
+
+
 def q_image_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-level drift over REAL decoded image features: decode the
     two-tone fixture → mean_r (closed-form: the integer c1+50) → per-shard
@@ -2399,6 +2423,7 @@ QUERIES = {
     "hll_groups_events": q_hll_groups_events,
     "phash_near_dup_images": q_phash_near_dup_images,
     "image_dedup_groups": q_image_dedup_groups,
+    "image_exact_dedup": q_image_exact_dedup,
     "phash_band_stats_events": q_phash_band_stats_events,
     "aspect_batches_events": q_aspect_batches_events,
     "image_feature_drift": q_image_feature_drift,
@@ -3584,6 +3609,17 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 )
 SELECT src AS image_id, min(dst) AS keeper_id FROM reach GROUP BY 1
+"""
+
+# exact image dedup: bytes are identical iff id % G matches (see
+# fixtures.synth_dup_images), so the md5 group partition IS the residue
+# partition — keeper = min id in class = the residue itself, n_copies =
+# how many ids of [0, N) land in it
+ORACLE_SQL["image_exact_dedup"] = f"""
+SELECT printf('di_%08d', r) AS keeper_id,
+       CAST(({_DUP_IMG_N} - r + {_FX.DUP_IMG_GROUP_MOD} - 1)
+            // {_FX.DUP_IMG_GROUP_MOD} AS BIGINT) AS n_copies
+FROM (SELECT unnest(range({_FX.DUP_IMG_GROUP_MOD})) AS r)
 """
 
 # decontamination: distinct 5-token shingles of the doc_id%97 eval set,

@@ -184,3 +184,22 @@ def test_phash_fixture_corrupt_rows_drop(spark):
     out = decode_image_features(df).collect()
     bad = {r.image_id for r in out if not r.ok}
     assert bad == {"pi_00000024", "pi_00000049"}
+
+
+def test_dup_images_fixture_byte_identity_is_residue_partition(spark):
+    from ndto_spark.dedup import exact_dedup_groups
+
+    # n=40, G=37: residues 0-2 have two copies (i and i+37), rest one
+    df = fixtures.synth_dup_images(spark, 40, group_mod=37, n_partitions=2)
+    rows = exact_dedup_groups(df, "image_id", "bytes").collect()
+    assert len(rows) == 37  # injective params → one hash per residue
+    by_keeper = {r.keeper_id: r.n_copies for r in rows}
+    for r in range(37):
+        assert by_keeper[f"di_{r:08d}"] == (2 if r < 3 else 1)
+
+
+def test_dup_images_fixture_rejects_wide_group_mod(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        fixtures.synth_dup_images(spark, 10, group_mod=129)
