@@ -8,6 +8,7 @@ parquet-read speed at 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd  # module-global: pandas_udf type-hint resolution needs it
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -715,3 +716,57 @@ def c4_filter(
 
     out = df.select(F.col(id_col), bind(tokens(t), _verdict).alias("__v"))
     return out.select(id_col, "__v.n_tokens", "__v.keep", "__v.fail_reason")
+
+
+_NORM_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+_NORM_UDF_CACHE: dict = {}
+
+
+def _unicode_normalize_udf(form: str):
+    """Arrow-batched Unicode normalizer (pandas ``Series.str.normalize`` —
+    CPython's unicodedata tables). Spark has no built-in normalizer, so this
+    is the documented Python escape hatch: vectorized batches, nulls
+    propagate, never per-Spark-row. Cached per form (one UDF object reused
+    across plans, same discipline as compiler._UDF_CACHE)."""
+    if form not in _NORM_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _norm(col: pd.Series) -> pd.Series:
+            return col.str.normalize(form)
+
+        _NORM_UDF_CACHE[form] = _norm
+    return _NORM_UDF_CACHE[form]
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    form: str = "NFC",
+    lowercase: bool = False,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Unicode + whitespace canonicalization — the cleanup pass that runs
+    BEFORE any hash-based dedup so visually-identical strings ('café'
+    composed vs decomposed, NFKC ligatures/fullwidth forms) collapse to one
+    byte sequence. Returns (id_col, norm_text).
+
+    Order: Unicode normalize (Arrow-batched Python — Spark lacks a
+    built-in) → optional lower() → optional whitespace collapse + trim
+    (both JVM-side, codegen). The gate oracle recomputes NFC with DuckDB's
+    utf8proc `nfc_normalize` — a genuinely independent second
+    implementation, not a replay of ours.
+
+    100 TB shape: one narrow (id, text) projection through a single Arrow
+    exchange, zero shuffle; downstream dedup hashes norm_text instead of
+    text with no other change.
+    """
+    if form not in _NORM_FORMS:
+        raise ValueError(f"form must be one of {_NORM_FORMS}, got {form!r}")
+    out = _unicode_normalize_udf(form)(F.col(text_col))
+    if lowercase:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.select(F.col(id_col), out.alias("norm_text"))

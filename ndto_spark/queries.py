@@ -546,6 +546,40 @@ def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textfn.token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# denormalized-Unicode planting for the normalize gate: decomposed e+acute,
+# I+diaeresis, the NFC singleton U+212B (ANGSTROM → Å), A+ring, tab/newline
+# whitespace — concat_ws(' ', prefix, text, suffix) in BOTH engines
+_NORM_PREFIX = "Cafe\u0301\tNAI\u0308VE"  # decomposed on purpose
+_NORM_SUFFIX = "\u212B\nA\u030A"
+_NORM_PREFIX_SQL = "'Cafe' || chr(769) || chr(9) || 'NAI' || chr(776) || 'VE'"
+_NORM_SUFFIX_SQL = "chr(8491) || chr(10) || 'A' || chr(778)"
+
+
+def q_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + whitespace canonicalization over the corpus, with
+    denormalized Unicode planted around each document (decomposed accents,
+    the U+212B→Å NFC singleton, tab/newline runs). The Spark side
+    normalizes with CPython's unicodedata tables (Arrow-batched pandas
+    ``str.normalize``); the oracle normalizes the SAME construction with
+    DuckDB's utf8proc ``nfc_normalize`` — two independent NFC
+    implementations that must agree byte-for-byte (hash-checked via
+    md5-low32 of the result), not an algorithm replay."""
+    from .functions.text import normalize_text
+
+    messy = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.lit(_NORM_PREFIX), F.col("text"), F.lit(_NORM_SUFFIX)
+        ).alias("messy"),
+    )
+    out = normalize_text(messy, "doc_id", "messy", form="NFC")
+    return out.select(
+        "doc_id",
+        dedup.md5_low32(F.col("norm_text")).alias("norm_h"),
+        F.length("norm_text").cast("bigint").alias("norm_len"),
+    )
+
+
 def _multiline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic multi-line corpus for the line-removal gate (the
     closed-form-fixture convention: documents are single-line, so both
@@ -2396,6 +2430,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "token_counts_documents": q_token_counts_documents,
+    "normalize_documents": q_normalize_documents,
     "remove_lines_documents": q_remove_lines_documents,
     "vocab_oov_documents": q_vocab_oov_documents,
     "group_quantiles_lineitem": q_group_quantiles_lineitem,
@@ -3295,6 +3330,19 @@ SELECT doc_id,
   len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+|\\s+'),
                   x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_ish_tokens
 FROM documents
+""",
+    # independent NFC: DuckDB's utf8proc vs Spark-side CPython unicodedata
+    "normalize_documents": f"""
+SELECT doc_id,
+  {_md5_low32_sql('norm')} AS norm_h,
+  length(norm)::BIGINT AS norm_len
+FROM (
+  SELECT doc_id,
+    trim(regexp_replace(
+      nfc_normalize({_NORM_PREFIX_SQL} || ' ' || text || ' ' || {_NORM_SUFFIX_SQL}),
+      '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
 """,
     "fingerprint_documents": f"""
 WITH {_shingle_cte(8)}

@@ -145,3 +145,35 @@ def test_dsir_weights_validation(spark):
         dsir_weights(df, "doc_id", "text", F.col("lang") == "en", n_buckets=8192)
     with pytest.raises(ValueError, match="k must be"):
         dsir_weights(df, "doc_id", "text", F.col("lang") == "en", k=0)
+
+
+def test_normalize_text_nfc_lowercase_and_ws(spark):
+    from ndto_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Café   DU\tmonde\n"),   # decomposed acute + ws runs
+            (2, "Å"),                      # NFC singleton → U+00C5
+            (3, None),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r.norm_text
+        for r in normalize_text(
+            df, "id", "text", form="NFC", lowercase=True
+        ).collect()
+    }
+    assert out[1] == "café du monde"
+    assert out[2] == "å"
+    assert out[3] is None
+
+
+def test_normalize_text_rejects_bad_form(spark):
+    import pytest
+
+    from ndto_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        normalize_text(df, "id", "text", form="NFX")
