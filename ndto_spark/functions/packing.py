@@ -177,3 +177,65 @@ def aspect_bucket_batches(
         "slot",
         F.count(F.lit(1)).over(bwin).cast("bigint").alias("batch_rows"),
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    stride: int,
+) -> DataFrame:
+    """Per-document sliding-window token chunks with overlap — the RAG /
+    long-context chunker (split each doc into ``size``-token windows every
+    ``stride`` tokens; tail chunk may be short but always reaches the
+    document end, so every token lands in ≥1 chunk and consecutive chunks
+    overlap by ``size - stride`` tokens).
+
+    n_chunks = 1 + ceil(max(0, n - size) / stride). Output one row per
+    chunk: (doc_id, chunk_id, begin, n_chunk_tokens, chunk_text), begin
+    0-based in tokens. Zero-token docs emit no row. Requires
+    0 < stride <= size (gapless coverage).
+
+    Plan shape: tokenization runs ONCE per document inside a let-``bind``
+    (HOFs re-evaluate lambda-body subtrees per element — CLAUDE.md), the
+    whole chunk struct is built INSIDE the generator (no heavy sibling
+    beside its own explode), and explode_outer + post-null-filter keeps
+    InferFiltersFromGenerate from expanding the expression into a pushed
+    filter. Zero shuffle: a pure per-row flatMap, so it scales with the
+    scan at 100 TB.
+    """
+    from ..dedup import bind, tokens
+
+    if stride <= 0 or stride > size:
+        raise ValueError(
+            f"need 0 < stride <= size, got stride={stride} size={size}"
+        )
+
+    def _chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.lit(1) + (
+            F.greatest(n - F.lit(size), F.lit(0)) + F.lit(stride - 1)
+        ).cast("long") / F.lit(stride)
+        n_chunks = F.floor(n_chunks).cast("int")
+
+        def _one(j: Column) -> Column:
+            begin = j.cast("long") * F.lit(stride)
+            piece = F.slice(toks, (begin + 1).cast("int"), size)
+            return F.struct(
+                j.cast("long").alias("chunk_id"),
+                begin.alias("begin"),
+                F.size(piece).cast("long").alias("n_chunk_tokens"),
+                F.concat_ws(" ", piece).alias("chunk_text"),
+            )
+
+        arr = F.transform(F.sequence(F.lit(0), n_chunks - F.lit(1)), _one)
+        return F.when(n > 0, arr)
+
+    gen = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(bind(tokens(F.col(text_col)), _chunks)).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    return gen.select(
+        "doc_id", "c.chunk_id", "c.begin", "c.n_chunk_tokens", "c.chunk_text"
+    )

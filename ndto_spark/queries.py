@@ -580,6 +580,26 @@ def q_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunker in the gate: 12-token windows every 8
+    tokens (4-token overlap), tail chunk short but end-reaching. The
+    oracle replays the same closed-form window arithmetic over DuckDB's
+    independent tokenization/slicing (string_split_regex + list_slice);
+    chunk text is hash-compared via md5-low32."""
+    from .functions.packing import sliding_chunks
+
+    out = sliding_chunks(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", size=12, stride=8
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "begin",
+        "n_chunk_tokens",
+        dedup.md5_low32(F.col("chunk_text")).alias("chunk_h"),
+    )
+
+
 def _multiline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic multi-line corpus for the line-removal gate (the
     closed-form-fixture convention: documents are single-line, so both
@@ -2431,6 +2451,7 @@ QUERIES = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "token_counts_documents": q_token_counts_documents,
     "normalize_documents": q_normalize_documents,
+    "chunk_documents": q_chunk_documents,
     "remove_lines_documents": q_remove_lines_documents,
     "vocab_oov_documents": q_vocab_oov_documents,
     "group_quantiles_lineitem": q_group_quantiles_lineitem,
@@ -3330,6 +3351,23 @@ SELECT doc_id,
   len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+|\\s+'),
                   x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_ish_tokens
 FROM documents
+""",
+    # sliding-window chunker: n_chunks = 1 + ceil(max(0, n-12)/8); DuckDB
+    # tokenizes and slices independently, md5-low32 compares chunk text
+    "chunk_documents": f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(1 + (greatest(n - 12, 0) + 7) // 8)) AS j
+  FROM n
+)
+SELECT doc_id, CAST(j AS BIGINT) AS chunk_id, CAST(j * 8 AS BIGINT) AS begin,
+  CAST(least(j * 8 + 12, n) - j * 8 AS BIGINT) AS n_chunk_tokens,
+  {_md5_low32_sql(
+      "array_to_string(list_slice(toks, j * 8 + 1, least(j * 8 + 12, n)), ' ')"
+  )} AS chunk_h
+FROM c
 """,
     # independent NFC: DuckDB's utf8proc vs Spark-side CPython unicodedata
     "normalize_documents": f"""

@@ -341,3 +341,37 @@ def test_assign_splits_validation(spark):
     # single split takes everything, no when-chain needed
     out = assign_splits(df, "k", {"all": 1.0})
     assert out.first().split == "all"
+
+
+def test_sliding_chunks_overlap_and_tail(spark):
+    from ndto_spark.functions.packing import sliding_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # n=10: 2 chunks, 0 and 4
+            (2, "a b"),                             # n=2 <= size: one chunk
+            (3, ""),                                # 0 tokens: no row
+            (4, "u0 u1 u2 u3 u4 u5 u6 u7 u8"),      # n=9: short 5-token tail
+        ],
+        "doc_id long, text string",
+    )
+    rows = sliding_chunks(df, "doc_id", "text", size=6, stride=4).collect()
+    got = {(r.doc_id, r.chunk_id): r for r in rows}
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (4, 0), (4, 1)}
+    assert got[(1, 0)].chunk_text == "t0 t1 t2 t3 t4 t5"
+    assert got[(1, 1)].chunk_text == "t4 t5 t6 t7 t8 t9"  # 2-token overlap
+    assert got[(2, 0)].chunk_text == "a b"
+    assert (got[(4, 1)].begin, got[(4, 1)].n_chunk_tokens) == (4, 5)
+    assert got[(4, 1)].chunk_text == "u4 u5 u6 u7 u8"  # tail reaches the end
+
+
+def test_sliding_chunks_validates_stride(spark):
+    import pytest
+
+    from ndto_spark.functions.packing import sliding_chunks
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        sliding_chunks(df, "doc_id", "text", size=4, stride=5)
+    with pytest.raises(ValueError):
+        sliding_chunks(df, "doc_id", "text", size=4, stride=0)
