@@ -770,3 +770,62 @@ def normalize_text(
     if collapse_ws:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return df.select(F.col(id_col), out.alias("norm_text"))
+
+
+def pair_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Adjacent-token-pair frequency table — ``(left, right, tf, doc_freq,
+    pair_rank)`` — one BPE merge iteration's candidate table (the merge
+    picked is pair_rank = 1) and the bigram-LM / collocation primitive.
+
+    tf counts every adjacent occurrence (multiset, overlaps included:
+    'a a a' yields ('a','a') twice); doc_freq counts documents containing
+    the pair; pair_rank orders by (tf DESC, left ASC, right ASC) — fully
+    deterministic, so the greedy merge choice is reproducible across
+    engines and cluster sizes.
+
+    100 TB shape: same as token_stats — the pair array builds inside the
+    generator from ONE let-bound tokenization (HOF bodies re-evaluate per
+    element otherwise), explode → partial-agg groupBy(pair). The ranking
+    window is global but runs over the PAIR VOCABULARY after the
+    ``min_tf`` floor, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    from ..dedup import bind
+
+    def _pairs(toks: Column) -> Column:
+        n = F.size(toks)
+        arr = F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.struct(
+                F.get(toks, i - F.lit(1)).alias("left"),
+                F.get(toks, i).alias("right"),
+            ),
+        )
+        return F.when(n >= 2, arr)
+
+    pairs = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(bind(tokens(F.col(text_col)), _pairs)).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    agg = (
+        pairs.groupBy("p.left", "p.right")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.countDistinct("doc").cast("bigint").alias("doc_freq"),
+        )
+        .filter(F.col("tf") >= min_tf)
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("left"), F.col("right"))
+    return agg.select(
+        "left",
+        "right",
+        "tf",
+        "doc_freq",
+        F.row_number().over(w).cast("bigint").alias("pair_rank"),
+    )

@@ -1978,6 +1978,17 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pair_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequency table (one BPE merge iteration's
+    candidate counts), tf floor 3 — the window ranks the pruned PAIR
+    vocabulary, never the corpus."""
+    from .functions.text import pair_stats
+
+    return pair_stats(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", min_tf=3
+    )
+
+
 def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-frequency table (tokenizer-training prep): tf, document
     frequency, and deterministic vocabulary rank, tf floor 2."""
@@ -2487,6 +2498,7 @@ QUERIES = {
     "bloom_dedup_documents": q_bloom_dedup_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "token_stats_documents": q_token_stats_documents,
+    "pair_stats_documents": q_pair_stats_documents,
     "mixing_weights_documents": q_mixing_weights_documents,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
@@ -3998,6 +4010,27 @@ agg AS (
 SELECT token, tf, doc_freq,
        (row_number() OVER (ORDER BY tf DESC, token))::BIGINT AS vocab_rank
 FROM agg WHERE tf >= 2
+"""
+
+# adjacent pairs: toks[j], toks[j+1] for j in 1..n-1 (DuckDB lists are
+# 1-based); overlaps included — the BPE multiset count
+ORACLE_SQL["pair_stats_documents"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id, toks[j] AS "left", toks[j + 1] AS "right"
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS j
+    FROM t WHERE len(toks) >= 2
+  )
+),
+a AS (
+  SELECT "left", "right", count(*)::BIGINT AS tf,
+         count(DISTINCT doc_id)::BIGINT AS doc_freq
+  FROM p GROUP BY 1, 2
+)
+SELECT "left", "right", tf, doc_freq,
+  (row_number() OVER (ORDER BY tf DESC, "left", "right"))::BIGINT AS pair_rank
+FROM a WHERE tf >= 3
 """
 
 ORACLE_SQL["mixing_weights_documents"] = """

@@ -177,3 +177,23 @@ def test_normalize_text_rejects_bad_form(spark):
     df = spark.createDataFrame([(1, "x")], "id long, text string")
     with pytest.raises(ValueError):
         normalize_text(df, "id", "text", form="NFX")
+
+
+def test_pair_stats_multiset_counts_and_rank(spark):
+    from ndto_spark.functions.text import pair_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),   # (a,a) x2, (a,b) x1
+            (2, "a a"),       # (a,a) x1
+            (3, "x"),         # no pair
+            (4, ""),          # no pair
+        ],
+        "doc_id long, text string",
+    )
+    rows = pair_stats(df, "doc_id", "text").collect()
+    got = {(r.left, r.right): r for r in rows}
+    assert set(got) == {("a", "a"), ("a", "b")}
+    aa, ab = got[("a", "a")], got[("a", "b")]
+    assert (aa.tf, aa.doc_freq, aa.pair_rank) == (3, 2, 1)  # overlaps count
+    assert (ab.tf, ab.doc_freq, ab.pair_rank) == (1, 1, 2)
