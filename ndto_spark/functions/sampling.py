@@ -287,3 +287,53 @@ def source_mixing_weights(
             "weight_e6"
         ),
     )
+
+
+def score_percentiles(
+    df: DataFrame,
+    id_col: str,
+    score_col: Column,
+    group_col: Column | None = None,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Per-group percentile normalization of a quality score — the step
+    between raw scoring and threshold filtering (quality cutoffs are set
+    in percentile space, per source/domain, so one domain's score scale
+    can't starve another's).
+
+    Output (id, grp, score, pct_e6, cume_e6, tile):
+      pct_e6  = floor(1e6 * percent_rank)  — (rank-1)/(n-1), ties share
+      cume_e6 = floor(1e6 * cume_dist)     — rows ≤ current / n
+      tile    = ntile(n_tiles) over the UNIQUE order (score, id), so tile
+                edges are deterministic even through ties.
+
+    Both window families are SQL-standard — the DuckDB oracle runs its OWN
+    percent_rank/cume_dist/ntile, an independent second implementation.
+    Singleton groups get pct_e6 = 0 (both engines define percent_rank = 0
+    at n = 1).
+
+    100 TB shape: one hash Exchange on the group key, one sort per group
+    partition serving all three windows (same frame). Group by real
+    domains (thousands of keys), not a constant — a constant group is a
+    single global sort, the same caveat token_stats documents.
+    """
+    from pyspark.sql import Window
+
+    if n_tiles <= 0:
+        raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    grp = (group_col if group_col is not None else F.lit(0)).alias("grp")
+    base = df.select(F.col(id_col), grp, score_col.alias("score"))
+    w = Window.partitionBy("grp").orderBy("score")
+    wu = Window.partitionBy("grp").orderBy("score", id_col)
+    return base.select(
+        id_col,
+        "grp",
+        "score",
+        F.floor(F.percent_rank().over(w) * F.lit(1e6))
+        .cast("bigint")
+        .alias("pct_e6"),
+        F.floor(F.cume_dist().over(w) * F.lit(1e6))
+        .cast("bigint")
+        .alias("cume_e6"),
+        F.ntile(n_tiles).over(wu).cast("bigint").alias("tile"),
+    )

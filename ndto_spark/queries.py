@@ -1989,6 +1989,24 @@ def q_pair_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_percentiles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile normalization of an integer quality score
+    (token count — plenty of ties, which is the hard part): percent_rank /
+    cume_dist / unique-ordered ntile, each recomputed by DuckDB's OWN
+    window implementations — an independent second engine, not a replay."""
+    from .functions.sampling import score_percentiles
+    from .functions.text import token_count
+
+    doc = _read(spark, sf_dir, "documents")
+    return score_percentiles(
+        doc,
+        "doc_id",
+        token_count(F.col("text")).cast("bigint"),
+        F.col("source"),
+        n_tiles=10,
+    )
+
+
 def q_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-frequency table (tokenizer-training prep): tf, document
     frequency, and deterministic vocabulary rank, tf floor 2."""
@@ -2499,6 +2517,7 @@ QUERIES = {
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "token_stats_documents": q_token_stats_documents,
     "pair_stats_documents": q_pair_stats_documents,
+    "score_percentiles_documents": q_score_percentiles_documents,
     "mixing_weights_documents": q_mixing_weights_documents,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
@@ -4010,6 +4029,23 @@ agg AS (
 SELECT token, tf, doc_freq,
        (row_number() OVER (ORDER BY tf DESC, token))::BIGINT AS vocab_rank
 FROM agg WHERE tf >= 2
+"""
+
+# percentile normalization: DuckDB's own percent_rank/cume_dist/ntile — an
+# independent window implementation; the single double divide+multiply is
+# IEEE-identical across engines, so the e6 floor quantization is exact
+ORACLE_SQL["score_percentiles_documents"] = f"""
+WITH b AS (
+  SELECT doc_id, source AS grp, len({_DOC_TOKS})::BIGINT AS score
+  FROM documents
+)
+SELECT doc_id, grp, score,
+  floor(percent_rank() OVER (PARTITION BY grp ORDER BY score)
+        * CAST(1000000 AS DOUBLE))::BIGINT AS pct_e6,
+  floor(cume_dist() OVER (PARTITION BY grp ORDER BY score)
+        * CAST(1000000 AS DOUBLE))::BIGINT AS cume_e6,
+  (ntile(10) OVER (PARTITION BY grp ORDER BY score, doc_id))::BIGINT AS tile
+FROM b
 """
 
 # adjacent pairs: toks[j], toks[j+1] for j in 1..n-1 (DuckDB lists are

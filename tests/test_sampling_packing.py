@@ -375,3 +375,32 @@ def test_sliding_chunks_validates_stride(spark):
         sliding_chunks(df, "doc_id", "text", size=4, stride=5)
     with pytest.raises(ValueError):
         sliding_chunks(df, "doc_id", "text", size=4, stride=0)
+
+
+def test_score_percentiles_known_values(spark):
+    from ndto_spark.functions.sampling import score_percentiles
+    from pyspark.sql import functions as F
+
+    # group g: scores 10, 20, 20, 40 → percent_rank 0, 1/3, 1/3, 1;
+    # singleton group h → percent_rank 0, cume_dist 1
+    df = spark.createDataFrame(
+        [(1, "g", 10), (2, "g", 20), (3, "g", 20), (4, "g", 40), (5, "h", 7)],
+        "id long, src string, s long",
+    )
+    rows = score_percentiles(df, "id", F.col("s"), F.col("src"), n_tiles=2)
+    got = {r.id: r for r in rows.collect()}
+    assert [got[i].pct_e6 for i in (1, 2, 3, 4)] == [0, 333333, 333333, 1000000]
+    assert [got[i].cume_e6 for i in (1, 2, 3, 4)] == [250000, 750000, 750000, 1000000]
+    assert [got[i].tile for i in (1, 2, 3, 4)] == [1, 1, 2, 2]  # unique order
+    assert (got[5].pct_e6, got[5].cume_e6, got[5].tile) == (0, 1000000, 1)
+
+
+def test_score_percentiles_validates_tiles(spark):
+    import pytest
+
+    from ndto_spark.functions.sampling import score_percentiles
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 1)], "id long, s long")
+    with pytest.raises(ValueError):
+        score_percentiles(df, "id", F.col("s"), n_tiles=0)
