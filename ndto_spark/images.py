@@ -125,3 +125,59 @@ def validate_images(
         .withColumn("pass", F.col("n_violations") == 0)
     )
     return ImagesResult(violations=violations, verdicts=verdicts)
+
+
+def pair_quality_filter(
+    df: DataFrame,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    fmt_col: str = "fmt",
+    caption_col: str = "caption",
+    formats: tuple = ("png", "jpeg"),
+    min_dim: int = 1,
+    max_aspect: int = 4,
+    caption_max_chars: int = 256,
+    caption_max_tokens: int = 64,
+) -> DataFrame:
+    """Composed image+caption PAIR quality filter — the LAION-style first
+    pass of a multimodal training pipeline (c4_filter's analog for the
+    (image, caption) payload): keep/drop verdict + FIRST-fail reason per
+    pair, from metadata only (bytes never read — column pruning keeps the
+    scan narrow; decode-dependent checks live in validate_images).
+
+    Rule priority (first match wins): missing_id, missing_caption,
+    empty_caption, caption_too_long (chars), caption_too_many_tokens,
+    bad_format, too_small (either dim < min_dim), extreme_aspect
+    (either side > max_aspect × the other, integer cross-multiplied — no
+    floats, so the verdict is engine-exact).
+
+    Output (id, keep, fail_reason). Pure projection, zero shuffle, zero
+    Python: the whole when-chain folds into scan-stage codegen at 100 TB.
+    """
+    from .dedup import tokens
+
+    w = F.col(w_col).cast("bigint")
+    h = F.col(h_col).cast("bigint")
+    cap = F.col(caption_col)
+    reason = (
+        F.when(F.col(id_col).isNull(), F.lit("missing_id"))
+        .when(cap.isNull(), F.lit("missing_caption"))
+        .when(F.length(cap) == 0, F.lit("empty_caption"))
+        .when(F.length(cap) > caption_max_chars, F.lit("caption_too_long"))
+        .when(
+            F.size(tokens(cap)) > caption_max_tokens,
+            F.lit("caption_too_many_tokens"),
+        )
+        .when(~F.col(fmt_col).isin(*formats), F.lit("bad_format"))
+        .when((w < min_dim) | (h < min_dim), F.lit("too_small"))
+        .when(
+            (w > F.lit(max_aspect) * h) | (h > F.lit(max_aspect) * w),
+            F.lit("extreme_aspect"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        reason.isNull().alias("keep"),
+        reason.alias("fail_reason"),
+    )

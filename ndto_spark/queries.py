@@ -1426,6 +1426,24 @@ def q_validate_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pair_filter_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed image+caption pair quality filter (LAION-style first pass)
+    over the seeded images table: keep/drop + first-fail reason from
+    metadata only. The oracle replays the residue classes — unseeded rows
+    are constructed to sit inside every threshold (dims 8..24, captions
+    3..11 vocab words), so only the seeded classes trip, and the priority
+    chain — not the fixture — is what the hash compares."""
+    from . import fixtures
+    from .images import pair_quality_filter
+
+    df = fixtures.synth_images_cached(
+        spark, _IMAGES_META_N, n_partitions=8, seed=42
+    )
+    return pair_quality_filter(
+        df.select("image_id", "w", "h", "fmt", "caption")
+    )
+
+
 def q_hll_groups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HLL distinct users per event_type — the grouped sketch
     variant; the oracle replays the register math per group."""
@@ -2509,6 +2527,7 @@ QUERIES = {
     "phash_near_dup_images": q_phash_near_dup_images,
     "image_dedup_groups": q_image_dedup_groups,
     "image_exact_dedup": q_image_exact_dedup,
+    "pair_filter_images": q_pair_filter_images,
     "phash_band_stats_events": q_phash_band_stats_events,
     "aspect_batches_events": q_aspect_batches_events,
     "image_feature_drift": q_image_feature_drift,
@@ -3726,6 +3745,31 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 )
 SELECT src AS image_id, min(dst) AS keeper_id FROM reach GROUP BY 1
+"""
+
+# pair filter: unseeded rows never trip a threshold by construction, so
+# keep/fail_reason is a pure function of the residue class; v=8 (i>=12)
+# rows ARE the clean row i-12 (make_row substitution), v=9 has a NULL id
+ORACLE_SQL["pair_filter_images"] = f"""
+WITH cls AS (
+  SELECT i % 100 AS v,
+    CASE WHEN i % 100 = 8 AND i >= 12 THEN printf('img_%016x', i - 12)
+         WHEN i % 100 = 9 THEN NULL
+         ELSE printf('img_%016x', i) END AS iid
+  FROM (SELECT unnest(range({_IMAGES_META_N})) AS i)
+)
+SELECT iid AS image_id, r IS NULL AS keep, r AS fail_reason
+FROM (
+  SELECT iid, CASE
+    WHEN v = 9 THEN 'missing_id'
+    WHEN v = 5 THEN 'missing_caption'
+    WHEN v = 3 THEN 'empty_caption'
+    WHEN v = 4 THEN 'caption_too_long'
+    WHEN v = 6 THEN 'bad_format'
+    WHEN v = 7 THEN 'too_small'
+    END AS r
+  FROM cls
+)
 """
 
 # exact image dedup: bytes are identical iff id % G matches (see

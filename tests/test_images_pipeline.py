@@ -166,3 +166,31 @@ def test_clear_stale_dir_never_deletes_a_complete_cache(tmp_path):
 
     # a missing dir is a no-op
     _clear_stale_dir(str(tmp_path / "nope"), "_SUCCESS")
+
+
+def test_pair_quality_filter_priority_and_thresholds(spark):
+    from ndto_spark.images import pair_quality_filter
+
+    rows = [
+        # id, w, h, fmt, caption, expected reason (None = keep)
+        ("a", 100, 100, "png", "a cat", None),
+        (None, 100, 100, "png", "x", "missing_id"),          # id beats all
+        ("c", 0, 100, "gif", None, "missing_caption"),       # caption beats fmt/dim
+        ("d", 100, 100, "png", "", "empty_caption"),
+        ("e", 100, 100, "png", "y" * 300, "caption_too_long"),
+        ("f", 100, 100, "png", "w " * 70, "caption_too_many_tokens"),
+        ("g", 100, 100, "webp", "ok", "bad_format"),
+        ("h", 0, 100, "png", "ok", "too_small"),
+        ("i", 500, 100, "png", "ok", "extreme_aspect"),
+        ("j", 400, 100, "png", "ok", None),                  # 4:1 inclusive
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "image_id string, w int, h int, fmt string, caption string",
+    )
+    got = {
+        r.image_id: (r.keep, r.fail_reason)
+        for r in pair_quality_filter(df).collect()
+    }
+    for iid, _, _, _, _, want in rows:
+        assert got[iid] == (want is None, want), (iid, got[iid], want)
