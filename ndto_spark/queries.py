@@ -1444,6 +1444,29 @@ def q_pair_filter_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation in the gate: old = events minus the %7
+    residue, new = events minus the %5 residue with the %11 values
+    perturbed (+1.0, IEEE-identical in both engines). Spark diffs via the
+    md5 row fingerprint; the oracle diffs the VALUES directly with its own
+    FULL OUTER JOIN + IS DISTINCT FROM — independent change detection, so
+    a fingerprint bug (e.g. a collision-prone separator) would hash-fail."""
+    ev = _read(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 7 != 0).select(
+        "event_id", "event_type", "value"
+    )
+    new = ev.filter(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.col("value") + F.lit(1.0))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return table_rules.snapshot_diff(
+        old, new, ["event_id"], ["event_type", "value"]
+    )
+
+
 def q_hll_groups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HLL distinct users per event_type — the grouped sketch
     variant; the oracle replays the register math per group."""
@@ -2528,6 +2551,7 @@ QUERIES = {
     "image_dedup_groups": q_image_dedup_groups,
     "image_exact_dedup": q_image_exact_dedup,
     "pair_filter_images": q_pair_filter_images,
+    "snapshot_diff_events": q_snapshot_diff_events,
     "phash_band_stats_events": q_phash_band_stats_events,
     "aspect_batches_events": q_aspect_batches_events,
     "image_feature_drift": q_image_feature_drift,
@@ -3745,6 +3769,29 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 )
 SELECT src AS image_id, min(dst) AS keeper_id FROM reach GROUP BY 1
+"""
+
+# snapshot diff: DuckDB runs its OWN full outer join and compares the
+# values with IS DISTINCT FROM (no fingerprint replay)
+ORACLE_SQL["snapshot_diff_events"] = """
+WITH o AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 7 != 0
+),
+n AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 11 = 0 THEN value + 1.0::DOUBLE
+              ELSE value END AS value
+  FROM events WHERE event_id % 5 != 0
+)
+SELECT event_id, status FROM (
+  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+    CASE WHEN o.event_id IS NULL THEN 'added'
+         WHEN n.event_id IS NULL THEN 'removed'
+         WHEN o.event_type IS DISTINCT FROM n.event_type
+           OR o.value IS DISTINCT FROM n.value THEN 'changed'
+    END AS status
+  FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+) WHERE status IS NOT NULL
 """
 
 # pair filter: unseeded rows never trip a threshold by construction, so

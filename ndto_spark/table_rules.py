@@ -929,3 +929,50 @@ def count_anomalies(
         F.col("value").cast("long").alias("n_rows"),
         "dev_e4",
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list,
+    compare_cols: list,
+) -> DataFrame:
+    """Snapshot reconciliation — the CDC / ingest-regression diff between
+    two versions of a table: one row per key that was ``added``,
+    ``removed``, or ``changed`` (unchanged keys emit NOTHING — at 100 TB
+    the delta is the output, never the corpus).
+
+    Change detection compares an md5 row fingerprint over ``compare_cols``
+    (NULL-safe: values are \\x01-joined with a \\x00 sentinel for NULL, so
+    NULL vs '' vs absent all differ). Only (keys, fingerprint) ever enters
+    the join — the compared payload columns are pruned before the shuffle,
+    so a wide table diffs at the cost of its key width.
+
+    Scale shape: both sides project to (keys, fp), shuffle once on the
+    keys (sort-merge full outer join — the classic reconciliation plan);
+    no broadcast assumption, works when both snapshots are huge. Duplicate
+    keys within a snapshot are the caller's problem (run uniqueness first
+    — this operator treats the key as a primary key and joins on it).
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("key_cols and compare_cols must be non-empty")
+
+    def fp(df: DataFrame) -> Column:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in compare_cols
+        ]
+        return F.md5(F.concat_ws("\x01", *parts))
+
+    o = old.select(*key_cols, fp(old).alias("_fp_old"))
+    n = new.select(*key_cols, fp(new).alias("_fp_new"))
+    j = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+    )
+    return (
+        j.select(*key_cols, status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

@@ -198,3 +198,35 @@ def test_count_anomalies_nonzero_mad_scores_deviation(spark):
     out = tr.count_anomalies(df, "day", k=3.5, exact=True).collect()
     assert [r.day for r in out] == [9]
     assert out[0].dev_e4 is not None and out[0].dev_e4 < 0
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from ndto_spark.table_rules import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, t string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0), (5, "e", 5.0)],
+        "k long, t string, v double",
+    )
+    got = {
+        r.k: r.status
+        for r in snapshot_diff(old, new, ["k"], ["t", "v"]).collect()
+    }
+    # 1 removed; 2 changed (NULL -> 2.0); 3,4 unchanged (no row, NULLs
+    # fingerprint stably); 5 added
+    assert got == {1: "removed", 2: "changed", 5: "added"}
+
+
+def test_snapshot_diff_validates_args(spark):
+    import pytest
+
+    from ndto_spark.table_rules import snapshot_diff
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, [], ["v"])
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, ["k"], [])
