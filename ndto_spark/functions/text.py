@@ -829,3 +829,57 @@ def pair_stats(
         "doc_freq",
         F.row_number().over(w).cast("bigint").alias("pair_rank"),
     )
+
+
+# host: skip scheme and userinfo, stop at path/port/query/fragment.
+# RE2/Java-portable (no lookbehind) so Spark and DuckDB extract identically.
+_URL_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)"
+# registered domain approximation: last two dot-labels (an offline engine
+# has no public-suffix list; document the co.uk-style caveat)
+_REG_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def extract_domain(col: Column) -> Column:
+    """(host, domain) struct from a URL string: host = authority minus
+    scheme/userinfo/port, lowercased; domain = last two labels (public-
+    suffix-list-free approximation — 'a.co.uk' yields 'co.uk'; swap in a
+    PSL join for exactness when the list is available)."""
+    host = F.lower(F.regexp_extract(col, _URL_HOST_RE, 1))
+    return F.struct(
+        host.alias("host"),
+        F.regexp_extract(host, _REG_DOMAIN_RE, 1).alias("domain"),
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    blocklist: DataFrame,
+) -> DataFrame:
+    """URL blocklist filtering — the C4/RefinedWeb provenance gate: extract
+    each document's registered domain and mark it blocked when the domain
+    appears in ``blocklist`` (a 1-column DataFrame of domains).
+
+    Output (id, host, domain, blocked). 100 TB shape: domain extraction is
+    a pure codegen projection; the membership test is a BROADCAST left
+    join on the extracted domain (blocklists are thousands-to-millions of
+    rows — driver-size, never a shuffle of the corpus). The corpus text/
+    URL never moves; only the id + two short strings flow.
+    """
+    bl_col = blocklist.columns[0]
+    bl = F.broadcast(
+        blocklist.select(
+            F.lower(F.col(bl_col)).alias("domain"),
+            F.lit(True).alias("_blocked"),
+        ).dropDuplicates(["domain"])
+    )
+    base = df.select(
+        F.col(id_col), extract_domain(F.col(url_col)).alias("_d")
+    ).select(id_col, "_d.host", "_d.domain")
+    return base.join(bl, "domain", "left").select(
+        id_col,
+        "host",
+        "domain",
+        F.coalesce(F.col("_blocked"), F.lit(False)).alias("blocked"),
+    )

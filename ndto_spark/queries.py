@@ -1444,6 +1444,30 @@ def q_pair_filter_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL provenance gate: derive a deterministic URL per event (scheme +
+    userinfo + subdomain + port + path so the host regex earns its keep),
+    extract host/registered-domain, mark domains on a 3-entry blocklist
+    via the broadcast join. Both engines run the same RE2-portable
+    regexes; the blocklist membership is each engine's own join."""
+    from .functions.text import domain_filter
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.format_string(
+            "https://user:pw@cdn%d.Shard-%d.example%d.com:8443/p/%d?q=1#f",
+            F.col("event_id") % 3,
+            F.col("event_id") % 4,
+            F.col("event_id") % 13,
+            F.col("event_id"),
+        ).alias("url"),
+    )
+    bl = ev.sparkSession.createDataFrame(
+        [("example3.com",), ("EXAMPLE7.com",), ("other.org",)], "domain string"
+    )
+    return domain_filter(ev, "event_id", "url", bl)
+
+
 def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation in the gate: old = events minus the %7
     residue, new = events minus the %5 residue with the %11 values
@@ -2552,6 +2576,7 @@ QUERIES = {
     "image_exact_dedup": q_image_exact_dedup,
     "pair_filter_images": q_pair_filter_images,
     "snapshot_diff_events": q_snapshot_diff_events,
+    "domain_filter_events": q_domain_filter_events,
     "phash_band_stats_events": q_phash_band_stats_events,
     "aspect_batches_events": q_aspect_batches_events,
     "image_feature_drift": q_image_feature_drift,
@@ -3769,6 +3794,28 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 )
 SELECT src AS image_id, min(dst) AS keeper_id FROM reach GROUP BY 1
+"""
+
+# domain filter: same RE2 regexes, DuckDB's own join for the membership
+ORACLE_SQL["domain_filter_events"] = """
+WITH u AS (
+  SELECT event_id,
+    printf('https://user:pw@cdn%d.Shard-%d.example%d.com:8443/p/%d?q=1#f',
+           event_id % 3, event_id % 4, event_id % 13, event_id) AS url
+  FROM events
+),
+d AS (
+  SELECT event_id,
+    lower(regexp_extract(url,
+      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+  FROM u
+),
+b AS (SELECT DISTINCT lower(x) AS domain
+      FROM unnest(['example3.com', 'EXAMPLE7.com', 'other.org']) AS t(x))
+SELECT event_id, host,
+  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+  b.domain IS NOT NULL AS blocked
+FROM d LEFT JOIN b ON regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = b.domain
 """
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the

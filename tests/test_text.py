@@ -197,3 +197,31 @@ def test_pair_stats_multiset_counts_and_rank(spark):
     aa, ab = got[("a", "a")], got[("a", "b")]
     assert (aa.tf, aa.doc_freq, aa.pair_rank) == (3, 2, 1)  # overlaps count
     assert (ab.tf, ab.doc_freq, ab.pair_rank) == (1, 1, 2)
+
+
+def test_domain_filter_extraction_and_blocklist(spark):
+    from pyspark.sql import functions as F
+
+    from ndto_spark.functions.text import domain_filter, extract_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Sub.Bad.COM:8080/x?y#z"),
+            (2, "http://user@good.org/path"),
+            (3, "no-scheme.bad.com/path"),
+            (4, "https://bad.com"),
+            (5, "plaintext"),
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("BAD.com",)], "d string")
+    got = {r.id: r for r in domain_filter(df, "id", "url", bl).collect()}
+    assert (got[1].host, got[1].domain, got[1].blocked) == (
+        "sub.bad.com", "bad.com", True)
+    assert (got[2].domain, got[2].blocked) == ("good.org", False)
+    assert got[3].blocked and got[3].host == "no-scheme.bad.com"
+    assert got[4].blocked and got[4].host == "bad.com"
+    assert (got[5].domain, got[5].blocked) == ("", False)  # no dot: no domain
+    # broadcast shape: the blocklist join must not shuffle the corpus
+    plan = domain_filter(df, "id", "url", bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
