@@ -337,3 +337,87 @@ def score_percentiles(
         .alias("cume_e6"),
         F.ntile(n_tiles).over(wu).cast("bigint").alias("tile"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    prob_col: Column,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-ROW deterministic Bernoulli sampling with a per-row probability
+    column — the resample step that consumes importance weights (DSIR
+    weights, quality scores mapped to keep-rates): row kept iff its hash
+    bucket falls under floor(clamp(prob, 0, 1) * 10^6).
+
+    Same md5-bucket scheme as deterministic_sample (so a row's fate is a
+    pure function of (id, seed) — stable across runs, engines, cluster
+    sizes, and re-partitioning), but the threshold varies per row. Returns
+    (id, bucket, thr, keep): downstream filters ``keep`` — emitting the
+    verdict keeps the operator auditable (expected vs realized keep-rate
+    checks come free). Pure projection, zero shuffle, zero Python.
+    """
+    bucket = sample_bucket(F.col(id_col), seed)
+    thr = F.floor(
+        F.greatest(F.least(prob_col, F.lit(1.0)), F.lit(0.0)) * F.lit(_DENOM)
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        bucket.cast("bigint").alias("bucket"),
+        thr.alias("thr"),
+        (bucket < thr).alias("keep"),
+    )
+
+
+def select_until_budget(
+    df: DataFrame,
+    id_col: str,
+    group_col: Column,
+    score_col: Column,
+    cost_col: Column,
+    budget: int,
+) -> DataFrame:
+    """Per-group budgeted curation — fill each group's budget (tokens,
+    bytes, rows) with its best-scored documents: order by (score DESC, id)
+    within the group, keep rows while the RUNNING cost after including the
+    row stays ≤ ``budget`` — except a group's single best row is always
+    kept even if it alone exceeds the budget (a budget that selects
+    nothing is never what curation means).
+
+    Output (id, grp, score, cost, cum_cost, selected). The greedy-prefix
+    rule (stop at first overflow, don't skip-and-continue) keeps the
+    selection a pure window function — deterministic and replayable — and
+    is the standard "take the best N tokens per domain" curation shape.
+
+    100 TB shape: one hash Exchange on the group key + one sort per group
+    partition (the same plan as any per-domain top-k); no global ordering
+    anywhere. Groups are domains/sources — thousands of keys, so the sort
+    is per-domain, not per-corpus.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    base = df.select(
+        F.col(id_col),
+        group_col.alias("grp"),
+        score_col.alias("score"),
+        cost_col.cast("bigint").alias("cost"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("cost").over(w)
+    rn = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col(id_col))
+    )
+    return base.select(
+        id_col,
+        "grp",
+        "score",
+        "cost",
+        cum.cast("bigint").alias("cum_cost"),
+        ((cum <= F.lit(budget)) | (rn == 1)).alias("selected"),
+    )

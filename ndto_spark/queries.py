@@ -1444,6 +1444,37 @@ def q_pair_filter_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Bernoulli resampling with a varying probability column
+    (prob = (doc_id % 14) / 10 — exercises the [0,1] clamp on both ends):
+    the importance-weight consumer. Oracle replays the md5 bucket and the
+    floor threshold."""
+    from .functions.sampling import weighted_sample
+
+    doc = _read(spark, sf_dir, "documents")
+    return weighted_sample(
+        doc, "doc_id", (F.col("doc_id") % 14) / F.lit(10.0), seed=7
+    )
+
+
+def q_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source budgeted curation: best-scored docs (score = n_chars)
+    fill a 2000-token budget per source; greedy prefix, best row always
+    kept. Oracle = DuckDB's OWN running-sum + row_number windows."""
+    from .functions.sampling import select_until_budget
+    from .functions.text import token_count
+
+    doc = _read(spark, sf_dir, "documents")
+    return select_until_budget(
+        doc,
+        "doc_id",
+        F.col("source"),
+        F.col("n_chars").cast("bigint"),
+        token_count(F.col("text")),
+        budget=2000,
+    )
+
+
 def q_domain_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL provenance gate: derive a deterministic URL per event (scheme +
     userinfo + subdomain + port + path so the host regex earns its keep),
@@ -2577,6 +2608,8 @@ QUERIES = {
     "pair_filter_images": q_pair_filter_images,
     "snapshot_diff_events": q_snapshot_diff_events,
     "domain_filter_events": q_domain_filter_events,
+    "weighted_sample_documents": q_weighted_sample_documents,
+    "budget_documents": q_budget_documents,
     "phash_band_stats_events": q_phash_band_stats_events,
     "aspect_batches_events": q_aspect_batches_events,
     "image_feature_drift": q_image_feature_drift,
@@ -3794,6 +3827,39 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 )
 SELECT src AS image_id, min(dst) AS keeper_id FROM reach GROUP BY 1
+"""
+
+# weighted sample: md5 bucket replay; the clamp/floor arithmetic is single
+# IEEE ops so the integer threshold is engine-exact
+ORACLE_SQL["weighted_sample_documents"] = f"""
+WITH b AS (
+  SELECT doc_id,
+    {_md5_low32_sql("doc_id::VARCHAR || ':7'")} % 1000000 AS bucket,
+    floor(least(greatest((doc_id % 14)::DOUBLE / 10.0::DOUBLE,
+                         0.0::DOUBLE), 1.0::DOUBLE)
+          * 1000000.0::DOUBLE)::BIGINT AS thr
+  FROM documents
+)
+SELECT doc_id, bucket, thr, bucket < thr AS keep FROM b
+"""
+
+# budgeted curation: DuckDB's own running-sum / row_number windows
+ORACLE_SQL["budget_documents"] = f"""
+WITH b AS (
+  SELECT doc_id, source AS grp, n_chars::BIGINT AS score,
+    len({_DOC_TOKS})::BIGINT AS cost
+  FROM documents
+),
+w AS (
+  SELECT doc_id, grp, score, cost,
+    (sum(cost) OVER (PARTITION BY grp ORDER BY score DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_cost,
+    row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, grp, score, cost, cum_cost,
+       (cum_cost <= 2000 OR rn = 1) AS selected
+FROM w
 """
 
 # domain filter: same RE2 regexes, DuckDB's own join for the membership

@@ -404,3 +404,58 @@ def test_score_percentiles_validates_tiles(spark):
     df = spark.createDataFrame([(1, 1)], "id long, s long")
     with pytest.raises(ValueError):
         score_percentiles(df, "id", F.col("s"), n_tiles=0)
+
+
+def test_weighted_sample_clamps_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from ndto_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, -0.5), (2, 0.0), (3, 1.0), (4, 2.5), (5, 0.5)],
+        "id long, p double",
+    )
+    rows = weighted_sample(df, "id", F.col("p"), seed=3).collect()
+    got = {r.id: r for r in rows}
+    assert got[1].thr == 0 and not got[1].keep          # clamped to 0
+    assert got[2].thr == 0 and not got[2].keep
+    assert got[3].thr == 1_000_000 and got[3].keep      # prob 1 keeps all
+    assert got[4].thr == 1_000_000 and got[4].keep      # clamped to 1
+    assert got[5].thr == 500_000
+    again = {r.id: r.keep for r in
+             weighted_sample(df, "id", F.col("p"), seed=3).collect()}
+    assert again == {r.id: r.keep for r in rows}        # stable
+
+
+def test_select_until_budget_prefix_and_best_row_rule(spark):
+    from pyspark.sql import functions as F
+
+    from ndto_spark.functions.sampling import select_until_budget
+
+    df = spark.createDataFrame(
+        [
+            # group g: scores 9,8,7 with costs 5,4,3; budget 9 → rows 1,2
+            (1, "g", 9, 5), (2, "g", 8, 4), (3, "g", 7, 3),
+            # group h: single row costing 50 > budget → still selected
+            (4, "h", 1, 50),
+        ],
+        "id long, src string, s long, c long",
+    )
+    rows = select_until_budget(
+        df, "id", F.col("src"), F.col("s"), F.col("c"), budget=9
+    ).collect()
+    got = {r.id: r for r in rows}
+    assert [got[i].selected for i in (1, 2, 3)] == [True, True, False]
+    assert got[3].cum_cost == 12
+    assert got[4].selected and got[4].cum_cost == 50
+
+
+def test_select_until_budget_validates_budget(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ndto_spark.functions.sampling import select_until_budget
+
+    df = spark.createDataFrame([(1, "g", 1, 1)], "id long, src string, s long, c long")
+    with pytest.raises(ValueError):
+        select_until_budget(df, "id", F.col("src"), F.col("s"), F.col("c"), 0)
