@@ -1444,6 +1444,35 @@ def q_pair_filter_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric vector quantization over the embeddings table, with
+    the %101 vectors zeroed to exercise the NULL-scale path. Every
+    arithmetic step is a single IEEE op replayed by DuckDB list functions;
+    codes compare via md5-low32 of the comma-joined ints."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 101 == 0,
+            F.expr("transform(embedding, x -> double(0))"),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("v"),
+    )
+    out = ann.quantize_embeddings(emb, "vec_id", "v")
+    codes_str = F.concat_ws(
+        ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+    )
+    return out.select(
+        "vec_id",
+        "dim",
+        "absmax_e9",
+        F.when(
+            F.col("codes").isNotNull(), dedup.md5_low32(codes_str)
+        ).alias("codes_h"),
+        "max_err_ratio_e6",
+    )
+
+
 def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row Bernoulli resampling with a varying probability column
     (prob = (doc_id % 14) / 10 — exercises the [0,1] clamp on both ends):
@@ -2608,6 +2637,7 @@ QUERIES = {
     "pair_filter_images": q_pair_filter_images,
     "snapshot_diff_events": q_snapshot_diff_events,
     "domain_filter_events": q_domain_filter_events,
+    "quantize_embeddings": q_quantize_embeddings,
     "weighted_sample_documents": q_weighted_sample_documents,
     "budget_documents": q_budget_documents,
     "phash_band_stats_events": q_phash_band_stats_events,
@@ -3827,6 +3857,37 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 )
 SELECT src AS image_id, min(dst) AS keeper_id FROM reach GROUP BY 1
+"""
+
+# int8 quantization: every step a single IEEE op (x*127/am, +0.5, floor),
+# max is order-independent — DuckDB replays with its list functions
+ORACLE_SQL["quantize_embeddings"] = f"""
+WITH e AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 101 = 0
+         THEN list_transform(embedding, x -> 0.0::DOUBLE)
+         ELSE list_transform(embedding, x -> x::DOUBLE) END AS v
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS am0 FROM e
+),
+b AS (SELECT vec_id, v, CASE WHEN am0 > 0 THEN am0 END AS am FROM a),
+c AS (
+  SELECT vec_id, v, am,
+    CASE WHEN am IS NOT NULL THEN list_transform(
+      v, x -> floor(x * 127.0::DOUBLE / am + 0.5::DOUBLE)::INT)
+    END AS codes
+  FROM b
+)
+SELECT vec_id, len(v)::BIGINT AS dim,
+  floor(am * 1000000000.0::DOUBLE)::BIGINT AS absmax_e9,
+  CASE WHEN codes IS NOT NULL
+       THEN {_md5_low32_sql("array_to_string(codes, ',')")} END AS codes_h,
+  floor(list_max(list_transform(generate_series(1, len(v)),
+          i -> abs(v[i] * 127.0::DOUBLE / am - codes[i])))
+        * 1000000.0::DOUBLE)::BIGINT AS max_err_ratio_e6
+FROM c
 """
 
 # weighted sample: md5 bucket replay; the clamp/floor arithmetic is single

@@ -144,3 +144,20 @@ def test_grouped_hll_tracks_exact_distinct(spark):
     assert set(out) == set(exact)
     for g, e in exact.items():
         assert abs(out[g] - e) <= max(3, 0.1 * e), (g, out[g], e)
+
+
+def test_quantize_embeddings_codes_bounds_and_nulls(spark):
+    from ndto_spark.ann import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0]), (3, []), (4, [3.0])],
+        "id long, v array<double>",
+    )
+    got = {r.id: r for r in quantize_embeddings(df, "id", "v").collect()}
+    assert got[1].codes == [64, -127, 32]  # half-up at 32.25 -> 32
+    assert got[1].absmax_e9 == 2_000_000_000
+    assert got[1].max_err_ratio_e6 == 500_000  # |63.5 - 64| = exactly 0.5
+    assert got[2].codes is None and got[2].absmax_e9 is None  # zero vector
+    assert got[3].dim == 0 and got[3].codes is None           # empty vector
+    assert got[4].codes == [127]  # absmax element is exactly +-127
+    assert got[4].max_err_ratio_e6 == 0
