@@ -541,3 +541,54 @@ def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return out.select(
         id_col, "_q.dim", "_q.absmax_e9", "_q.codes", "_q.max_err_ratio_e6"
     )
+
+
+def quantized_topk(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Brute-force top-k over int8-QUANTIZED vectors — the search half of
+    quantize_embeddings (both inputs are its output shape: (id, codes,
+    absmax_e9); vectors with NULL codes — zero/empty — are skipped on both
+    sides).
+
+    score(q, d) = idot(q.codes, d.codes) · scale_q · scale_d with
+    scale = absmax_e9 · 1e-9 / 127 — i.e. the dot product of the
+    DEQUANTIZED vectors, computed as one exact integer dot (|idot| ≤
+    dim · 127² — exact in int64 and in float64 up to 2^53) times two
+    stored scales, in a FIXED multiply order so both engines produce
+    bit-identical doubles. Ties break by neighbor id.
+
+    100 TB shape: queries broadcast (query sets are small); the corpus
+    scan reads codes + one bigint instead of float vectors — a 4-8x
+    narrower scan, which is the point of a quantized index; then the same
+    bounded two-phase top-k as brute_force_topk (state O(k·partitions)
+    per query, never the candidate set).
+    """
+    q = F.broadcast(
+        queries_q.filter(F.col("codes").isNotNull()).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("codes").alias("qc"),
+            F.col("absmax_e9").alias("qs"),
+        )
+    )
+    c = corpus_q.filter(F.col("codes").isNotNull()).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("codes").alias("dc"),
+        F.col("absmax_e9").alias("ds"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("dc"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scale = lambda e9: e9.cast("double") * F.lit(1e-9) / F.lit(127.0)  # noqa: E731
+    score = (idot.cast("double") * scale(F.col("qs"))) * scale(F.col("ds"))
+    scored = c.join(q, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", score.alias("cosine_sim")
+    )
+    out = two_phase_topk(scored, k)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("score")
+    )

@@ -1473,6 +1473,25 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over the int8-quantized embeddings (the search half of
+    quantize_embeddings): exact integer dot × two stored scales in a fixed
+    multiply order, so scores are bit-identical across engines. The oracle
+    re-quantizes and re-ranks with DuckDB's own list functions + window."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qz = ann.quantize_embeddings(emb, "vec_id", "v").select(
+        "vec_id", "codes", "absmax_e9"
+    )
+    topk = ann.quantized_topk(qz, qz.filter(F.col("vec_id") < 5), k=3)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("score") * F.lit(1e6)).cast("bigint").alias("score_e6"),
+    )
+
+
 def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row Bernoulli resampling with a varying probability column
     (prob = (doc_id % 14) / 10 — exercises the [0,1] clamp on both ends):
@@ -2638,6 +2657,7 @@ QUERIES = {
     "snapshot_diff_events": q_snapshot_diff_events,
     "domain_filter_events": q_domain_filter_events,
     "quantize_embeddings": q_quantize_embeddings,
+    "quantized_topk_embeddings": q_quantized_topk_embeddings,
     "weighted_sample_documents": q_weighted_sample_documents,
     "budget_documents": q_budget_documents,
     "phash_band_stats_events": q_phash_band_stats_events,
@@ -3888,6 +3908,42 @@ SELECT vec_id, len(v)::BIGINT AS dim,
           i -> abs(v[i] * 127.0::DOUBLE / am - codes[i])))
         * 1000000.0::DOUBLE)::BIGINT AS max_err_ratio_e6
 FROM c
+"""
+
+# quantized top-k: integer dot exact in float64, scales multiplied in the
+# same fixed order as the Spark side; DuckDB's own window does the ranking
+ORACLE_SQL["quantized_topk_embeddings"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+a AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS am0 FROM e
+),
+b AS (SELECT vec_id, v, CASE WHEN am0 > 0 THEN am0 END AS am FROM a),
+qz AS (
+  SELECT vec_id,
+    list_transform(v, x -> floor(x * 127.0::DOUBLE / am + 0.5::DOUBLE)::INT)
+      AS codes,
+    floor(am * 1000000000.0::DOUBLE)::BIGINT AS e9
+  FROM b WHERE am IS NOT NULL
+),
+qq AS (SELECT vec_id AS query_id, codes AS qc, e9 AS qs
+       FROM qz WHERE vec_id < 5),
+scored AS (
+  SELECT qq.query_id, z.vec_id AS neighbor_id,
+    (list_dot_product(qq.qc::DOUBLE[], z.codes::DOUBLE[])
+       * (qq.qs::DOUBLE * 1e-9 / 127.0::DOUBLE))
+      * (z.e9::DOUBLE * 1e-9 / 127.0::DOUBLE) AS score
+  FROM qq, qz z WHERE z.vec_id != qq.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       floor(score * 1000000.0::DOUBLE)::BIGINT AS score_e6
+FROM r WHERE rk <= 3
 """
 
 # weighted sample: md5 bucket replay; the clamp/floor arithmetic is single

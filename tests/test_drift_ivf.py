@@ -161,3 +161,49 @@ def test_quantize_embeddings_codes_bounds_and_nulls(spark):
     assert got[3].dim == 0 and got[3].codes is None           # empty vector
     assert got[4].codes == [127]  # absmax element is exactly +-127
     assert got[4].max_err_ratio_e6 == 0
+
+
+def test_quantized_topk_matches_exact_top1_on_separated_clusters(spark):
+    import math
+
+    from ndto_spark.ann import brute_force_topk, quantize_embeddings, quantized_topk
+
+    # three well-separated directions: quantization noise (< 0.5/127) can't
+    # reorder them, so int8 top-1 must agree with exact top-1
+    def vec(theta, r):
+        return [r * math.cos(theta), r * math.sin(theta)]
+
+    rows = [
+        (0, vec(0.0, 1.0)), (1, vec(0.05, 2.0)),
+        (10, vec(1.5, 1.0)), (11, vec(1.55, 3.0)),
+        (20, vec(3.0, 1.0)), (21, vec(3.05, 0.5)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qz = quantize_embeddings(df, "vec_id", "embedding").select(
+        "vec_id", "codes", "absmax_e9"
+    )
+    queries = df.filter(df.vec_id.isin(0, 10, 20))
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in brute_force_topk(df, queries, k=1).collect()
+    }
+    quant = {}
+    got = quantized_topk(qz, qz.filter(qz.vec_id.isin(0, 10, 20)), k=1).collect()
+    for r in got:
+        quant[r.query_id] = r.neighbor_id
+    assert exact == quant == {0: 1, 10: 11, 20: 21}
+
+
+def test_quantized_topk_skips_null_code_vectors(spark):
+    from ndto_spark.ann import quantize_embeddings, quantized_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    qz = quantize_embeddings(df, "vec_id", "embedding").select(
+        "vec_id", "codes", "absmax_e9"
+    )
+    rows = quantized_topk(qz, qz, k=5).collect()
+    ids = {r.query_id for r in rows} | {r.neighbor_id for r in rows}
+    assert 3 not in ids  # zero vector has no codes: excluded on both sides
