@@ -883,3 +883,39 @@ def domain_filter(
         "domain",
         F.coalesce(F.col("_blocked"), F.lit(False)).alias("blocked"),
     )
+
+
+# RE2/Java-portable HTML cleanup (no lookbehind/backrefs). (?s) makes .
+# cross newlines for the container contents; (?i) case-folds tag names.
+_HTML_DROP_RE = (  # no backreference: RE2 (the oracle engine) lacks them
+    r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+)
+_HTML_TAG_RE = r"(?s)<[^>]+>"
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: so '&amp;lt;' decodes to '&lt;', not '<'
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Plain text from an HTML fragment — the Common Crawl WET-style
+    extraction pass: drop <script>/<style> with their CONTENTS, strip the
+    remaining tags, decode the five XML entities + nbsp (in a fixed order,
+    &amp; last so double-escaped text decodes one level, the standard
+    behavior), collapse whitespace runs, trim.
+
+    Regex-only (RE2/Java-portable — no backtracking constructs), so it
+    runs as a chain of codegen regexp_replace ops: zero Python, zero
+    shuffle, scan-speed at 100 TB. A parser it is not (malformed nesting
+    degrades gracefully to over-stripping); for DOM-accurate extraction
+    plug a real parser into the mapInPandas escape hatch instead.
+    """
+    out = F.regexp_replace(col, _HTML_DROP_RE, " ")
+    out = F.regexp_replace(out, _HTML_TAG_RE, " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, rep)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -580,6 +580,29 @@ def q_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_html_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction in the gate: each document wrapped in a
+    deterministic HTML template (script with a '<' inside, style, entities,
+    double-escaped &amp;lt;) built expression-side in BOTH engines; the
+    stripped text hash-compares via md5-low32. Both sides run the same
+    RE2/Java-portable regex chain."""
+    from .functions.text import strip_html
+
+    doc = _read(spark, sf_dir, "documents")
+    html = F.format_string(
+        "<html><head><script>var x=%d<2;</script><style>p{}</style></head>"
+        "<body><h1>T&amp;C</h1><p>%s</p><br/>&nbsp;&lt;end&gt;</body></html>",
+        F.col("doc_id"),
+        F.col("text"),
+    )
+    out = doc.select("doc_id", strip_html(html).alias("clean"))
+    return out.select(
+        "doc_id",
+        dedup.md5_low32(F.col("clean")).alias("clean_h"),
+        F.length("clean").cast("bigint").alias("clean_len"),
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window RAG chunker in the gate: 12-token windows every 8
     tokens (4-token overlap), tail chunk short but end-reaching. The
@@ -2625,6 +2648,7 @@ QUERIES = {
     "token_counts_documents": q_token_counts_documents,
     "normalize_documents": q_normalize_documents,
     "chunk_documents": q_chunk_documents,
+    "strip_html_documents": q_strip_html_documents,
     "remove_lines_documents": q_remove_lines_documents,
     "vocab_oov_documents": q_vocab_oov_documents,
     "group_quantiles_lineitem": q_group_quantiles_lineitem,
@@ -3533,6 +3557,32 @@ SELECT doc_id,
   len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+|\\s+'),
                   x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_ish_tokens
 FROM documents
+""",
+    # HTML strip: same RE2 regex chain; entity pass uses plain replace()
+    # (Spark side regexp_replaces literal entities — same total rewrite)
+    "strip_html_documents": f"""
+WITH h AS (
+  SELECT doc_id,
+    printf('<html><head><script>var x=%d<2;</script><style>p{{}}</style>'
+           || '</head><body><h1>T&amp;C</h1><p>%s</p><br/>&nbsp;'
+           || '&lt;end&gt;</body></html>', doc_id, text) AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id, trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(html,
+          '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', chr(39)), '&amp;', '&'),
+    '\\s+', ' ', 'g')) AS clean
+  FROM h
+)
+SELECT doc_id, {_md5_low32_sql('clean')} AS clean_h,
+       length(clean)::BIGINT AS clean_len
+FROM s
 """,
     # sliding-window chunker: n_chunks = 1 + ceil(max(0, n-12)/8); DuckDB
     # tokenizes and slices independently, md5-low32 compares chunk text

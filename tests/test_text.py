@@ -225,3 +225,29 @@ def test_domain_filter_extraction_and_blocklist(spark):
     # broadcast shape: the blocklist join must not shuffle the corpus
     plan = domain_filter(df, "id", "url", bl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_strip_html_drops_containers_decodes_entities(spark):
+    from pyspark.sql import functions as F
+
+    from ndto_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>world</b></p>"),
+            (2, "<SCRIPT>if(a<b){x}</SCRIPT>keep<style\nmedia=x>p{}</style>me"),
+            (3, "&amp;lt; &nbsp;&gt; &quot;q&quot; &#39;z&#39;"),
+            (4, "no markup"),
+            (5, None),
+        ],
+        "id long, html string",
+    )
+    got = {
+        r.id: r.t
+        for r in df.select("id", strip_html(F.col("html")).alias("t")).collect()
+    }
+    assert got[1] == "Hello world"
+    assert got[2] == "keep me"          # contents of script/style dropped
+    assert got[3] == '&lt; > "q" \'z\''  # one decode level; &amp; last
+    assert got[4] == "no markup"
+    assert got[5] is None
