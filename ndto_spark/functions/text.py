@@ -919,3 +919,55 @@ def strip_html(col: Column) -> Column:
     for ent, rep in _HTML_ENTITIES:
         out = F.regexp_replace(out, ent, rep)
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_cols: list,
+) -> DataFrame:
+    """Dataset-card summary — the per-(source, lang, ...) corpus breakdown
+    every data release ships: document/token/char counts, mean and max
+    document length, and each group's share of the corpus.
+
+    Output (*group_cols, n_docs, n_tokens, n_chars, mean_tokens_e4,
+    max_tokens, share_docs_e6, share_tokens_e6). Shares are exact integer
+    ratios quantized e6; means are floor(1e4 · tokens/docs) — single IEEE
+    divides, engine-portable.
+
+    100 TB shape: ONE corpus scan into a partially-aggregated groupBy on
+    the group key; the share windows run over the GROUP table (sources ×
+    languages — dozens of rows), never the corpus, so the unpartitioned
+    window is a no-op at scale.
+    """
+    from pyspark.sql import Window
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    t = F.col(text_col)
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(t)).cast("bigint").alias("n_tokens"),
+        F.sum(F.length(t)).cast("bigint").alias("n_chars"),
+        F.max(token_count(t)).cast("bigint").alias("max_tokens"),
+    )
+    w = Window.partitionBy()
+    tot_docs = F.sum("n_docs").over(w)
+    tot_toks = F.sum("n_tokens").over(w)
+    return g.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.floor(F.col("n_tokens") / F.col("n_docs") * F.lit(1e4))
+        .cast("bigint")
+        .alias("mean_tokens_e4"),
+        "max_tokens",
+        F.floor(F.col("n_docs") / tot_docs * F.lit(1e6))
+        .cast("bigint")
+        .alias("share_docs_e6"),
+        F.floor(F.col("n_tokens") / tot_toks * F.lit(1e6))
+        .cast("bigint")
+        .alias("share_tokens_e6"),
+    )

@@ -1570,6 +1570,62 @@ def q_domain_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_filter(ev, "event_id", "url", bl)
 
 
+def q_corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card breakdown per (source, lang): counts, mean/max doc
+    length, corpus shares — one scan, share windows over the group table."""
+    from .functions.text import corpus_report
+
+    return corpus_report(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", ["source", "lang"]
+    )
+
+
+def q_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy risk surface: (user_id, event_type, epoch-hour) combos with
+    fewer than 3 rows — integer hour buckets (timezone-proof), one
+    partially-aggregated groupBy; oracle = DuckDB's own GROUP BY/HAVING."""
+    ev = _read(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "event_type",
+        (temporal.ts_to_us(ev, "ts") / F.lit(3_600_000_000))
+        .cast("bigint")
+        .alias("hour_bucket"),
+    )
+    return table_rules.k_anonymity(
+        q, ["user_id", "event_type", "hour_bucket"], k=3
+    )
+
+
+def q_fd_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check source → lang: sources serving more
+    than one language (or a NULL/value split), with bounded min/max
+    example pair — never a per-group list."""
+    return table_rules.fd_violations(
+        _read(spark, sf_dir, "documents"), ["source"], "lang"
+    )
+
+
+def q_monotonicity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequence regression check: monitored value = event_id with
+    a planted 10^6 dip every 37th event, ordered by (ts, event_id) —
+    unique per user. Oracle = DuckDB's own lag window."""
+    ev = _read(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        temporal.ts_to_us(ev, "ts").alias("t_us"),
+        F.when(
+            F.col("event_id") % 37 == 0, F.col("event_id") - F.lit(1_000_000)
+        )
+        .otherwise(F.col("event_id"))
+        .alias("seq"),
+    )
+    return table_rules.monotonicity_violations(
+        seq, "user_id", ["t_us", "event_id"], "seq"
+    )
+
+
 def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation in the gate: old = events minus the %7
     residue, new = events minus the %5 residue with the %11 values
@@ -2680,6 +2736,10 @@ QUERIES = {
     "pair_filter_images": q_pair_filter_images,
     "snapshot_diff_events": q_snapshot_diff_events,
     "domain_filter_events": q_domain_filter_events,
+    "corpus_report_documents": q_corpus_report_documents,
+    "k_anonymity_events": q_k_anonymity_events,
+    "fd_documents": q_fd_documents,
+    "monotonicity_events": q_monotonicity_events,
     "quantize_embeddings": q_quantize_embeddings,
     "quantized_topk_embeddings": q_quantized_topk_embeddings,
     "weighted_sample_documents": q_weighted_sample_documents,
@@ -4049,6 +4109,68 @@ SELECT event_id, host,
   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
   b.domain IS NOT NULL AS blocked
 FROM d LEFT JOIN b ON regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = b.domain
+"""
+
+# dataset card: DuckDB re-aggregates and re-windows; integer/integer `/`
+# is DOUBLE in both engines, multiplied in the same order
+ORACLE_SQL["corpus_report_documents"] = f"""
+WITH g AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs,
+    sum(len(toks))::BIGINT AS n_tokens,
+    sum(length(text))::BIGINT AS n_chars,
+    max(len(toks))::BIGINT AS max_tokens
+  FROM (SELECT source, lang, text, {_DOC_TOKS} AS toks FROM documents)
+  GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens, n_chars,
+  floor(n_tokens / n_docs * 10000.0::DOUBLE)::BIGINT AS mean_tokens_e4,
+  max_tokens,
+  floor(n_docs / (sum(n_docs) OVER ())
+        * 1000000.0::DOUBLE)::BIGINT AS share_docs_e6,
+  floor(n_tokens / (sum(n_tokens) OVER ())
+        * 1000000.0::DOUBLE)::BIGINT AS share_tokens_e6
+FROM g
+"""
+
+# k-anonymity: DuckDB's own GROUP BY ... HAVING; hour bucket floored
+# explicitly (DuckDB double->int CAST rounds, Spark's truncates)
+ORACLE_SQL["k_anonymity_events"] = """
+WITH q AS (
+  SELECT user_id, event_type,
+    floor(epoch_us(ts) / 3600000000.0::DOUBLE)::BIGINT AS hour_bucket
+  FROM events
+)
+SELECT user_id, event_type, hour_bucket, count(*)::BIGINT AS n_rows
+FROM q GROUP BY 1, 2, 3 HAVING count(*) < 3
+"""
+
+# functional dependency: DuckDB's own distinct-count aggregate
+ORACLE_SQL["fd_documents"] = """
+SELECT source, count(DISTINCT lang)::BIGINT AS n_rhs,
+  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+  min(lang) AS rhs_min, max(lang) AS rhs_max
+FROM documents GROUP BY source
+HAVING count(DISTINCT lang) > 1
+   OR (count(DISTINCT lang) >= 1
+       AND sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) > 0)
+"""
+
+# monotonicity: DuckDB's own lag window over the same unique ordering
+ORACLE_SQL["monotonicity_events"] = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+    CASE WHEN event_id % 37 = 0 THEN event_id - 1000000
+         ELSE event_id END AS seq
+  FROM events
+),
+l AS (
+  SELECT user_id, seq AS value,
+    lag(seq) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+      AS prev_value
+  FROM s
+)
+SELECT user_id, value, prev_value FROM l
+WHERE prev_value IS NOT NULL AND value < prev_value
 """
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the

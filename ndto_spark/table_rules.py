@@ -976,3 +976,85 @@ def snapshot_diff(
         j.select(*key_cols, status.alias("status"))
         .filter(F.col("status").isNotNull())
     )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list, k: int) -> DataFrame:
+    """k-anonymity risk — the privacy validator: every combination of
+    quasi-identifier values shared by FEWER than ``k`` rows (small groups
+    are re-identifiable; k=1 groups are unique individuals). Returns the
+    at-risk combos with their group sizes: (*quasi_cols, n_rows).
+
+    100 TB shape: one partially-aggregated groupBy on the quasi columns —
+    map-side combine shrinks the shuffle to one row per combo per task;
+    the < k filter prunes the (usually dominant) anonymous mass before
+    anything is collected. Output is the risk surface, not the corpus.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )
+
+
+def fd_violations(df: DataFrame, lhs_cols: list, rhs_col: str) -> DataFrame:
+    """Functional-dependency check (lhs → rhs): every lhs combination that
+    maps to MORE than one distinct rhs value — the classic integrity rule
+    (order_id → customer, zip → city, image_id → caption). Returns
+    (*lhs_cols, n_rhs, rhs_min, rhs_max): min/max are the bounded example
+    pair (constant aggregation state — never a per-group value list, the
+    repo's bounded-collection discipline; they also show the violation's
+    spread). NULL rhs counts as a value via the distinct over a NULL-safe
+    sentinel-free count: countDistinct ignores NULLs, so a NULL-vs-value
+    split is surfaced by n_nulls.
+
+    100 TB shape: one groupBy with partial aggregation; the > 1 filter
+    emits only the violating keys.
+    """
+    if not lhs_cols:
+        raise ValueError("lhs_cols must be non-empty")
+    r = F.col(rhs_col)
+    out = (
+        df.groupBy(*lhs_cols)
+        .agg(
+            F.countDistinct(rhs_col).cast("bigint").alias("n_rhs"),
+            F.sum(r.isNull().cast("int")).cast("bigint").alias("n_nulls"),
+            F.min(r).alias("rhs_min"),
+            F.max(r).alias("rhs_max"),
+        )
+    )
+    return out.filter(
+        (F.col("n_rhs") > 1) | ((F.col("n_rhs") >= 1) & (F.col("n_nulls") > 0))
+    )
+
+
+def monotonicity_violations(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-key monotonicity check — the event-stream sanity rule (sequence
+    numbers never regress per user, versions never decrease per entity):
+    order each key's rows by ``order_cols`` (must be a unique ordering per
+    key, or equal-rank rows make "previous" ambiguous) and emit every row
+    whose ``value_col`` falls below its predecessor (``strict=True`` also
+    flags equality). Output (key, value, prev_value).
+
+    100 TB shape: one hash Exchange on the key + per-key sort window (the
+    standard sessionize plan); violations only — the monotone mass emits
+    nothing.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    base = df.select(
+        F.col(key_col),
+        F.col(value_col).alias("value"),
+        F.lag(value_col).over(w).alias("prev_value"),
+    )
+    v, prev = F.col("value"), F.col("prev_value")
+    bad = (v <= prev) if strict else (v < prev)
+    return base.filter(prev.isNotNull() & bad)

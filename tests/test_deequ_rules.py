@@ -230,3 +230,61 @@ def test_snapshot_diff_validates_args(spark):
         snapshot_diff(df, df, [], ["v"])
     with pytest.raises(ValueError):
         snapshot_diff(df, df, ["k"], [])
+
+
+def test_k_anonymity_flags_small_groups_only(spark):
+    from ndto_spark.table_rules import k_anonymity
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)],
+        "qa string, qb long",
+    )
+    rows = k_anonymity(df, ["qa", "qb"], k=3).collect()
+    got = {(r.qa, r.qb): r.n_rows for r in rows}
+    assert got == {("a", 2): 2, ("b", 1): 1}  # the 5-row group is anonymous
+
+
+def test_k_anonymity_validates_k(spark):
+    import pytest
+
+    from ndto_spark.table_rules import k_anonymity
+
+    df = spark.createDataFrame([("a",)], "qa string")
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["qa"], k=1)
+
+
+def test_fd_violations_distinct_and_null_split(spark):
+    from ndto_spark.table_rules import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "en"), ("s1", "en"),            # clean FD
+            ("s2", "en"), ("s2", "de"),            # 2 distinct rhs
+            ("s3", "en"), ("s3", None),            # value + NULL split
+            ("s4", None), ("s4", None),            # all NULL: not flagged
+        ],
+        "src string, lang string",
+    )
+    rows = fd_violations(df, ["src"], "lang").collect()
+    got = {r.src: r for r in rows}
+    assert set(got) == {"s2", "s3"}
+    assert (got["s2"].n_rhs, got["s2"].rhs_min, got["s2"].rhs_max) == (
+        2, "de", "en")
+    assert (got["s3"].n_rhs, got["s3"].n_nulls) == (1, 1)
+
+
+def test_monotonicity_violations_strict_and_default(spark):
+    from ndto_spark.table_rules import monotonicity_violations
+
+    df = spark.createDataFrame(
+        # user u: seq 1, 3, 2 (dip), 2 (tie) ordered by t
+        [("u", 1, 1), ("u", 2, 3), ("u", 3, 2), ("u", 4, 2), ("v", 1, 9)],
+        "user string, t long, seq long",
+    )
+    loose = monotonicity_violations(df, "user", ["t"], "seq").collect()
+    assert [(r.user, r.value, r.prev_value) for r in loose] == [("u", 2, 3)]
+    strict = monotonicity_violations(
+        df, "user", ["t"], "seq", strict=True
+    ).collect()
+    assert sorted((r.value, r.prev_value) for r in strict) == [(2, 2), (2, 3)]

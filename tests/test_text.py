@@ -251,3 +251,23 @@ def test_strip_html_drops_containers_decodes_entities(spark):
     assert got[3] == '&lt; > "q" \'z\''  # one decode level; &amp; last
     assert got[4] == "no markup"
     assert got[5] is None
+
+
+def test_corpus_report_counts_and_shares(spark):
+    from ndto_spark.functions.text import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),   # 3 tokens
+            (2, "d e", "s1"),     # 2 tokens
+            (3, "f g h i j", "s2"),  # 5 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = corpus_report(df, "doc_id", "text", ["source"]).collect()
+    got = {r.source: r for r in rows}
+    assert (got["s1"].n_docs, got["s1"].n_tokens, got["s1"].max_tokens) == (
+        2, 5, 3)
+    assert got["s1"].mean_tokens_e4 == 25000  # 2.5 tokens/doc
+    assert got["s1"].share_docs_e6 == 666666
+    assert got["s2"].share_tokens_e6 == 500000
