@@ -971,3 +971,85 @@ def corpus_report(
         .cast("bigint")
         .alias("share_tokens_e6"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_pair_tf: int = 2,
+) -> DataFrame:
+    """Collocation extraction by LIFT — P(l,r) / (P(l)·P(r)), the monotone
+    exp(PMI) (no logarithm: libm log differs across engines; the ratio is
+    plain arithmetic, so rankings and quantized values are engine-exact).
+    Multiword-expression mining / tokenizer-merge quality signal.
+
+    Output (left, right, pair_tf, tf_l, tf_r, lift_e6) with
+    lift_e6 = floor(((pair_tf·1e6 / tot_pairs) · tot_toks / tf_l)
+                     · tot_toks / tf_r)
+    — the exact op order both engines replay.
+
+    100 TB shape: ONE tokenization feeding both the unigram and the pair
+    aggregates would need a cached intermediate; instead each aggregate
+    tokenizes its own scan (two scans, zero caching risk) and the two
+    corpus totals collect as a 1-row broadcast (the repo's codebook
+    pattern). The tf joins shuffle the PAIR VOCABULARY (min_pair_tf-pruned)
+    against the unigram vocabulary — vocab-sized, never corpus-sized.
+    """
+    from ..dedup import bind
+
+    toks = df.select(
+        F.explode_outer(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token").isNotNull())
+    uni = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+
+    def _pairs(t: Column) -> Column:
+        n = F.size(t)
+        arr = F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.struct(
+                F.get(t, i - F.lit(1)).alias("left"),
+                F.get(t, i).alias("right"),
+            ),
+        )
+        return F.when(n >= 2, arr)
+
+    pairs = (
+        df.select(
+            F.explode_outer(bind(tokens(F.col(text_col)), _pairs)).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.left", "p.right")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_tf"))
+        .filter(F.col("pair_tf") >= min_pair_tf)
+    )
+    totals = F.broadcast(
+        uni.agg(
+            F.sum("tf").cast("bigint").alias("tot_toks"),
+            F.count(F.lit(1)).alias("_nv"),
+        ).crossJoin(
+            pairs.agg(F.sum("pair_tf").cast("bigint").alias("tot_pairs_kept"))
+        )
+    )
+    # NOTE: tot_pairs uses the min_pair_tf-PRUNED mass (what survives is
+    # what a merge picker sees); pass min_pair_tf=1 for the full multiset.
+    tl = uni.select(F.col("token").alias("left"), F.col("tf").alias("tf_l"))
+    tr = uni.select(F.col("token").alias("right"), F.col("tf").alias("tf_r"))
+    j = pairs.join(tl, "left").join(tr, "right").crossJoin(totals)
+    lift = (
+        (F.col("pair_tf") * F.lit(1e6) / F.col("tot_pairs_kept"))
+        * F.col("tot_toks")
+        / F.col("tf_l")
+        * F.col("tot_toks")
+        / F.col("tf_r")
+    )
+    return j.select(
+        "left",
+        "right",
+        "pair_tf",
+        "tf_l",
+        "tf_r",
+        F.floor(lift).cast("bigint").alias("lift_e6"),
+    )

@@ -1570,6 +1570,29 @@ def q_domain_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_filter(ev, "event_id", "url", bl)
 
 
+def q_join_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew probe: events vs its click subset on user_id — per-key
+    side counts and exact join fan-out, thresholded (the salting/AQE
+    decision input). Oracle = DuckDB's own aggregates + full outer join."""
+    ev = _read(spark, sf_dir, "events")
+    return table_rules.join_skew_report(
+        ev,
+        ev.filter(F.col("event_type") == "click"),
+        ["user_id"],
+        min_fanout=900,
+    )
+
+
+def q_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation lift (exp-PMI, logarithm-free so it is engine-exact)
+    over adjacent token pairs, tf floor 3."""
+    from .functions.text import collocations
+
+    return collocations(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", min_pair_tf=3
+    )
+
+
 def q_corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card breakdown per (source, lang): counts, mean/max doc
     length, corpus shares — one scan, share windows over the group table."""
@@ -2736,6 +2759,8 @@ QUERIES = {
     "pair_filter_images": q_pair_filter_images,
     "snapshot_diff_events": q_snapshot_diff_events,
     "domain_filter_events": q_domain_filter_events,
+    "join_skew_events": q_join_skew_events,
+    "collocations_documents": q_collocations_documents,
     "corpus_report_documents": q_corpus_report_documents,
     "k_anonymity_events": q_k_anonymity_events,
     "fd_documents": q_fd_documents,
@@ -4109,6 +4134,45 @@ SELECT event_id, host,
   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
   b.domain IS NOT NULL AS blocked
 FROM d LEFT JOIN b ON regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = b.domain
+"""
+
+# join skew: DuckDB's own count aggregates + full outer join
+ORACLE_SQL["join_skew_events"] = """
+WITH lc AS (SELECT user_id, count(*)::BIGINT AS n_left FROM events GROUP BY 1),
+rc AS (SELECT user_id, count(*)::BIGINT AS n_right FROM events
+       WHERE event_type = 'click' GROUP BY 1)
+SELECT COALESCE(lc.user_id, rc.user_id) AS user_id,
+  COALESCE(n_left, 0) AS n_left, COALESCE(n_right, 0) AS n_right,
+  (COALESCE(n_left, 0) * COALESCE(n_right, 0))::BIGINT AS fanout
+FROM lc FULL OUTER JOIN rc ON lc.user_id = rc.user_id
+WHERE COALESCE(n_left, 0) * COALESCE(n_right, 0) >= 900
+"""
+
+# collocation lift: logarithm-free exp(PMI); the division chain is written
+# in the SAME left-associative order as the Spark expression
+ORACLE_SQL["collocations_documents"] = f"""
+WITH toks AS (SELECT unnest({_DOC_TOKS}) AS token FROM documents),
+uni AS (SELECT token, count(*)::BIGINT AS tf FROM toks GROUP BY 1),
+t AS (SELECT {_DOC_TOKS} AS toks FROM documents),
+p0 AS (
+  SELECT toks[j] AS "left", toks[j + 1] AS "right"
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS j
+        FROM t WHERE len(toks) >= 2)
+),
+pairs AS (
+  SELECT "left", "right", count(*)::BIGINT AS pair_tf
+  FROM p0 GROUP BY 1, 2 HAVING count(*) >= 3
+),
+tot AS (
+  SELECT (SELECT sum(tf) FROM uni)::BIGINT AS tot_toks,
+         (SELECT sum(pair_tf) FROM pairs)::BIGINT AS tot_pairs_kept
+)
+SELECT p."left", p."right", p.pair_tf, l.tf AS tf_l, r.tf AS tf_r,
+  floor((p.pair_tf * 1000000.0::DOUBLE / tot_pairs_kept)
+        * tot_toks / l.tf * tot_toks / r.tf)::BIGINT AS lift_e6
+FROM pairs p
+JOIN uni l ON p."left" = l.token
+JOIN uni r ON p."right" = r.token, tot
 """
 
 # dataset card: DuckDB re-aggregates and re-windows; integer/integer `/`

@@ -1058,3 +1058,47 @@ def monotonicity_violations(
     v, prev = F.col("value"), F.col("prev_value")
     bad = (v <= prev) if strict else (v < prev)
     return base.filter(prev.isNotNull() & bad)
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list,
+    min_fanout: int = 2,
+) -> DataFrame:
+    """Join-skew diagnosis — the probe you run BEFORE a big join: per key,
+    how many rows each side carries and the join fan-out (n_left ·
+    n_right = exactly how many output rows that key will produce). Keys
+    with fan-out ≥ ``min_fanout`` are the skew/explosion surface — the
+    input to a salting decision, an AQE skew-join check, or a broadcast
+    cutoff.
+
+    Output (*key_cols, n_left, n_right, fanout); keys absent from a side
+    count 0 (full outer over the two count tables — anti-joined keys show
+    up with fanout 0 only if min_fanout <= 0, by default they drop).
+
+    100 TB shape: two partially-aggregated groupBys (one per side — the
+    shuffle carries one row per key per task), a full outer join of the
+    COUNT tables (|distinct keys|, not |rows|), and a threshold filter —
+    no global sort, no top-k state. The report is the skew tail, never
+    the key space.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    lc = left.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left")
+    )
+    rc = right.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right")
+    )
+    j = lc.join(rc, on=key_cols, how="full_outer").select(
+        *key_cols,
+        F.coalesce(F.col("n_left"), F.lit(0)).alias("n_left"),
+        F.coalesce(F.col("n_right"), F.lit(0)).alias("n_right"),
+    )
+    return j.select(
+        *key_cols,
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).cast("bigint").alias("fanout"),
+    ).filter(F.col("fanout") >= min_fanout)

@@ -288,3 +288,19 @@ def test_monotonicity_violations_strict_and_default(spark):
         df, "user", ["t"], "seq", strict=True
     ).collect()
     assert sorted((r.value, r.prev_value) for r in strict) == [(2, 2), (2, 3)]
+
+
+def test_join_skew_report_fanout_and_missing_sides(spark):
+    from ndto_spark.table_rules import join_skew_report
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)], "k string"
+    )
+    right = spark.createDataFrame([("a",)] * 4 + [("b",)], "k string")
+    rows = join_skew_report(left, right, ["k"], min_fanout=2).collect()
+    got = {r.k: (r.n_left, r.n_right, r.fanout) for r in rows}
+    assert got == {"a": (3, 4, 12), "b": (2, 1, 2)}  # c: fanout 0, dropped
+    # min_fanout=0 surfaces the anti-joined key too
+    all_rows = {r.k for r in
+                join_skew_report(left, right, ["k"], min_fanout=0).collect()}
+    assert all_rows == {"a", "b", "c"}

@@ -271,3 +271,23 @@ def test_corpus_report_counts_and_shares(spark):
     assert got["s1"].mean_tokens_e4 == 25000  # 2.5 tokens/doc
     assert got["s1"].share_docs_e6 == 666666
     assert got["s2"].share_tokens_e6 == 500000
+
+
+def test_collocations_lift_prefers_fixed_phrase(spark):
+    from ndto_spark.functions.text import collocations
+
+    # 'new york' always adjacent; 'the cat'/'the dog' dilute 'the'
+    df = spark.createDataFrame(
+        [
+            (1, "new york new york the cat"),
+            (2, "the dog new york the cat"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = collocations(df, "doc_id", "text", min_pair_tf=2).collect()
+    got = {(r.left, r.right): r for r in rows}
+    ny = got[("new", "york")]
+    yt = got[("york", "the")]
+    assert ny.pair_tf == 3 and ny.tf_l == 3 and ny.tf_r == 3
+    # lift(new york) = (3/7)(12/3)(12/3) = 6.857; (york the) = 4.571
+    assert (ny.lift_e6, yt.lift_e6) == (6857142, 4571428)
