@@ -1593,6 +1593,28 @@ def q_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-content QA: confusion counts between the declared lang
+    column and the lang_id prediction — the mislabeled-corpus probe
+    (a stale/derived label column drifting from the content is the thing
+    this catches). One join + one partial-agg groupBy over the tiny
+    (lang, lang_pred) matrix."""
+    from .functions.text import lang_id
+
+    doc = _read(spark, sf_dir, "documents")
+    pred = lang_id(doc, "doc_id", "text")
+    j = doc.select("doc_id", "lang").join(pred, "doc_id")
+    g = j.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return g.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        (F.col("lang") == F.col("lang_pred")).alias("agree"),
+    )
+
+
 def q_corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card breakdown per (source, lang): counts, mean/max doc
     length, corpus shares — one scan, share windows over the group table."""
@@ -1669,6 +1691,30 @@ def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return table_rules.snapshot_diff(
         old, new, ["event_id"], ["event_type", "value"]
+    )
+
+
+def q_meta_consistency_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-DECODED cross-check over the seeded images table: the
+    Spark side really decodes every payload; the oracle replays the
+    verdicts from the residue classes (v=0 truncated → decode fails; v=1
+    w+5 and v=7 w=0 → dims mismatch; v=2 swapped and v=6 gif → fmt
+    mismatch; v=8 ≥12 is the clean row i-12; v=9 has a NULL id; all other
+    rows decode to exactly their declared metadata by construction)."""
+    from . import fixtures
+    from .images import metadata_consistency
+
+    df = fixtures.synth_images_cached(
+        spark, _IMAGES_META_N, n_partitions=8, seed=42
+    )
+    out = metadata_consistency(df)
+    # nullable BOOLEANS round-trip as NaN through the hash compare — ship
+    # the tri-state matches as nullable bigints (0/1/NULL) in the gate
+    return out.select(
+        "image_id",
+        "decode_ok",
+        F.col("dims_match").cast("bigint").alias("dims_match_i"),
+        F.col("fmt_match").cast("bigint").alias("fmt_match_i"),
     )
 
 
@@ -2757,11 +2803,13 @@ QUERIES = {
     "image_dedup_groups": q_image_dedup_groups,
     "image_exact_dedup": q_image_exact_dedup,
     "pair_filter_images": q_pair_filter_images,
+    "meta_consistency_images": q_meta_consistency_images,
     "snapshot_diff_events": q_snapshot_diff_events,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
     "corpus_report_documents": q_corpus_report_documents,
+    "lang_agreement_documents": q_lang_agreement_documents,
     "k_anonymity_events": q_k_anonymity_events,
     "fd_documents": q_fd_documents,
     "monotonicity_events": q_monotonicity_events,
@@ -4175,6 +4223,31 @@ JOIN uni l ON p."left" = l.token
 JOIN uni r ON p."right" = r.token, tot
 """
 
+# lang agreement: the lang_id CTE rolled up into a confusion matrix
+ORACLE_SQL["lang_agreement_documents"] = f"""
+WITH t AS (SELECT doc_id, lang, {_DOC_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','es'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr
+  FROM t
+),
+p AS (
+  SELECT lang,
+    CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM s
+)
+SELECT lang, lang_pred, count(*)::BIGINT AS n_docs,
+       lang = lang_pred AS agree
+FROM p GROUP BY 1, 2
+"""
+
 # dataset card: DuckDB re-aggregates and re-windows; integer/integer `/`
 # is DOUBLE in both engines, multiplied in the same order
 ORACLE_SQL["corpus_report_documents"] = f"""
@@ -4258,6 +4331,26 @@ SELECT event_id, status FROM (
     END AS status
   FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
 ) WHERE status IS NOT NULL
+"""
+
+# declared-vs-decoded: verdicts are a pure function of the residue class
+# (unseeded rows decode to exactly their declared metadata by fixture
+# construction); Spark actually decodes, the oracle replays the classes
+ORACLE_SQL["meta_consistency_images"] = f"""
+WITH cls AS (
+  SELECT i % 100 AS v,
+    CASE WHEN i % 100 = 8 AND i >= 12 THEN printf('img_%016x', i - 12)
+         WHEN i % 100 = 9 THEN NULL
+         ELSE printf('img_%016x', i) END AS iid
+  FROM (SELECT unnest(range({_IMAGES_META_N})) AS i)
+)
+SELECT iid AS image_id,
+  v != 0 AS decode_ok,
+  CASE WHEN v = 0 THEN NULL
+       ELSE (v NOT IN (1, 7))::BIGINT END AS dims_match_i,
+  CASE WHEN v = 0 THEN NULL
+       ELSE (v NOT IN (2, 6))::BIGINT END AS fmt_match_i
+FROM cls
 """
 
 # pair filter: unseeded rows never trip a threshold by construction, so

@@ -194,3 +194,34 @@ def test_pair_quality_filter_priority_and_thresholds(spark):
     }
     for iid, _, _, _, _, want in rows:
         assert got[iid] == (want is None, want), (iid, got[iid], want)
+
+
+def test_metadata_consistency_verdicts_per_seeded_class(spark):
+    from ndto_spark import fixtures
+    from ndto_spark.images import metadata_consistency
+
+    # 300 rows: each residue class appears 3x
+    df = fixtures.synth_images(spark, 300, n_partitions=4, seed=42)
+    rows = metadata_consistency(df).collect()
+    assert len(rows) == 300
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.image_id, []).append(r)
+    # v=0: truncated -> decode fails, matches NULL
+    r0 = by_id["img_0000000000000000"][0]
+    assert (r0.decode_ok, r0.dims_match, r0.fmt_match) == (False, None, None)
+    # v=1: declared w+5 -> dims mismatch, fmt fine
+    r1 = by_id["img_0000000000000001"][0]
+    assert (r1.decode_ok, r1.dims_match, r1.fmt_match) == (True, False, True)
+    # v=2: declared fmt swapped -> fmt mismatch, dims fine
+    r2 = by_id["img_0000000000000002"][0]
+    assert (r2.decode_ok, r2.dims_match, r2.fmt_match) == (True, True, False)
+    # v=6: declared gif -> fmt mismatch
+    r6 = by_id["img_0000000000000006"][0]
+    assert (r6.decode_ok, r6.dims_match, r6.fmt_match) == (True, True, False)
+    # v=7: declared w=0 -> dims mismatch
+    r7 = by_id["img_0000000000000007"][0]
+    assert (r7.decode_ok, r7.dims_match, r7.fmt_match) == (True, False, True)
+    # clean row: everything consistent
+    r10 = by_id["img_000000000000000a"][0]
+    assert (r10.decode_ok, r10.dims_match, r10.fmt_match) == (True, True, True)
