@@ -244,3 +244,83 @@ def metadata_consistency(df: DataFrame) -> DataFrame:
         "image_id string, decode_ok boolean, dims_match boolean, "
         "fmt_match boolean",
     )
+
+
+def exposure_verdicts(
+    features: DataFrame, lo: float = 80.0, hi: float = 150.0
+) -> DataFrame:
+    """Exposure outlier filter over DECODED features — the brightness
+    first-pass of an image training pipeline (drop near-black / blown-out
+    crawl artifacts before the expensive near-dup / embedding stages).
+
+    Input is decode_image_features output (ok, mean_r/g/b); output per
+    image: (image_id, luma_e4, exposure) where luma is the channel-mean
+    luminance, quantized e4 (exact when the channel means are integral,
+    as with the closed-form two-tone fixtures: (3x)/3.0 == x bit-exact),
+    and exposure ∈ {'undecodable','under','over','ok'}.
+
+    100 TB shape: pure projection over the feature frame — zero shuffle,
+    whole-stage codegen; composes with decode_image_features' single
+    Arrow exchange.
+    """
+    luma = (
+        F.col("mean_r") + F.col("mean_g") + F.col("mean_b")
+    ) / F.lit(3.0)
+    verdict = (
+        F.when(~F.col("ok"), F.lit("undecodable"))
+        .when(luma < F.lit(float(lo)), F.lit("under"))
+        .when(luma > F.lit(float(hi)), F.lit("over"))
+        .otherwise(F.lit("ok"))
+    )
+    return features.select(
+        "image_id",
+        F.when(F.col("ok"), F.floor(luma * F.lit(1e4)).cast("bigint")).alias(
+            "luma_e4"
+        ),
+        verdict.alias("exposure"),
+    )
+
+
+# SDXL-style training aspect buckets: (name, target w/h ratio), scanned in
+# declaration order — ties go to the EARLIEST bucket (the when-chain below
+# and the oracle's CASE both use <= against every later distance).
+ASPECT_BUCKETS = (
+    ("3:4", 0.75),
+    ("1:1", 1.0),
+    ("4:3", 4.0 / 3.0),
+    ("2:1", 2.0),
+    ("3:1", 3.0),
+)
+
+
+def aspect_buckets(
+    features: DataFrame, buckets: tuple = ASPECT_BUCKETS
+) -> DataFrame:
+    """Aspect-ratio bucket assignment over DECODED dims — the resolution
+    bucketing every multi-aspect image trainer does (group images whose
+    w/h is nearest a small set of target ratios, so batches share a crop
+    shape). Undecodable rows are dropped (no dims to bucket).
+
+    Engine-exact determinism: w/h, the subtraction, and abs() are single
+    IEEE-double ops on integer-valued inputs, so any engine computes
+    bit-identical distances; the earliest-minimal scan order makes any
+    exactly-equal distances resolve deterministically. (Rational-midpoint
+    dims like 20x12 are NOT double ties: fl(5/3)-fl(4/3) > 2-fl(5/3).)
+
+    100 TB shape: pure projection — zero shuffle; the downstream
+    per-bucket repartition is the trainer's problem, not the tagger's.
+    """
+    ratio = F.col("w").cast("double") / F.col("h").cast("double")
+    dists = [F.abs(ratio - F.lit(float(r))) for _, r in buckets]
+    expr = F.lit(buckets[-1][0])
+    for i in range(len(buckets) - 2, -1, -1):
+        cond = dists[i] <= dists[i + 1]
+        for j in range(i + 2, len(buckets)):
+            cond = cond & (dists[i] <= dists[j])
+        expr = F.when(cond, F.lit(buckets[i][0])).otherwise(expr)
+    return features.filter(F.col("ok")).select(
+        "image_id",
+        F.col("w").cast("bigint").alias("w"),
+        F.col("h").cast("bigint").alias("h"),
+        expr.alias("bucket"),
+    )

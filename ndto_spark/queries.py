@@ -2207,6 +2207,34 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exposure_filter_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brightness outlier filter over REAL decoded pixels: the two-tone
+    fixture's channel means are exactly c1+50 (integer), so the luminance
+    and the under/over/ok verdict are closed-form SQL of the row id —
+    while the Spark side actually decodes every PNG. Thresholds 80/150
+    split the c1 range [0,128) into all three verdict classes."""
+    from . import fixtures
+    from .images import exposure_verdicts
+    from .multimodal import decode_image_features
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    return exposure_verdicts(decode_image_features(df), lo=80.0, hi=150.0)
+
+
+def q_aspect_bucket_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect bucketing over REAL decoded dims: fixture dims
+    w = 8+4*(i%5), h = 6+i%7 are closed-form, so the nearest-ratio bucket
+    is replayable SQL (including 20x12, whose rational ratio 5/3 is the
+    midpoint of 4:3 and 2:1 but resolves to 2:1 in IEEE doubles — the
+    engine-exactness this gate pins); the Spark side decodes for real."""
+    from . import fixtures
+    from .images import aspect_buckets
+    from .multimodal import decode_image_features
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    return aspect_buckets(decode_image_features(df))
+
+
 _LINE_CHUNK = 3  # tokens per derived "line" (see q_line_dedup_documents)
 
 
@@ -2789,6 +2817,8 @@ QUERIES = {
     "dedup_stream_events": q_dedup_stream_events,
     "image_features_clips": q_image_features_clips,
     "image_features_resized": q_image_features_resized,
+    "exposure_filter_images": q_exposure_filter_images,
+    "aspect_bucket_images": q_aspect_bucket_images,
     "audio_features_clips": q_audio_features_clips,
     "video_frame_features": q_video_frame_features,
     "validate_oas_petstore": q_validate_oas_petstore,
@@ -4463,6 +4493,43 @@ SELECT iid AS image_id, TRUE AS ok,
   CASE WHEN swapped THEN CAST({_FX.PHASH_LEFT_HIGH} AS BIGINT)
        ELSE CAST({_FX.PHASH_RIGHT_HIGH} AS BIGINT) END AS phash
 FROM cls WHERE NOT corrupt
+"""
+
+# exposure filter: luminance == mean channel == c1 + 50 exactly (equal
+# halves, (3x)/3.0 bit-exact), so verdicts are pure residue arithmetic
+ORACLE_SQL["exposure_filter_images"] = f"""
+WITH {_FEAT_IMG_CLS}
+SELECT iid AS image_id,
+  CASE WHEN corrupt THEN NULL
+       ELSE CAST((c1 + 50) * 10000 AS BIGINT) END AS luma_e4,
+  CASE WHEN corrupt THEN 'undecodable'
+       WHEN c1 + 50 < 80 THEN 'under'
+       WHEN c1 + 50 > 150 THEN 'over'
+       ELSE 'ok' END AS exposure
+FROM cls
+"""
+
+# aspect buckets: dims are closed-form; distances are single IEEE-double
+# ops on integer-valued inputs (identical bits in any engine); the <=
+# chain gives ties to the earliest bucket, mirroring images.aspect_buckets
+ORACLE_SQL["aspect_bucket_images"] = f"""
+WITH {_FEAT_IMG_CLS},
+d AS (
+  SELECT iid, w, h,
+    abs(w::DOUBLE / h::DOUBLE - 0.75::DOUBLE) AS d1,
+    abs(w::DOUBLE / h::DOUBLE - 1.0::DOUBLE) AS d2,
+    abs(w::DOUBLE / h::DOUBLE - 4::DOUBLE / 3::DOUBLE) AS d3,
+    abs(w::DOUBLE / h::DOUBLE - 2.0::DOUBLE) AS d4,
+    abs(w::DOUBLE / h::DOUBLE - 3.0::DOUBLE) AS d5
+  FROM cls WHERE NOT corrupt
+)
+SELECT iid AS image_id, w::BIGINT AS w, h::BIGINT AS h,
+  CASE WHEN d1 <= d2 AND d1 <= d3 AND d1 <= d4 AND d1 <= d5 THEN '3:4'
+       WHEN d2 <= d3 AND d2 <= d4 AND d2 <= d5 THEN '1:1'
+       WHEN d3 <= d4 AND d3 <= d5 THEN '4:3'
+       WHEN d4 <= d5 THEN '2:1'
+       ELSE '3:1' END AS bucket
+FROM d
 """
 
 # image feature drift: regenerate mean_r = c1 + 50 from the residue

@@ -203,3 +203,56 @@ def test_dup_images_fixture_rejects_wide_group_mod(spark):
 
     with pytest.raises(ValueError):
         fixtures.synth_dup_images(spark, 10, group_mod=129)
+
+
+def test_exposure_verdicts_thresholds_and_undecodable(spark):
+    from ndto_spark.images import exposure_verdicts
+    from ndto_spark.multimodal import decode_image_features
+
+    df = fixtures.synth_feature_images(spark, 60, n_partitions=2)
+    rows = exposure_verdicts(decode_image_features(df)).collect()
+    got = {r.image_id: (r.luma_e4, r.exposure) for r in rows}
+    assert len(got) == 60
+    for i in range(60):
+        w, h, c1, _ = fixtures.feature_image_params(i)
+        iid = f"fi_{i:08d}"
+        if i % fixtures.FEATURE_CORRUPT_EVERY == fixtures.FEATURE_CORRUPT_EVERY - 1:
+            assert got[iid] == (None, "undecodable")
+            continue
+        luma = c1 + 50
+        want = "under" if luma < 80 else "over" if luma > 150 else "ok"
+        assert got[iid] == (luma * 10000, want), (iid, luma)
+    # all three decoded classes appear in the first 60 rows
+    assert {v for _, v in got.values()} == {"under", "over", "ok", "undecodable"}
+
+
+def test_aspect_buckets_assignment_and_tie_break(spark):
+    from ndto_spark.images import aspect_buckets
+    from ndto_spark.multimodal import decode_image_features
+
+    df = fixtures.synth_feature_images(spark, 60, n_partitions=2)
+    rows = aspect_buckets(decode_image_features(df)).collect()
+    got = {r.image_id: (r.w, r.h, r.bucket) for r in rows}
+    # corrupt rows dropped
+    assert "fi_00000024" not in got and len(got) == 58
+    # i=13: w=20, h=12 → rational 5/3 is the midpoint of 4:3 and 2:1, but
+    # in IEEE doubles fl(5/3)-fl(4/3) > 2-fl(5/3), so 2:1 wins — pinning
+    # this asserts the engine-exact double semantics (the oracle agrees)
+    assert got["fi_00000013"] == (20, 12, "2:1")
+    # full Python-float replay (same IEEE doubles as the JVM): the
+    # earliest index whose distance is <= every later distance wins
+    from ndto_spark.images import ASPECT_BUCKETS
+
+    for i in range(60):
+        if i % fixtures.FEATURE_CORRUPT_EVERY == fixtures.FEATURE_CORRUPT_EVERY - 1:
+            continue
+        w, h, _, _ = fixtures.feature_image_params(i)
+        d = [abs(w / h - r) for _, r in ASPECT_BUCKETS]
+        want = next(
+            name
+            for k, (name, _) in enumerate(ASPECT_BUCKETS)
+            if all(d[k] <= d[j] for j in range(k + 1, len(d)))
+        )
+        assert got[f"fi_{i:08d}"] == (w, h, want), (i, w, h, want)
+    # every bucket class is exercised by the first 60 rows
+    assert {b for _, _, b in got.values()} >= {"3:4", "1:1", "4:3", "2:1"}
