@@ -1,0 +1,122 @@
+"""Sequential shard assignment — the WebDataset/tar-shard manifest step of
+a training-data pipeline: lay the corpus out in key order and cut it into
+fixed-size shards, so a trainer can stream shard files sequentially.
+
+The naive formulation is a GLOBAL row_number() — a single-partition sort
+that caps out at one task however big the cluster. This module uses the
+classic two-phase distributed rank instead:
+
+1. range-partition by the key (sampled boundaries, parallel sort),
+2. count rows per range partition (one tiny aggregate — n_partitions rows
+   on the driver, not data),
+3. window-rank WITHIN each partition and add the partition's exclusive
+   prefix-sum offset (a literal map, no join, no second shuffle).
+
+Every heavy step is parallel across the range partitions; the only
+driver-side state is the n_partitions-entry offset map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sequential_positions(
+    df: DataFrame, key_col: str, n_partitions: int = 32
+) -> DataFrame:
+    """df + a 1-based global position ``pos`` in ``key_col`` order, without
+    a global sort. Ties (duplicate keys) get arbitrary but contiguous
+    positions.
+
+    The returned frame's lineage includes a persist()ed range-partitioned
+    parent: the offsets were computed FROM that exact partitioning, so a
+    recomputation through a re-sampled exchange could disagree. Consumers
+    must materialize (or spill) their result and then
+    ``unpersist_positions(pos_df)`` — shard_manifest below does exactly
+    that with the repo's parquet lineage-spill idiom.
+    """
+    part = (
+        df.repartitionByRange(n_partitions, F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # tiny: one row per range partition
+    counts = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(F.col(key_col))
+    )
+    out = part.withColumn(
+        "pos", (off_map[F.col("_pid")] + local).cast("bigint")
+    ).drop("_pid")
+    out._ndto_persisted_parent = part  # for unpersist_positions
+    return out
+
+
+def unpersist_positions(pos_df: DataFrame) -> None:
+    parent = getattr(pos_df, "_ndto_persisted_parent", None)
+    if parent is not None:
+        parent.unpersist()
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    shard_size: int,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Cut the key-ordered corpus into shards of ``shard_size`` rows and
+    emit one manifest row per shard: (shard_id, n_rows, first_key,
+    last_key). The manifest is what a downstream writer consumes to emit
+    `shard-%06d.tar`-style files; it is deterministic in the key order
+    regardless of how the ranks were parallelized (shard aggregates depend
+    only on global positions, and duplicate keys straddling a shard cut
+    contribute the same min/max either way).
+
+    100 TB shape: range-partitioned parallel sort + per-partition window +
+    one partial-agg groupBy on shard_id (≈ rows/shard_size groups). The
+    small manifest is spilled to /tmp parquet (the repo's lineage-spill
+    idiom) so the persisted rank parent can be released immediately — the
+    returned frame holds no cache and no live dependence on the sampled
+    partitioning.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    if shard_size <= 0:
+        raise ValueError(f"shard_size must be positive, got {shard_size}")
+    pos = sequential_positions(df, key_col, n_partitions=n_partitions)
+    out = (
+        pos.withColumn(
+            "shard_id",
+            F.floor((F.col("pos") - 1) / F.lit(shard_size)).cast("bigint"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(key_col).alias("first_key"),
+            F.max(key_col).alias("last_key"),
+        )
+    )
+    run_dir = tempfile.mkdtemp(prefix="ndto_shards_")
+    try:
+        out.write.mode("overwrite").parquet(run_dir)
+    except Exception:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        unpersist_positions(pos)
+        raise
+    unpersist_positions(pos)
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    return df.sparkSession.read.parquet(run_dir)

@@ -2235,6 +2235,19 @@ def q_aspect_bucket_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aspect_buckets(decode_image_features(df))
 
 
+def q_shard_manifest_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest over the image corpus: two-phase
+    distributed rank (range partition → per-partition window + offset map
+    — no global single-task sort), cut into 64-image shards. The oracle
+    replays the manifest with a plain row_number() — shard aggregates
+    depend only on the key order, not on how the rank was parallelized."""
+    from . import fixtures
+    from .functions.sharding import shard_manifest
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    return shard_manifest(df, "image_id", shard_size=64, n_partitions=8)
+
+
 _LINE_CHUNK = 3  # tokens per derived "line" (see q_line_dedup_documents)
 
 
@@ -2819,6 +2832,7 @@ QUERIES = {
     "image_features_resized": q_image_features_resized,
     "exposure_filter_images": q_exposure_filter_images,
     "aspect_bucket_images": q_aspect_bucket_images,
+    "shard_manifest_images": q_shard_manifest_images,
     "audio_features_clips": q_audio_features_clips,
     "video_frame_features": q_video_frame_features,
     "validate_oas_petstore": q_validate_oas_petstore,
@@ -4530,6 +4544,17 @@ SELECT iid AS image_id, w::BIGINT AS w, h::BIGINT AS h,
        WHEN d4 <= d5 THEN '2:1'
        ELSE '3:1' END AS bucket
 FROM d
+"""
+
+# shard manifest: the oracle's global row_number() is the semantics the
+# two-phase distributed rank must reproduce (ids are unique → total order)
+ORACLE_SQL["shard_manifest_images"] = f"""
+WITH {_FEAT_IMG_CLS},
+r AS (SELECT iid, row_number() OVER (ORDER BY iid) AS rn FROM cls)
+SELECT ((rn - 1) // 64)::BIGINT AS shard_id,
+       count(*)::BIGINT AS n_rows,
+       min(iid) AS first_key, max(iid) AS last_key
+FROM r GROUP BY 1
 """
 
 # image feature drift: regenerate mean_r = c1 + 50 from the residue

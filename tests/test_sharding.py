@@ -1,0 +1,57 @@
+"""Two-phase distributed rank + shard manifest (functions/sharding.py)."""
+
+from pyspark.sql import functions as F
+
+from ndto_spark.functions.sharding import (
+    sequential_positions,
+    shard_manifest,
+    unpersist_positions,
+)
+
+
+def test_sequential_positions_is_rank_for_unique_keys(spark):
+    # shuffled unique keys across several partitions
+    df = spark.range(0, 200, 1, 8).select(
+        ((F.col("id") * 77) % 200).alias("k")
+    )
+    pos = sequential_positions(df, "k", n_partitions=4)
+    rows = pos.collect()
+    unpersist_positions(pos)
+    got = sorted((r.k, r.pos) for r in rows)
+    # 77 coprime to 200 → keys are 0..199; pos must equal k+1
+    assert got == [(k, k + 1) for k in range(200)]
+
+
+def test_shard_manifest_counts_and_boundaries(spark):
+    df = spark.range(0, 100, 1, 8).select(
+        F.format_string("k_%04d", (F.col("id") * 13) % 100).alias("k")
+    )
+    rows = shard_manifest(df, "k", shard_size=16, n_partitions=4).collect()
+    got = {r.shard_id: (r.n_rows, r.first_key, r.last_key) for r in rows}
+    assert len(got) == 7  # 6*16 + 4
+    for s in range(7):
+        lo, hi = 16 * s, min(16 * (s + 1) - 1, 99)
+        assert got[s] == (hi - lo + 1, f"k_{lo:04d}", f"k_{hi:04d}")
+
+
+def test_shard_manifest_duplicate_keys_straddling_cut(spark):
+    # every key appears twice; shard_size odd so cuts land inside a tie
+    df = spark.range(0, 30, 1, 4).select((F.col("id") % 15).alias("k"))
+    rows = shard_manifest(df, "k", shard_size=7, n_partitions=3).collect()
+    got = {r.shard_id: (r.n_rows, r.first_key, r.last_key) for r in rows}
+    # positions 1..30 over keys [0,0,1,1,...,14,14]: key at pos p = (p-1)//2
+    assert got == {
+        0: (7, 0, 3),
+        1: (7, 3, 6),
+        2: (7, 7, 10),
+        3: (7, 10, 13),
+        4: (2, 14, 14),
+    }
+
+
+def test_shard_manifest_rejects_bad_size(spark):
+    import pytest
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        shard_manifest(df, "k", shard_size=0)
