@@ -1718,6 +1718,53 @@ def q_meta_consistency_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness gate: the testdata has no nulls, so the fixture
+    plants them EXPRESSION-SIDE (user_id nulled on id%7, value on id%3,
+    props on id%211 — two failing columns, one passing, one untouched), a
+    derivation both engines replay exactly. fill_e6 is exact bigint
+    arithmetic; the 99% threshold splits the planted classes."""
+    from .table_rules import completeness_report
+
+    e = _read(spark, sf_dir, "events")
+    d = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 211 == 0, F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    return completeness_report(
+        d,
+        ["event_id", "user_id", "event_type", "value", "props"],
+        min_fill_e6=990_000,
+    )
+
+
+def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ingestion freshness: lag of each type's newest row
+    behind the table's global newest, exact integer seconds (per-timestamp
+    epoch floor on both sides), stale verdict at 1500 s — the silent-feed
+    probe. max_ts ships as a rendered string (engine-portable)."""
+    from .table_rules import freshness_report
+
+    e = _read(spark, sf_dir, "events")
+    r = freshness_report(e, "ts", ["event_type"], max_lag_seconds=1500)
+    return r.select(
+        "event_type",
+        "n_rows",
+        F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        "lag_seconds",
+        "stale",
+    )
+
+
 def q_hll_groups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HLL distinct users per event_type — the grouped sketch
     variant; the oracle replays the register math per group."""
@@ -2849,6 +2896,8 @@ QUERIES = {
     "pair_filter_images": q_pair_filter_images,
     "meta_consistency_images": q_meta_consistency_images,
     "snapshot_diff_events": q_snapshot_diff_events,
+    "completeness_events": q_completeness_events,
+    "freshness_events": q_freshness_events,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
@@ -4356,6 +4405,54 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# completeness: DuckDB replays the planted-null derivation; fill_e6 is
+# exact integer floor division on both sides (no float ratio)
+ORACLE_SQL["completeness_events"] = """
+WITH d AS (
+  SELECT event_id,
+    CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id,
+    event_type,
+    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value,
+    CASE WHEN event_id % 211 = 0 THEN NULL ELSE props END AS props
+  FROM events
+),
+a AS (
+  SELECT count(*)::BIGINT AS n,
+    (count(*) - count(event_id))::BIGINT AS z_event_id,
+    (count(*) - count(user_id))::BIGINT AS z_user_id,
+    (count(*) - count(event_type))::BIGINT AS z_event_type,
+    (count(*) - count(value))::BIGINT AS z_value,
+    (count(*) - count(props))::BIGINT AS z_props
+  FROM d
+),
+u AS (
+  SELECT 'event_id' AS column_name, n, z_event_id AS n_nulls FROM a
+  UNION ALL SELECT 'user_id', n, z_user_id FROM a
+  UNION ALL SELECT 'event_type', n, z_event_type FROM a
+  UNION ALL SELECT 'value', n, z_value FROM a
+  UNION ALL SELECT 'props', n, z_props FROM a
+)
+SELECT column_name, n AS n_rows, n_nulls,
+  ((n - n_nulls) * 1000000 // n)::BIGINT AS fill_e6,
+  ((n - n_nulls) * 1000000 // n) >= 990000 AS pass
+FROM u
+"""
+
+# freshness: per-timestamp epoch FLOOR on both sides (Spark unix_timestamp
+# truncates; DuckDB epoch keeps the fraction — floor it before subtracting)
+ORACLE_SQL["freshness_events"] = """
+WITH g AS (
+  SELECT event_type, count(*)::BIGINT AS n_rows, max(ts) AS mx
+  FROM events GROUP BY 1
+),
+t AS (SELECT floor(epoch(max(ts)))::BIGINT AS gm FROM events)
+SELECT event_type, n_rows,
+  strftime(mx, '%Y-%m-%d %H:%M:%S') AS max_ts,
+  (gm - floor(epoch(mx))::BIGINT) AS lag_seconds,
+  (gm - floor(epoch(mx))::BIGINT) > 1500 AS stale
+FROM g, t
+"""
+
 ORACLE_SQL["snapshot_diff_events"] = """
 WITH o AS (
   SELECT event_id, event_type, value FROM events WHERE event_id % 7 != 0

@@ -304,3 +304,37 @@ def test_join_skew_report_fanout_and_missing_sides(spark):
     all_rows = {r.k for r in
                 join_skew_report(left, right, ["k"], min_fanout=0).collect()}
     assert all_rows == {"a", "b", "c"}
+
+
+def test_completeness_report_fill_rates_and_verdicts(spark):
+    from ndto_spark.table_rules import completeness_report
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "e")],
+        "id bigint, s string",
+    )
+    rows = completeness_report(df, ["id", "s"], min_fill_e6=700_000).collect()
+    got = {r.column_name: (r.n_rows, r.n_nulls, r.fill_e6, r["pass"]) for r in rows}
+    assert got == {
+        "id": (5, 0, 1_000_000, True),
+        "s": (5, 2, 600_000, False),  # floor(3e6/5)
+    }
+
+
+def test_freshness_report_lags_and_stale_flags(spark):
+    import datetime as dt
+
+    from ndto_spark.table_rules import freshness_report
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", t0),
+        ("a", t0 + dt.timedelta(seconds=100)),
+        ("b", t0 + dt.timedelta(seconds=40)),
+        ("c", t0 + dt.timedelta(seconds=99, microseconds=900_000)),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = freshness_report(df, "ts", ["g"], max_lag_seconds=30).collect()
+    got = {r.g: (r.n_rows, r.lag_seconds, r.stale) for r in out}
+    # per-timestamp epoch floor: c's 99.9s floors to 99 → lag 1, fresh
+    assert got == {"a": (2, 0, False), "b": (1, 60, True), "c": (1, 1, False)}
