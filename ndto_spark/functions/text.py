@@ -1053,3 +1053,51 @@ def collocations(
         "tf_r",
         F.floor(lift).cast("bigint").alias("lift_e6"),
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token diversity — Shannon entropy of the unigram
+    distribution (nats) plus type-token ratio: the Gopher-style "is this
+    document degenerate repetition?" signal that repetition_metrics'
+    max-gram counters approximate from the other direction.
+
+    Engine-exact float discipline: entropy = ln(n) − (Σ c·ln c)/n where
+    every c and n is an exact integer; the Σ is a LEFT FOLD over terms in
+    token lexical order (sort_array of the (token, count) structs), so any
+    IEEE-double engine reproduces the sum bit-exactly. Outputs quantized:
+    (id, n_tokens, n_types, entropy_e4, ttr_e6) — ttr in exact bigint
+    floor division.
+
+    100 TB shape: explode → partial-agg groupBy((doc, token)) → per-doc
+    sort_array + fold (vocab-per-doc sized lists, bounded by doc length);
+    two exchanges, both partial-aggregated, no window, no Python.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token").isNotNull())
+    per_tok = toks.groupBy("doc", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_doc = per_tok.groupBy("doc").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sort_array(F.collect_list(F.struct("token", "c"))).alias("_tc"),
+    )
+    s = F.aggregate(
+        F.col("_tc"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["c"].cast("double") * F.log(x["c"].cast("double")),
+    )
+    n = F.col("n_tokens").cast("double")
+    entropy = F.log(n) - s / n
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        "n_types",
+        F.floor(entropy * F.lit(1e4)).cast("bigint").alias("entropy_e4"),
+        F.floor(F.col("n_types") * F.lit(1_000_000) / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("ttr_e6"),
+    )

@@ -1615,6 +1615,16 @@ def q_lang_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy + type-token ratio — the token
+    diversity / degenerate-repetition signal. Both engines left-fold the
+    c·ln(c) terms in token lexical order over exact-integer inputs, so
+    the float sums agree bit-exactly (the dsir_weights precedent)."""
+    from .functions.text import token_entropy
+
+    return token_entropy(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card breakdown per (source, lang): counts, mean/max doc
     length, corpus shares — one scan, share windows over the group table."""
@@ -2903,6 +2913,7 @@ QUERIES = {
     "collocations_documents": q_collocations_documents,
     "corpus_report_documents": q_corpus_report_documents,
     "lang_agreement_documents": q_lang_agreement_documents,
+    "entropy_documents": q_entropy_documents,
     "k_anonymity_events": q_k_anonymity_events,
     "fd_documents": q_fd_documents,
     "monotonicity_events": q_monotonicity_events,
@@ -4314,6 +4325,33 @@ SELECT p."left", p."right", p.pair_tf, l.tf AS tf_l, r.tf AS tf_r,
 FROM pairs p
 JOIN uni l ON p."left" = l.token
 JOIN uni r ON p."right" = r.token, tot
+"""
+
+# token entropy: same left-fold over c·ln(c) terms in token order (the
+# prepended 0.0 mirrors Spark's aggregate() init; every input an exact
+# integer → bit-identical doubles); ttr via exact integer floor division
+ORACLE_SQL["entropy_documents"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+l AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         list(c ORDER BY tok) AS cs
+  FROM c GROUP BY 1
+),
+s AS (
+  SELECT doc_id, n_tokens, n_types,
+    list_reduce(
+      list_prepend(0.0::DOUBLE,
+        list_transform(cs, x -> x::DOUBLE * ln(x::DOUBLE))),
+      (a, b) -> a + b) AS ssum
+  FROM l
+)
+SELECT doc_id, n_tokens, n_types,
+  floor((ln(n_tokens::DOUBLE) - ssum / n_tokens::DOUBLE)
+        * 10000)::BIGINT AS entropy_e4,
+  (n_types * 1000000 // n_tokens)::BIGINT AS ttr_e6
+FROM s
 """
 
 # lang agreement: the lang_id CTE rolled up into a confusion matrix

@@ -291,3 +291,22 @@ def test_collocations_lift_prefers_fixed_phrase(spark):
     assert ny.pair_tf == 3 and ny.tf_l == 3 and ny.tf_r == 3
     # lift(new york) = (3/7)(12/3)(12/3) = 6.857; (york the) = 4.571
     assert (ny.lift_e6, yt.lift_e6) == (6857142, 4571428)
+
+
+def test_token_entropy_hand_values_and_uniform_case(spark):
+    import math
+
+    from ndto_spark.functions.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "x y z w"), (3, "q q q q")],
+        "doc_id bigint, text string",
+    )
+    rows = token_entropy(df, "doc_id", "text").collect()
+    got = {r.doc_id: (r.n_tokens, r.n_types, r.entropy_e4, r.ttr_e6) for r in rows}
+    e1 = math.log(3) - (2 * math.log(2)) / 3
+    assert got[1] == (3, 2, math.floor(e1 * 1e4), 666_666)
+    # uniform distribution: entropy = ln(n_types) exactly
+    assert got[2] == (4, 4, math.floor(math.log(4) * 1e4), 1_000_000)
+    # degenerate repetition: entropy 0
+    assert got[3] == (4, 1, 0, 250_000)
