@@ -1775,6 +1775,36 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted join in the gate: a derived key funnels ~a third of
+    events onto key 7 (the skew join_skew_report would flag), the dim side
+    is a 50-row weight table, and salted_join spreads key 7 over 8 salts.
+    The oracle is the PLAIN join + rollup — salting must not change one
+    row of the result."""
+    from .functions.joins import salted_join
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(7))
+        .otherwise(F.col("user_id") % 50)
+        .cast("bigint")
+        .alias("k"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").cast("bigint").alias("k"),
+        ((F.col("id") * 13) % 101).cast("bigint").alias("w"),
+    )
+    j = salted_join(
+        e, dim, "k", hot_keys=[7], n_salts=8, salt_src=F.crc32(
+            F.col("event_id").cast("string")
+        ),
+    )
+    return j.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+    )
+
+
 def q_hll_groups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HLL distinct users per event_type — the grouped sketch
     variant; the oracle replays the register math per group."""
@@ -2908,6 +2938,7 @@ QUERIES = {
     "snapshot_diff_events": q_snapshot_diff_events,
     "completeness_events": q_completeness_events,
     "freshness_events": q_freshness_events,
+    "salted_join_events": q_salted_join_events,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
@@ -4443,6 +4474,24 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# salted join: the oracle is the UNSALTED join — the whole point of the
+# gate is that salting changes the physical plan, never the result
+ORACLE_SQL["salted_join_events"] = """
+WITH e AS (
+  SELECT event_id,
+    CASE WHEN event_id % 3 = 0 THEN 7
+         ELSE user_id % 50 END::BIGINT AS k
+  FROM events
+),
+dim AS (
+  SELECT i::BIGINT AS k, ((i * 13) % 101)::BIGINT AS w
+  FROM (SELECT unnest(range(50)) AS i)
+)
+SELECT e.k, count(*)::BIGINT AS n_rows, sum(dim.w)::BIGINT AS sum_w
+FROM e JOIN dim ON e.k = dim.k
+GROUP BY 1
+"""
+
 # completeness: DuckDB replays the planted-null derivation; fill_e6 is
 # exact integer floor division on both sides (no float ratio)
 ORACLE_SQL["completeness_events"] = """
