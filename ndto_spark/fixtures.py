@@ -394,11 +394,17 @@ def synth_feature_images(spark, n_rows: int, n_partitions: int = 4):
     return base.mapInPandas(gen, "image_id string, bytes binary")
 
 
+def featimg_cache_path(n_rows: int, n_partitions: int = 4) -> str:
+    return (
+        f"/tmp/ndto_bench_featimg_{FIXTURES_VERSION}"
+        f"_n{n_rows}_p{n_partitions}"
+    )
+
+
 def synth_feature_images_cached(spark, n_rows: int, n_partitions: int = 4):
     return _cached_parquet(
         spark,
-        f"/tmp/ndto_bench_featimg_{FIXTURES_VERSION}"
-        f"_n{n_rows}_p{n_partitions}",
+        featimg_cache_path(n_rows, n_partitions),
         lambda: synth_feature_images(spark, n_rows, n_partitions),
     )
 

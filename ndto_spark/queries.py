@@ -2335,6 +2335,58 @@ def q_shard_manifest_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(df, "image_id", shard_size=64, n_partitions=8)
 
 
+def q_stream_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal ingest: the same Arrow decode operator
+    (decode_image_features — mapInPandas is stateless, so it binds to a
+    readStream unchanged) run as a Structured Streaming file source →
+    append parquet sink, driven to completion with availableNow. The
+    oracle is byte-identical to the batch image_features_clips oracle:
+    a stateless streaming operator must emit exactly the batch rows."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from . import fixtures
+    from .multimodal import decode_image_features
+
+    # materialize the cache, then stream FROM the cache dir itself
+    fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    src_dir = fixtures.featimg_cache_path(_FEAT_IMG_N)
+    ck_dir = tempfile.mkdtemp(prefix="ndto_imgstream_ck_")
+    out_dir = tempfile.mkdtemp(prefix="ndto_imgstream_out_")
+    q = None
+    try:
+        stream = spark.readStream.schema(
+            "image_id string, bytes binary"
+        ).parquet(src_dir)
+        out = _quantized_image_features(decode_image_features(stream))
+        with _conf(spark, _GATE_STREAM_SHUFFLE):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ck_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stream_image_features did not finish within 300s — "
+                "refusing to read a partially-filled sink"
+            )
+        return _read_stream_sink(
+            spark,
+            out_dir,
+            "image_id string, ok boolean, w bigint, h bigint, "
+            "mean_e4 bigint, phash bigint",
+        )
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+
 _LINE_CHUNK = 3  # tokens per derived "line" (see q_line_dedup_documents)
 
 
@@ -2920,6 +2972,7 @@ QUERIES = {
     "exposure_filter_images": q_exposure_filter_images,
     "aspect_bucket_images": q_aspect_bucket_images,
     "shard_manifest_images": q_shard_manifest_images,
+    "stream_image_features": q_stream_image_features,
     "audio_features_clips": q_audio_features_clips,
     "video_frame_features": q_video_frame_features,
     "validate_oas_petstore": q_validate_oas_petstore,
@@ -4728,6 +4781,21 @@ SELECT iid AS image_id, w::BIGINT AS w, h::BIGINT AS h,
        WHEN d4 <= d5 THEN '2:1'
        ELSE '3:1' END AS bucket
 FROM d
+"""
+
+# streaming decode: a stateless streaming operator must emit exactly the
+# batch rows — the oracle IS the batch image_features_clips oracle
+ORACLE_SQL["stream_image_features"] = f"""
+WITH {_FEAT_IMG_CLS}
+SELECT iid AS image_id, NOT corrupt AS ok,
+  CASE WHEN corrupt THEN NULL ELSE CAST(w AS BIGINT) END AS w,
+  CASE WHEN corrupt THEN NULL ELSE CAST(h AS BIGINT) END AS h,
+  CASE WHEN corrupt THEN NULL
+       ELSE CAST((c1 + 50) * 10000 AS BIGINT) END AS mean_e4,
+  CASE WHEN corrupt THEN NULL
+       WHEN swapped THEN CAST({_FX.PHASH_LEFT_HIGH} AS BIGINT)
+       ELSE CAST({_FX.PHASH_RIGHT_HIGH} AS BIGINT) END AS phash
+FROM cls
 """
 
 # shard manifest: the oracle's global row_number() is the semantics the

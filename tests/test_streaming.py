@@ -211,3 +211,35 @@ def test_session_stream_flushes_on_sentinel(spark, tmp_path):
         (1, t0 + 3 * day, t0 + 4 * day, 1, 200),
         (2, t0 + dt.timedelta(hours=71), t0 + dt.timedelta(hours=95), 1, 300),
     }
+
+
+def test_streaming_image_decode_matches_batch(spark, tmp_path):
+    """decode_image_features is stateless, so binding it to a readStream
+    must reproduce the batch rows exactly (the stream_image_features gate
+    at fixture scale)."""
+    from ndto_spark import fixtures
+    from ndto_spark.multimodal import decode_image_features
+
+    src = str(tmp_path / "src")
+    fixtures.synth_feature_images(spark, 50, n_partitions=2).write.parquet(src)
+    batch = {
+        tuple(r)
+        for r in decode_image_features(spark.read.parquet(src)).collect()
+    }
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    stream = spark.readStream.schema("image_id string, bytes binary").parquet(
+        src
+    )
+    q = (
+        decode_image_features(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert got == batch and len(got) == 50
