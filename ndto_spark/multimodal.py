@@ -243,3 +243,39 @@ def sample_video_frames(
             )
 
     return df.select(id_col, "bytes").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
+def scene_cuts(
+    frame_features: DataFrame,
+    threshold: float,
+    clip_col: str = "clip_id",
+    idx_col: str = "frame_idx",
+    mean_col: str = "mean",
+) -> DataFrame:
+    """Scene-cut detection over per-frame features: a cut is a frame whose
+    mean-luminance jump from the previous frame exceeds ``threshold`` —
+    the classic cheap shot-boundary heuristic, run over whatever
+    sample_video_frames → decode_image_features emitted. The first frame
+    of a clip is never a cut (no predecessor; delta is NULL).
+
+    Output: (clip, frame_idx, mean_i, delta, is_cut) with mean/delta as
+    exact bigints when the upstream means are integral.
+
+    100 TB shape: one window partitioned BY CLIP (state bounded by frames
+    per clip, thousands at most — no global sort, no skew beyond the
+    longest clip), on top of the decode stage's single Arrow exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(clip_col).orderBy(idx_col)
+    mean_i = F.col(mean_col).cast("bigint")
+    delta = mean_i - F.lag(mean_i).over(w)
+    return frame_features.select(
+        F.col(clip_col),
+        F.col(idx_col),
+        mean_i.alias("mean_i"),
+        delta.alias("delta"),
+        F.coalesce(
+            F.abs(delta) >= F.lit(int(threshold)), F.lit(False)
+        ).alias("is_cut"),
+    )

@@ -2335,6 +2335,34 @@ def q_shard_manifest_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(df, "image_id", shard_size=64, n_partitions=8)
 
 
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the REAL demux→decode chain: every
+    frame's mean is (37i+53f+11)%128 + 50, so consecutive deltas are
+    exactly +53 or −75 — threshold 60 marks only the wrap-around jumps,
+    exercising both branches. Frame 0 is never a cut (NULL delta)."""
+    from . import fixtures
+    from .multimodal import (
+        decode_image_features,
+        sample_video_frames,
+        scene_cuts,
+    )
+
+    df = fixtures.synth_video_clips_cached(spark, _VIDEO_N)
+    frames = sample_video_frames(df, every_n=1)
+    as_images = frames.select(
+        F.concat_ws(
+            ":", F.col("clip_id"), F.col("frame_idx").cast("string")
+        ).alias("image_id"),
+        F.col("frame_png").alias("bytes"),
+    )
+    feats = decode_image_features(as_images).select(
+        F.substring_index("image_id", ":", 1).alias("clip_id"),
+        F.substring_index("image_id", ":", -1).cast("int").alias("frame_idx"),
+        F.col("mean_r").alias("mean"),
+    )
+    return scene_cuts(feats, threshold=60)
+
+
 def q_stream_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING multimodal ingest: the same Arrow decode operator
     (decode_image_features — mapInPandas is stateless, so it binds to a
@@ -2973,6 +3001,7 @@ QUERIES = {
     "aspect_bucket_images": q_aspect_bucket_images,
     "shard_manifest_images": q_shard_manifest_images,
     "stream_image_features": q_stream_image_features,
+    "video_scene_cuts": q_video_scene_cuts,
     "audio_features_clips": q_audio_features_clips,
     "video_frame_features": q_video_frame_features,
     "validate_oas_petstore": q_validate_oas_petstore,
@@ -4904,6 +4933,28 @@ SELECT printf('vc_%08d:%d', i, f) AS frame_id, TRUE AS ok,
   CASE WHEN (i + f) % 2 = 1 THEN CAST({_FX.PHASH_LEFT_HIGH} AS BIGINT)
        ELSE CAST({_FX.PHASH_RIGHT_HIGH} AS BIGINT) END AS phash
 FROM fr
+"""
+
+# scene cuts: per-frame means are closed-form integers; deltas are +53 or
+# −75 (the +53 mod 128 walk), threshold 60 cuts only the wrap-arounds
+ORACLE_SQL["video_scene_cuts"] = f"""
+WITH cls AS (
+  SELECT i, 6 + i % 15 AS nf
+  FROM (SELECT unnest(range({_VIDEO_N})) AS i)
+  WHERE i % {_FX.FEATURE_CORRUPT_EVERY} != {_FX.FEATURE_CORRUPT_EVERY - 1}
+), fr AS (
+  SELECT i, unnest(generate_series(0, nf - 1)) AS f FROM cls
+), m AS (
+  SELECT i, f,
+    (((i * 37 + f * 53 + 11) % 128) + 50)::BIGINT AS mean_i
+  FROM fr
+)
+SELECT printf('vc_%08d', i) AS clip_id, f::INT AS frame_idx, mean_i,
+  mean_i - lag(mean_i) OVER (PARTITION BY i ORDER BY f) AS delta,
+  coalesce(
+    abs(mean_i - lag(mean_i) OVER (PARTITION BY i ORDER BY f)) >= 60,
+    FALSE) AS is_cut
+FROM m
 """
 
 # streaming exact dedup: duplicating every row must be invisible — the

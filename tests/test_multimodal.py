@@ -256,3 +256,42 @@ def test_aspect_buckets_assignment_and_tie_break(spark):
         assert got[f"fi_{i:08d}"] == (w, h, want), (i, w, h, want)
     # every bucket class is exercised by the first 60 rows
     assert {b for _, _, b in got.values()} >= {"3:4", "1:1", "4:3", "2:1"}
+
+
+def test_scene_cuts_deltas_and_first_frame(spark):
+    from ndto_spark.multimodal import (
+        decode_image_features,
+        sample_video_frames,
+        scene_cuts,
+    )
+    from pyspark.sql import functions as F
+
+    df = fixtures.synth_video_clips(spark, 8, n_partitions=2)
+    frames = sample_video_frames(df, every_n=1)
+    feats = decode_image_features(
+        frames.select(
+            F.concat_ws(
+                ":", F.col("clip_id"), F.col("frame_idx").cast("string")
+            ).alias("image_id"),
+            F.col("frame_png").alias("bytes"),
+        )
+    ).select(
+        F.substring_index("image_id", ":", 1).alias("clip_id"),
+        F.substring_index("image_id", ":", -1).cast("int").alias("frame_idx"),
+        F.col("mean_r").alias("mean"),
+    )
+    rows = scene_cuts(feats, threshold=60).collect()
+    got = {(r.clip_id, r.frame_idx): (r.mean_i, r.delta, r.is_cut) for r in rows}
+    for i in range(8):
+        nf = fixtures.video_clip_n_frames(i)
+        assert len([1 for (c, _) in got if c == f"vc_{i:08d}"]) == nf
+        prev = None
+        for f in range(nf):
+            mean = ((i * 37 + f * 53 + 11) % 128) + 50
+            delta = None if f == 0 else mean - prev
+            want_cut = delta is not None and abs(delta) >= 60
+            assert got[(f"vc_{i:08d}", f)] == (mean, delta, want_cut)
+            prev = mean
+    # both delta classes (+53 stay, -75 cut) appear
+    deltas = {d for _, d, _ in got.values() if d is not None}
+    assert deltas == {53, -75}
