@@ -1775,6 +1775,53 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier report per event_type over exact integer
+    cents (value has 2 decimals → round(value·100) is engine-exact, and
+    integer medians are k or k+0.5 — every engine's 0.5-quantile
+    interpolation agrees bit-exactly, shipped doubled as bigints)."""
+    from .table_rules import robust_outlier_report
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return robust_outlier_report(e, "cents", ["event_type"], k=5)
+
+
+def q_coverage_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly coverage holes between the table's global first and
+    last hour — the mid-stream ingestion-gap probe freshness_report's
+    tail-lag can't see. Bucket arithmetic is exact bigint floor on both
+    engines."""
+    from .temporal import coverage_gaps
+
+    e = _read(spark, sf_dir, "events")
+    return coverage_gaps(e, "ts", ["event_type"], granularity_seconds=3600)
+
+
+def q_fuzzy_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage in the gate: dirty keys derived by mutating
+    the LAST char of an md5-based name (so the 4-char prefix block always
+    holds the true pair), matched back at Levenshtein ≤ 1. Both engines
+    derive names with the same md5, block with the same prefix equi-join,
+    and verify with the same edit distance."""
+    from .functions.linkage import fuzzy_join, prefix_block
+
+    doc = _read(spark, sf_dir, "documents")
+    name = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    clean = doc.select(
+        F.col("doc_id").alias("match_id"), name.alias("name")
+    )
+    dirty = doc.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("dirty_id"),
+        F.concat(F.substring(name, 1, 7), F.lit("z")).alias("dname"),
+    )
+    m = fuzzy_join(dirty, clean, "dname", "name", max_dist=1,
+                   block=prefix_block(4))
+    return m.select("dirty_id", "match_id", "dname", "name", "dist")
+
+
 def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key salted join in the gate: a derived key funnels ~a third of
     events onto key 7 (the skew join_skew_report would flag), the dim side
@@ -3021,6 +3068,9 @@ QUERIES = {
     "completeness_events": q_completeness_events,
     "freshness_events": q_freshness_events,
     "salted_join_events": q_salted_join_events,
+    "mad_outliers_events": q_mad_outliers_events,
+    "coverage_gaps_events": q_coverage_gaps_events,
+    "fuzzy_match_documents": q_fuzzy_match_documents,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
@@ -4556,6 +4606,75 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# MAD outliers: exact integer cents → medians are k or k+0.5, every
+# interpolation agrees; median/MAD ship doubled as exact bigints
+ORACLE_SQL["mad_outliers_events"] = """
+WITH e AS (
+  SELECT event_type, round(value * 100)::BIGINT AS cents FROM events
+),
+med AS (
+  SELECT event_type, median(cents) AS m, count(*)::BIGINT AS n_rows
+  FROM e GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, abs(e.cents - med.m) AS d, med.m, med.n_rows
+  FROM e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(d) AS md, any_value(m) AS m,
+         any_value(n_rows) AS n_rows
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+  floor(mad.m * 2)::BIGINT AS median_x2,
+  floor(mad.md * 2)::BIGINT AS mad_x2,
+  mad.n_rows,
+  sum(CASE WHEN d.d > 5 * mad.md THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM dev d JOIN mad USING (event_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+# coverage gaps: grid = global [min,max] hour range per type; both engines
+# floor per-timestamp epochs before bucketing
+ORACLE_SQL["coverage_gaps_events"] = """
+WITH o AS (
+  SELECT DISTINCT event_type,
+    (floor(epoch(ts))::BIGINT // 3600) AS bucket
+  FROM events
+),
+b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM o),
+g AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT g.event_type, unnest(range(b.lo, b.hi + 1)) AS bucket
+  FROM g, b
+)
+SELECT grid.event_type, grid.bucket,
+  strftime(to_timestamp(grid.bucket * 3600), '%Y-%m-%d %H:%M:%S')
+    AS bucket_start
+FROM grid
+LEFT JOIN o ON o.event_type = grid.event_type AND o.bucket = grid.bucket
+WHERE o.bucket IS NULL
+"""
+
+# fuzzy linkage: same md5 name derivation, same prefix block equi-join,
+# same levenshtein verify — DuckDB is the independent edit-distance engine
+ORACLE_SQL["fuzzy_match_documents"] = """
+WITH c AS (
+  SELECT doc_id AS match_id,
+         substr(md5(doc_id::VARCHAR), 1, 8) AS name
+  FROM documents
+),
+d AS (
+  SELECT doc_id AS dirty_id,
+         substr(md5(doc_id::VARCHAR), 1, 7) || 'z' AS dname
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT dirty_id, match_id, dname, name,
+       levenshtein(dname, name)::INT AS dist
+FROM d JOIN c ON substr(dname, 1, 4) = substr(name, 1, 4)
+WHERE levenshtein(dname, name) <= 1
+"""
+
 # salted join: the oracle is the UNSALTED join — the whole point of the
 # gate is that salting changes the physical plan, never the result
 ORACLE_SQL["salted_join_events"] = """

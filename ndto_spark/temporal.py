@@ -443,3 +443,49 @@ def time_rollup(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def coverage_gaps(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: "str | Sequence[str]",
+    granularity_seconds: int = 3600,
+) -> DataFrame:
+    """Time-coverage gap detection: which (group, time-bucket) cells
+    between the table's global first and last bucket have NO rows? The
+    ingestion-hole probe that freshness_report's tail-lag check can't see
+    (a feed that backfilled its newest hour but dropped three in the
+    middle is fresh yet gappy).
+
+    Output: (group..., bucket, bucket_start) — one row per missing cell,
+    bucket = floor(epoch/granularity) as an exact bigint.
+
+    100 TB shape: the observed set is a partial-agg groupBy of (group,
+    bucket) — |groups|·|buckets| rows max, time-bounded not data-bounded;
+    the expected grid is a broadcast 1-row bounds frame crossed with the
+    distinct groups and exploded (groups × buckets rows); missing cells
+    fall out of a left-anti join between two SMALL frames. The corpus is
+    scanned twice but only (group, ts) columns survive pruning.
+    """
+    gc = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    bucket = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / F.lit(granularity_seconds)
+    ).cast("bigint")
+    observed = df.select(*gc, bucket.alias("bucket")).distinct()
+    bounds = observed.agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    groups = df.select(*gc).distinct()
+    grid = groups.crossJoin(F.broadcast(bounds)).select(
+        *gc,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
+    )
+    missing = grid.join(observed, [*gc, "bucket"], "left_anti")
+    return missing.select(
+        *gc,
+        "bucket",
+        F.from_unixtime(
+            F.col("bucket") * F.lit(granularity_seconds),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("bucket_start"),
+    )

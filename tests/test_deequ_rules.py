@@ -338,3 +338,40 @@ def test_freshness_report_lags_and_stale_flags(spark):
     got = {r.g: (r.n_rows, r.lag_seconds, r.stale) for r in out}
     # per-timestamp epoch floor: c's 99.9s floors to 99 → lag 1, fresh
     assert got == {"a": (2, 0, False), "b": (1, 60, True), "c": (1, 1, False)}
+
+
+def test_robust_outlier_report_hand_values(spark):
+    from ndto_spark.table_rules import robust_outlier_report
+
+    # group a: values 1..9 plus a 1000 spike → median 5.5 (even n=10),
+    # deviations {0.5..4.5, 994.5} → MAD 2.5; spike is the only outlier
+    rows = [("a", v) for v in list(range(1, 10)) + [1000]] + [
+        ("b", v) for v in (10, 10, 10)
+    ]
+    df = spark.createDataFrame(rows, "g string, c bigint")
+    got = {
+        r.g: (r.median_x2, r.mad_x2, r.n_rows, r.n_outliers)
+        for r in robust_outlier_report(df, "c", ["g"], k=5).collect()
+    }
+    assert got["a"] == (11, 5, 10, 1)  # 5.5*2, 2.5*2
+    assert got["b"] == (20, 0, 3, 0)  # constant group: MAD 0, no outliers
+
+
+def test_coverage_gaps_finds_planted_holes(spark):
+    import datetime as dt
+
+    from ndto_spark.temporal import coverage_gaps
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    hours = {"a": [0, 1, 4], "b": [0, 2, 3, 4]}  # a misses 2,3; b misses 1
+    rows = [
+        (g, t0 + dt.timedelta(hours=h)) for g, hs in hours.items() for h in hs
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = coverage_gaps(df, "ts", ["g"], granularity_seconds=3600).collect()
+    got = sorted((r.g, r.bucket_start) for r in out)
+    assert got == [
+        ("a", "2024-01-01 02:00:00"),
+        ("a", "2024-01-01 03:00:00"),
+        ("b", "2024-01-01 01:00:00"),
+    ]
