@@ -1101,3 +1101,41 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("bigint")
         .alias("ttr_e6"),
     )
+
+
+def canonical_url(col: Column) -> Column:
+    """Crawl-frontier URL canonicalization: strip the fragment, drop
+    ``utm_*`` tracking params (repairing the ``?``/``&`` seams), lowercase
+    the scheme+authority, remove the scheme's default port, and trim
+    trailing slashes. Re-crawls of the same page under tracking-param /
+    case / port spellings collapse to one key — run exact dedup on the
+    result.
+
+    Every step is a plain regexp_replace/extract with NO replacement group
+    references and NO lookarounds, so the same patterns run on Java regex
+    and RE2 (the oracle adds DuckDB's 'g' flag where Spark replaces
+    globally by default). Pure codegen projection, zero Python.
+    """
+    u = F.regexp_replace(col, r"#.*$", "")
+    u = F.regexp_replace(u, r"&utm_[^&]*", "")
+    u = F.regexp_replace(u, r"\?utm_[^&]*&", "?")
+    u = F.regexp_replace(u, r"\?utm_[^&]*$", "")
+
+    def _canon(bound: Column) -> Column:
+        prefix = F.regexp_extract(
+            bound, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0
+        )
+        rest = F.substring(bound, F.length(prefix) + F.lit(1), F.lit(1 << 30))
+        p = F.lower(prefix)
+        p = (
+            F.when(
+                p.startswith("https://"), F.regexp_replace(p, r":443$", "")
+            )
+            .when(p.startswith("http://"), F.regexp_replace(p, r":80$", ""))
+            .otherwise(p)
+        )
+        return F.regexp_replace(F.concat(p, rest), r"/+$", "")
+
+    from ..dedup import bind
+
+    return bind(u, _canon)

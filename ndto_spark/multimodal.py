@@ -279,3 +279,40 @@ def scene_cuts(
             F.abs(delta) >= F.lit(int(threshold)), F.lit(False)
         ).alias("is_cut"),
     )
+
+
+def audio_quality_verdicts(
+    features: DataFrame,
+    min_duration: float = 0.1,
+    min_rms: float = 0.1,
+    max_peak: float = 0.6,
+) -> DataFrame:
+    """Speech-corpus first-pass filter over extract_audio_features output:
+    drop undecodable, too-short, near-silent, and near-clipped clips with
+    a FIRST-fail verdict (priority: undecodable > too_short > too_quiet >
+    near_clipped > ok).
+
+    Output: (clip_id, dur_e6, rms_e6, peak_e6, verdict) — features
+    quantized e6; undecodable rows carry NULLs.
+
+    100 TB shape: pure projection over the decode stage's single Arrow
+    exchange — zero shuffle, whole-stage codegen.
+    """
+    dur = F.col("duration_sec")
+    rms = F.col("rms")
+    peak = F.col("peak")
+    verdict = (
+        F.when(~F.col("ok"), F.lit("undecodable"))
+        .when(dur < F.lit(float(min_duration)), F.lit("too_short"))
+        .when(rms < F.lit(float(min_rms)), F.lit("too_quiet"))
+        .when(peak > F.lit(float(max_peak)), F.lit("near_clipped"))
+        .otherwise(F.lit("ok"))
+    )
+    q = lambda c: F.floor(c * F.lit(1e6)).cast("bigint")  # noqa: E731
+    return features.select(
+        "clip_id",
+        q(dur).alias("dur_e6"),
+        q(rms).alias("rms_e6"),
+        q(peak).alias("peak_e6"),
+        verdict.alias("verdict"),
+    )

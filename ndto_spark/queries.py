@@ -1775,6 +1775,65 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_quality_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech-corpus quality gate over REAL WAV decode: the square-wave
+    fixture's duration (n/sr) and rms == peak (amp/2^15, bit-exact) make
+    every threshold verdict closed-form — 44.1 kHz clips all fall under
+    the 0.1 s minimum, amp residues split quiet/clipped/ok."""
+    from . import fixtures
+    from .multimodal import audio_quality_verdicts, extract_audio_features
+
+    df = fixtures.synth_audio_clips_cached(spark, _AUDIO_N)
+    return audio_quality_verdicts(extract_audio_features(df))
+
+
+def q_canonical_urls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization in the gate: six spelling variants per page
+    (host case, :443, utm params, fragment, trailing slash) are derived
+    expression-side and must COLLAPSE to one canonical key per (domain,
+    page) — the Spark side really runs the regex pipeline; the oracle
+    derives the expected canonical form directly from the residues."""
+    from .functions.text import canonical_url
+
+    i = F.col("event_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 2 == 0, F.lit("Example")).otherwise(F.lit("example")),
+        ((i / 6).cast("bigint") % 13).cast("string"),
+        F.lit(".com"),
+        F.when(i % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (i / 6).cast("bigint").cast("string"),
+        F.when(i % 11 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", url.alias("url")
+    )
+    return (
+        ev.select(canonical_url(F.col("url")).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+def q_l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity risk surface: (event_type, hour) cells whose distinct
+    user set is smaller than l=3 — the groups where the quasi-identifier
+    pins the user down even if the cell is k-anonymous by volume."""
+    from .table_rules import l_diversity
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+        .cast("bigint")
+        .alias("hour"),
+        "user_id",
+    )
+    return l_diversity(e, ["event_type", "hour"], "user_id", l=3)
+
+
 def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier report per event_type over exact integer
     cents (value has 2 decimals → round(value·100) is engine-exact, and
@@ -3071,6 +3130,9 @@ QUERIES = {
     "mad_outliers_events": q_mad_outliers_events,
     "coverage_gaps_events": q_coverage_gaps_events,
     "fuzzy_match_documents": q_fuzzy_match_documents,
+    "audio_quality_clips": q_audio_quality_clips,
+    "canonical_urls_events": q_canonical_urls_events,
+    "l_diversity_events": q_l_diversity_events,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
@@ -4606,6 +4668,54 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# audio quality: duration/rms/peak are closed-form (n/sr, amp/2^15
+# bit-exact) so the first-fail verdict chain replays from the residues
+ORACLE_SQL["audio_quality_clips"] = f"""
+WITH cls AS (
+  SELECT i, printf('au_%08d', i) AS cid,
+    CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+    1000 + (i * 97) % 3000 AS n,
+    1000 + (i * 37) % 20000 AS amp,
+    (i % {_FX.FEATURE_CORRUPT_EVERY} = {_FX.FEATURE_CORRUPT_EVERY - 1}) AS corrupt
+  FROM (SELECT unnest(range({_AUDIO_N})) AS i)
+)
+SELECT cid AS clip_id,
+  CASE WHEN corrupt THEN NULL
+       ELSE floor(n::DOUBLE / sr * 1e6)::BIGINT END AS dur_e6,
+  CASE WHEN corrupt THEN NULL
+       ELSE floor(amp::DOUBLE / 32768 * 1e6)::BIGINT END AS rms_e6,
+  CASE WHEN corrupt THEN NULL
+       ELSE floor(amp::DOUBLE / 32768 * 1e6)::BIGINT END AS peak_e6,
+  CASE WHEN corrupt THEN 'undecodable'
+       WHEN n::DOUBLE / sr < 0.1::DOUBLE THEN 'too_short'
+       WHEN amp::DOUBLE / 32768 < 0.1::DOUBLE THEN 'too_quiet'
+       WHEN amp::DOUBLE / 32768 > 0.6::DOUBLE THEN 'near_clipped'
+       ELSE 'ok' END AS verdict
+FROM cls
+"""
+
+# canonical urls: the oracle derives the expected canonical key straight
+# from the residues — the Spark side must collapse all six spelling
+# variants onto it via the real regex pipeline
+ORACLE_SQL["canonical_urls_events"] = """
+SELECT 'https://example' || ((event_id // 6) % 13)::VARCHAR || '.com/p/'
+         || (event_id // 6)::VARCHAR AS canon_url,
+       count(*)::BIGINT AS n_rows
+FROM events
+GROUP BY 1
+"""
+
+# l-diversity: DuckDB's own GROUP BY + count(DISTINCT) + HAVING
+ORACLE_SQL["l_diversity_events"] = """
+SELECT event_type,
+  (floor(epoch(ts))::BIGINT // 3600) AS hour,
+  count(*)::BIGINT AS n_rows,
+  count(DISTINCT user_id)::BIGINT AS n_sensitive
+FROM events
+GROUP BY 1, 2
+HAVING count(DISTINCT user_id) < 3
+"""
+
 # MAD outliers: exact integer cents → medians are k or k+0.5, every
 # interpolation agrees; median/MAD ship doubled as exact bigints
 ORACLE_SQL["mad_outliers_events"] = """

@@ -1249,3 +1249,29 @@ def robust_outlier_report(
             "n_outliers",
         )
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity privacy risk — k_anonymity's sibling: a quasi-identifier
+    group can be large (k-anonymous) yet still leak if (nearly) every row
+    shares one sensitive value. Emits groups whose DISTINCT sensitive
+    count is below ``l``: (quasi..., n_rows, n_sensitive).
+
+    100 TB shape: one partial-aggregated groupBy carrying count +
+    count(DISTINCT sensitive) (the distinct shuffles (quasi, sensitive)
+    pairs, bounded by the distinct-pair volume); the < l filter prunes the
+    diverse mass so only the risk surface survives.
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    gc = list(quasi_cols)
+    g = df.groupBy(*gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct(sensitive_col).cast("bigint").alias("n_sensitive"),
+    )
+    return g.filter(F.col("n_sensitive") < l)

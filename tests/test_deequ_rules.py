@@ -375,3 +375,23 @@ def test_coverage_gaps_finds_planted_holes(spark):
         ("a", "2024-01-01 03:00:00"),
         ("b", "2024-01-01 01:00:00"),
     ]
+
+
+def test_l_diversity_flags_low_diversity_groups(spark):
+    import pytest
+
+    from ndto_spark.table_rules import l_diversity
+
+    rows = (
+        [("a", 1, u) for u in (1, 1, 1, 2)]  # 2 distinct < 3 → risky
+        + [("b", 1, u) for u in (1, 2, 3)]  # 3 distinct → diverse
+        + [("a", 2, 9)]  # singleton → risky
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s bigint")
+    got = {
+        (r.q1, r.q2): (r.n_rows, r.n_sensitive)
+        for r in l_diversity(df, ["q1", "q2"], "s", l=3).collect()
+    }
+    assert got == {("a", 1): (4, 2), ("a", 2): (1, 1)}
+    with pytest.raises(ValueError):
+        l_diversity(df, ["q1"], "s", l=1)

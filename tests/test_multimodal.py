@@ -295,3 +295,39 @@ def test_scene_cuts_deltas_and_first_frame(spark):
     # both delta classes (+53 stay, -75 cut) appear
     deltas = {d for _, d, _ in got.values() if d is not None}
     assert deltas == {53, -75}
+
+
+def test_audio_quality_verdict_priority(spark):
+    from ndto_spark.multimodal import (
+        audio_quality_verdicts,
+        extract_audio_features,
+    )
+
+    df = fixtures.synth_audio_clips(spark, 60, n_partitions=2)
+    rows = audio_quality_verdicts(extract_audio_features(df)).collect()
+    got = {r.clip_id: (r.dur_e6, r.rms_e6, r.verdict) for r in rows}
+    assert len(got) == 60
+    seen = set()
+    for i in range(60):
+        sr, n, amp = fixtures.audio_clip_params(i)
+        cid = f"au_{i:08d}"
+        if i % fixtures.FEATURE_CORRUPT_EVERY == fixtures.FEATURE_CORRUPT_EVERY - 1:
+            want = "undecodable"
+            assert got[cid] == (None, None, want)
+        else:
+            dur, rms = n / sr, amp / 32768
+            want = (
+                "too_short" if dur < 0.1
+                else "too_quiet" if rms < 0.1
+                else "near_clipped" if rms > 0.6
+                else "ok"
+            )
+            import math
+            assert got[cid] == (
+                math.floor(dur * 1e6), math.floor(rms * 1e6), want
+            ), (cid, want)
+        seen.add(want)
+    # amp = 1000 + 37i stays under the quiet threshold for i < 62, so only
+    # three classes are reachable here; near_clipped/ok coverage lives in
+    # the 600-clip gate oracle (amp sweeps the full residue range there)
+    assert seen == {"undecodable", "too_short", "too_quiet"}

@@ -310,3 +310,38 @@ def test_token_entropy_hand_values_and_uniform_case(spark):
     assert got[2] == (4, 4, math.floor(math.log(4) * 1e4), 1_000_000)
     # degenerate repetition: entropy 0
     assert got[3] == (4, 1, 0, 250_000)
+
+
+def test_canonical_url_variants_collapse(spark):
+    from pyspark.sql import functions as F
+
+    from ndto_spark.functions.text import canonical_url
+
+    variants = [
+        "https://Example3.com/p/7",
+        "https://example3.com:443/p/7",
+        "https://example3.com/p/7/",
+        "https://example3.com/p/7?utm_source=x",
+        "https://example3.com/p/7?utm_source=x&utm_medium=y#frag",
+        "https://example3.com/p/7#frag",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    got = {r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()}
+    assert got == {"https://example3.com/p/7"}
+    # non-utm params survive, utm seams are repaired
+    df2 = spark.createDataFrame(
+        [
+            ("https://a.com/x?utm_source=s&keep=1",),
+            ("http://a.com:80/x?keep=1&utm_c=2",),
+            ("https://a.com/x?keep=1",),
+        ],
+        "url string",
+    )
+    got2 = sorted(
+        r.c for r in df2.select(canonical_url(F.col("url")).alias("c")).collect()
+    )
+    assert got2 == [
+        "http://a.com/x?keep=1",
+        "https://a.com/x?keep=1",
+        "https://a.com/x?keep=1",
+    ]
