@@ -1339,3 +1339,113 @@ def simhash_keepers(
         F.min("doc").alias("keeper_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: Optional[int] = None,
+) -> DataFrame:
+    """EXACT set-Jaccard similarity self-join via PREFIX FILTERING (the
+    PPJoin family's core idea): order every document's distinct tokens
+    rarest-first (global doc-frequency ascending), index only the first
+    ``|d| − ceil(t·|d|) + 1`` tokens, and generate candidates from the
+    prefix index alone. Two sets with Jaccard ≥ t MUST share a prefix
+    token (pigeonhole on the rarest-first order), so recall is exactly 1 —
+    unlike MinHash this is exact, and unlike the inverted-index join the
+    hot tokens (stopwords, boilerplate) are exactly the ones the prefix
+    EXCLUDES, so the candidate join never sees the quadratic head of the
+    token distribution.
+
+    Output: (doc_a, doc_b, n_common, jaccard_e6) for pairs with set
+    Jaccard ≥ threshold, doc_a < doc_b. Set elements are distinct word
+    tokens, or distinct ``shingle_k``-gram shingles when ``shingle_k`` is
+    given (use shingles when the corpus vocabulary is small — raw token
+    sets of unrelated documents converge once every word has been seen).
+
+    100 TB shape: explode → two partial-agg groupBys (df table, per-doc
+    sorted arrays) → prefix explode (a t-fraction of each doc) → equi-join
+    on prefix token → distinct pairs → two array joins + an
+    expression-side array_intersect verify. The base (doc, tokens) frame
+    is repartitioned by doc once and reused across its three consumers
+    (ReuseExchange), the repo's ngram_jaccard pattern.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    elems = (
+        F.array_distinct(tokens(F.col(text_col)))
+        if shingle_k is None
+        else word_shingles(F.col(text_col), shingle_k)
+    )
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode_outer(elems).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+        .repartition("doc")
+    )
+    dfreq = base.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    # per-doc token array sorted rarest-first, deterministic tie on token
+    by_doc = (
+        base.join(dfreq, "token")
+        .groupBy("doc")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_df", "token"))).alias("_st")
+        )
+        .select(
+            "doc",
+            F.transform(F.col("_st"), lambda s: s["token"]).alias("toks"),
+            F.size("_st").alias("sz"),
+        )
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    ).cast("int")
+    prefix = by_doc.select(
+        "doc", F.explode(F.slice("toks", 1, prefix_len)).alias("token")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    va = by_doc.select(
+        F.col("doc").alias("doc_a"),
+        F.col("toks").alias("_ta"),
+        F.col("sz").alias("_sa"),
+    )
+    vb = by_doc.select(
+        F.col("doc").alias("doc_b"),
+        F.col("toks").alias("_tb"),
+        F.col("sz").alias("_sb"),
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("bigint")
+    verified = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("n_common", inter)
+        .withColumn(
+            "_union",
+            (F.col("_sa") + F.col("_sb") - F.col("n_common")).cast("bigint"),
+        )
+        .withColumn(
+            "jaccard_e6",
+            F.floor(
+                F.col("n_common") * F.lit(1_000_000) / F.col("_union")
+            ).cast("bigint"),
+        )
+        .filter(
+            F.col("n_common").cast("double") / F.col("_union")
+            >= F.lit(float(threshold))
+        )
+    )
+    return verified.select("doc_a", "doc_b", "n_common", "jaccard_e6")

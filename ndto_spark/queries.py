@@ -1775,6 +1775,20 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard self-join via prefix filtering (PPJoin-core) over
+    5-gram shingle sets at t=0.7 — recall is exactly 1 by pigeonhole on
+    the rarest-first prefix, so the all-pairs DuckDB oracle must agree
+    row-for-row."""
+    return dedup.prefix_filter_jaccard_pairs(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.7,
+        shingle_k=5,
+    )
+
+
 def q_audio_quality_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Speech-corpus quality gate over REAL WAV decode: the square-wave
     fixture's duration (n/sr) and rms == peak (amp/2^15, bit-exact) make
@@ -3133,6 +3147,7 @@ QUERIES = {
     "audio_quality_clips": q_audio_quality_clips,
     "canonical_urls_events": q_canonical_urls_events,
     "l_diversity_events": q_l_diversity_events,
+    "prefix_jaccard_documents": q_prefix_jaccard_documents,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
@@ -4668,6 +4683,23 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# prefix-filter Jaccard: the oracle is the ALL-PAIRS exact join — prefix
+# filtering must lose nothing (recall exactly 1 for J >= t)
+ORACLE_SQL["prefix_jaccard_documents"] = f"""
+WITH {_shingle_cte(5)},
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+    len(list_intersect(a.shingles, b.shingles))::BIGINT AS ni,
+    (len(a.shingles) + len(b.shingles))::BIGINT AS st
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+)
+SELECT da AS doc_a, db AS doc_b, ni AS n_common,
+  (ni * 1000000 // (st - ni))::BIGINT AS jaccard_e6
+FROM p
+WHERE ni > 0 AND ni::DOUBLE / (st - ni)::DOUBLE >= 0.7::DOUBLE
+"""
+
 # audio quality: duration/rms/peak are closed-form (n/sr, amp/2^15
 # bit-exact) so the first-fail verdict chain replays from the residues
 ORACLE_SQL["audio_quality_clips"] = f"""

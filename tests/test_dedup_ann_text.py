@@ -518,3 +518,73 @@ def test_source_mixing_weights_uniform_and_explicit(spark):
         df, "source", "text", target={"a": 1.0}
     ).collect()}
     assert none["b"].weight_e6 == 0
+
+
+def test_prefix_filter_jaccard_exact_vs_brute_force(spark):
+    import itertools
+
+    import pytest
+
+    from ndto_spark.dedup import prefix_filter_jaccard_pairs
+
+    # small corpus with planted overlap structure + shared hot tokens
+    texts = {
+        1: "the a common w1 w2 w3 w4",
+        2: "the a common w1 w2 w3 w5",   # high overlap with 1
+        3: "the a common q1 q2 q3 q4",
+        4: "the a common q1 q2 q3 q4",   # identical to 3
+        5: "the a zz1 zz2 zz3 zz4 zz5",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    t = 0.6
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard_e6)
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", t).collect()
+    }
+    # python brute force over distinct-token sets
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        ni = len(sa & sb)
+        un = len(sa | sb)
+        if ni and ni / un >= t:
+            want[(a, b)] = (ni, ni * 1_000_000 // un)
+    assert got == want and (3, 4) in got and (1, 2) in got
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_pairs(df, "doc_id", "text", 0.0)
+
+
+def test_prefix_filter_jaccard_shingle_mode_matches_shingle_sets(spark):
+    import itertools
+
+    from ndto_spark.dedup import prefix_filter_jaccard_pairs
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g z",  # shares 5-gram shingles with 1
+        3: "p q r s t u v w",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+
+    def sh(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+
+    t = 0.4
+    got = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", t, shingle_k=5
+        ).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        ni = len(sa & sb)
+        if ni and ni / len(sa | sb) >= t:
+            want[(a, b)] = ni
+    assert got == want and (1, 2) in got
