@@ -1775,6 +1775,18 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit check over l_extendedprice: leading digit taken
+    string-wise (no float log on data); only the nine CONSTANT
+    expectations use ln, on exact-rational inputs (the dsir precedent:
+    Python math.log == DuckDB ln bit-exactly on these)."""
+    from .table_rules import benford_report
+
+    return benford_report(
+        _read(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
 def q_prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard self-join via prefix filtering (PPJoin-core) over
     5-gram shingle sets at t=0.7 — recall is exactly 1 by pigeonhole on
@@ -3148,6 +3160,7 @@ QUERIES = {
     "canonical_urls_events": q_canonical_urls_events,
     "l_diversity_events": q_l_diversity_events,
     "prefix_jaccard_documents": q_prefix_jaccard_documents,
+    "benford_lineitem": q_benford_lineitem,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
@@ -4683,6 +4696,28 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# Benford: digits string-wise, shares in exact integer floor division;
+# the constant expectations recompute ln(1+1/d)/ln(10) in DuckDB and must
+# floor to the same e6 integers as Python's math.log literals
+ORACLE_SQL["benford_lineitem"] = """
+WITH f AS (
+  SELECT substr(round(abs(l_extendedprice))::BIGINT::VARCHAR, 1, 1)::INT
+           AS digit
+  FROM lineitem
+),
+b AS (SELECT digit FROM f WHERE digit >= 1),
+c AS (SELECT digit, count(*)::BIGINT AS n_rows FROM b GROUP BY 1),
+t AS (SELECT count(*)::BIGINT AS n FROM b)
+SELECT digit, n_rows,
+  (n_rows * 1000000 // n)::BIGINT AS share_e6,
+  floor(ln(1 + 1::DOUBLE / digit) / ln(10::DOUBLE) * 1e6)::BIGINT
+    AS expected_e6,
+  abs((n_rows * 1000000 // n)
+      - floor(ln(1 + 1::DOUBLE / digit) / ln(10::DOUBLE) * 1e6)) > 20000
+    AS deviates
+FROM c, t
+"""
+
 # prefix-filter Jaccard: the oracle is the ALL-PAIRS exact join — prefix
 # filtering must lose nothing (recall exactly 1 for J >= t)
 ORACLE_SQL["prefix_jaccard_documents"] = f"""

@@ -1275,3 +1275,60 @@ def l_diversity(
         F.countDistinct(sensitive_col).cast("bigint").alias("n_sensitive"),
     )
     return g.filter(F.col("n_sensitive") < l)
+
+
+# Benford expected first-digit shares: ln(1+1/d)/ln(10). Computed from
+# exact-rational doubles, so any IEEE engine reproduces the same bits.
+def benford_report(
+    df: DataFrame, value_col: str, tolerance_e6: int = 20_000
+) -> DataFrame:
+    """First-digit (Benford) distribution check — the classic fraud /
+    synthetic-data / unit-mixup probe for naturally-spread positive
+    numerics: observed share of each leading digit 1-9 vs the Benford
+    expectation log10(1+1/d), flagged when the absolute gap exceeds
+    ``tolerance_e6`` (in 1e-6 share units).
+
+    The leading digit is taken string-wise from the value rounded to an
+    integer (engine-portable: no float log10 on data values — only the
+    nine CONSTANT expectations use ln, on exact-rational inputs). Zero and
+    negative/NULL rows are excluded from the base.
+
+    Output: (digit, n_rows, share_e6, expected_e6, deviates).
+
+    100 TB shape: one partial-agg groupBy over NINE groups + a broadcast
+    1-row total — nothing else moves.
+    """
+    d = F.substring(
+        F.round(F.abs(F.col(value_col))).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    base = df.select(d.alias("digit")).filter(F.col("digit") >= 1)
+    counts = base.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    import math
+
+    expected = F.create_map(
+        *[
+            F.lit(x)
+            for dd in range(1, 10)
+            for x in (dd, math.floor(math.log(1 + 1 / dd) / math.log(10) * 1e6))
+        ]
+    )
+    share = F.floor(F.col("n_rows") * F.lit(1_000_000) / F.col("_n")).cast(
+        "bigint"
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_rows",
+            share.alias("share_e6"),
+            expected[F.col("digit")].cast("bigint").alias("expected_e6"),
+        )
+        .withColumn(
+            "deviates",
+            F.abs(F.col("share_e6") - F.col("expected_e6"))
+            > F.lit(tolerance_e6),
+        )
+    )

@@ -395,3 +395,27 @@ def test_l_diversity_flags_low_diversity_groups(spark):
     assert got == {("a", 1): (4, 2), ("a", 2): (1, 1)}
     with pytest.raises(ValueError):
         l_diversity(df, ["q1"], "s", l=1)
+
+
+def test_benford_report_shares_and_expectations(spark):
+    import math
+
+    from ndto_spark.table_rules import benford_report
+
+    # 10 ones, 5 twos, 5 nines; zero/negative/NULL excluded from the base
+    rows = (
+        [(100.2,)] * 10 + [(25.0,)] * 5 + [(9.4,)] * 5 + [(0.2,), (None,)]
+    )
+    df = spark.createDataFrame(rows, "v double")
+    got = {
+        r.digit: (r.n_rows, r.share_e6, r.expected_e6, r.deviates)
+        for r in benford_report(df, "v", tolerance_e6=100_000).collect()
+    }
+    # 0.2 rounds to 0 → excluded; NULL excluded → base = 20
+    e = lambda d: math.floor(math.log(1 + 1 / d) / math.log(10) * 1e6)
+    assert got == {
+        1: (10, 500_000, e(1), abs(500_000 - e(1)) > 100_000),
+        2: (5, 250_000, e(2), abs(250_000 - e(2)) > 100_000),
+        9: (5, 250_000, e(9), True),
+    }
+    assert got[1][3] is True and got[2][3] is False
