@@ -1449,3 +1449,78 @@ def prefix_filter_jaccard_pairs(
         )
     )
     return verified.select("doc_a", "doc_b", "n_common", "jaccard_e6")
+
+
+def phash_near_dups_against(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    phash_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """INCREMENTAL phash near-dup lookup: match each ``batch`` row against
+    an existing ``index`` (yesterday's corpus, the stored dedup index) —
+    the crawl-ingest shape where the new day's images are screened against
+    what the corpus already holds WITHOUT re-joining the index to itself.
+
+    Same banding + pigeonhole contract as phash_near_dups (recall exact
+    for max_hamming < bands); the join is batch-bands × index-bands, so
+    the cost scales with |batch| · (index bucket occupancy), never with
+    |index|². Output: (batch_id, index_id, hamming ≤ max_hamming).
+
+    100 TB shape: the index side's banded form is exactly what a real
+    deployment persists between runs (bucketed by (band, key)); the daily
+    batch streams through it as a plain equi-join.
+    """
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must split evenly into bands ({bands})"
+        )
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, out_id: str, out_ph: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(phash_col).cast("bigint").alias(out_ph),
+        )
+        return v.select(
+            out_id,
+            out_ph,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(out_ph, b * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            out_id,
+            out_ph,
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+
+    a = banded(batch, "batch_id", "ph_a")
+    b = banded(index, "index_id", "ph_b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .select("batch_id", "index_id", "ph_a", "ph_b")
+        .dropDuplicates(["batch_id", "index_id"])
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select(
+        "batch_id", "index_id", ham.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= F.lit(max_hamming))

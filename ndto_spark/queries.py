@@ -1775,6 +1775,61 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-index lookup in the gate: the INDEX is the
+    derived md5-low60 phash population minus every 50th event; the BATCH
+    is those 50th events carrying their predecessor's phash with bit 3
+    flipped. Each batch row must find its source at hamming 1 through the
+    batch×index band join — never an index self-join."""
+    ev = _read(spark, sf_dir, "events").select("event_id")
+
+    def md5_low60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    index = ev.filter(F.col("event_id") % 50 != 0).select(
+        F.col("event_id").alias("img_id"),
+        md5_low60(F.col("event_id").cast("string")).alias("phash60"),
+    )
+    batch = ev.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("img_id"),
+        md5_low60((F.col("event_id") - 1).cast("string"))
+        .bitwiseXOR(F.lit(8))
+        .alias("phash60"),
+    )
+    return dedup.phash_near_dups_against(
+        batch, index, "img_id", "phash60", bits=60, bands=4, max_hamming=2
+    )
+
+
+def q_split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene audit: near-duplicate pairs (exact prefix-filter
+    Jaccard, t=0.7, 5-gram shingles) whose members landed in DIFFERENT
+    train/val/test splits — each such pair leaks training signal into
+    evaluation. Composition of two gate-green operators; the oracle
+    composes their two oracle derivations the same way."""
+    from .functions.sampling import assign_splits
+
+    doc = _read(spark, sf_dir, "documents")
+    pairs = dedup.prefix_filter_jaccard_pairs(
+        doc, "doc_id", "text", threshold=0.7, shingle_k=5
+    )
+    splits = assign_splits(
+        doc, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard_e6")
+    )
+
+
 def q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit check over l_extendedprice: leading digit taken
     string-wise (no float log on data); only the nine CONSTANT
@@ -3161,6 +3216,8 @@ QUERIES = {
     "l_diversity_events": q_l_diversity_events,
     "prefix_jaccard_documents": q_prefix_jaccard_documents,
     "benford_lineitem": q_benford_lineitem,
+    "split_leakage_documents": q_split_leakage_documents,
+    "phash_incremental_events": q_phash_incremental_events,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
@@ -4696,6 +4753,74 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# incremental phash lookup: the same banding replay as the self-join
+# oracle, restricted to batch×index pairs
+ORACLE_SQL["phash_incremental_events"] = """
+WITH idx AS (
+  SELECT event_id AS img_id,
+    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS ph
+  FROM events WHERE event_id % 50 != 0
+),
+bat AS (
+  SELECT event_id AS img_id,
+    xor(('0x' || substr(md5(CAST(event_id - 1 AS VARCHAR)), 1, 15))::BIGINT,
+        8) AS ph
+  FROM events WHERE event_id % 50 = 0
+),
+ba AS (
+  SELECT img_id, ph, b, (ph >> (b * 15)) & 32767 AS key
+  FROM bat, (VALUES (0), (1), (2), (3)) AS t(b)
+),
+bi AS (
+  SELECT img_id, ph, b, (ph >> (b * 15)) & 32767 AS key
+  FROM idx, (VALUES (0), (1), (2), (3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT ba.img_id AS batch_id, bi.img_id AS index_id,
+         ba.ph AS pa, bi.ph AS pb
+  FROM ba JOIN bi ON ba.b = bi.b AND ba.key = bi.key
+)
+SELECT batch_id, index_id,
+       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 2
+"""
+
+# split leakage: compose the all-pairs Jaccard oracle with the split
+# bucket oracle — cross-split near-dup pairs must match row-for-row
+ORACLE_SQL["split_leakage_documents"] = f"""
+WITH {_shingle_cte(5)},
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.shingles, b.shingles))::BIGINT AS ni,
+    (len(a.shingles) + len(b.shingles))::BIGINT AS st
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+    (ni * 1000000 // (st - ni))::BIGINT AS jaccard_e6
+  FROM p
+  WHERE ni > 0 AND ni::DOUBLE / (st - ni)::DOUBLE >= 0.7::DOUBLE
+),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN b < 900000 THEN 'train'
+         WHEN b < 950000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+        % 1000000 AS b
+    FROM documents
+  )
+)
+SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b, jaccard_e6
+FROM pairs
+JOIN sp a ON a.doc_id = doc_a
+JOIN sp b ON b.doc_id = doc_b
+WHERE a.split != b.split
+"""
+
 # Benford: digits string-wise, shares in exact integer floor division;
 # the constant expectations recompute ln(1+1/d)/ln(10) in DuckDB and must
 # floor to the same e6 integers as Python's math.log literals

@@ -588,3 +588,36 @@ def test_prefix_filter_jaccard_shingle_mode_matches_shingle_sets(spark):
         if ni and ni / len(sa | sb) >= t:
             want[(a, b)] = ni
     assert got == want and (1, 2) in got
+
+
+def test_phash_near_dups_against_index_lookup(spark):
+    import pytest
+
+    from ndto_spark.dedup import phash_near_dups_against
+
+    index = spark.createDataFrame(
+        [(1, 0b1010101010101010), (2, 0b0000000011111111), (3, 0)],
+        "img bigint, ph bigint",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, 0b1010101010101010),  # exact copy of 1
+            (11, 0b0000000011111110),  # hamming 1 from 2
+            (12, 0b1111000011110000),  # far from everything
+            (13, 0b0000000000000111),  # hamming 3 from 3 → band-matched, rejected
+        ],
+        "img bigint, ph bigint",
+    )
+    rows = phash_near_dups_against(
+        batch, index, "img", "ph", bits=16, bands=4, max_hamming=2
+    ).collect()
+    got = {(r.batch_id, r.index_id): r.hamming for r in rows}
+    assert got == {(10, 1): 0, (11, 2): 1}
+    # never an index self-pair, never a batch self-pair
+    assert all(b >= 10 and i < 10 for b, i in got)
+    with pytest.raises(ValueError):
+        phash_near_dups_against(batch, index, "img", "ph", bits=15, bands=4)
+    with pytest.raises(ValueError):
+        phash_near_dups_against(
+            batch, index, "img", "ph", bits=16, bands=4, max_hamming=4
+        )
