@@ -592,3 +592,51 @@ def quantized_topk(
     return out.select(
         "query_id", "neighbor_id", F.col("cosine_sim").alias("score")
     )
+
+
+def unit_norm_embeddings(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """L2 unit normalization — the cosine-similarity prep every embedding
+    pipeline runs before indexing (after it, dot product == cosine, so
+    the ANN index skips per-pair norm work).
+
+    Float discipline (the quantize_embeddings contract): the squared-sum
+    folds LEFT in index order from 0.0, sqrt and each per-component
+    division are single IEEE ops — any engine reproduces the normalized
+    vector bit-exactly. Zero/empty vectors emit NULL norm and NULL unit
+    vector (nothing to scale).
+
+    Output: (id, dim, norm_e9, unit) with norm_e9 = floor(norm·1e9).
+
+    100 TB shape: pure per-row expression work inside codegen'd
+    projections (the vector and its norm are let-bound once per row —
+    HOF lambda bodies re-evaluate subtrees per element), zero shuffle,
+    zero Python.
+    """
+    from .dedup import bind
+
+    vc = F.col(vec_col).cast("array<double>")
+
+    def _over_vec(v: Column) -> Column:
+        ss = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+
+        def _over_norm(n0: Column) -> Column:
+            n = F.when(n0 > 0, F.sqrt(n0))  # NULL for zero/empty vectors
+            return F.struct(
+                F.size(v).alias("dim"),
+                F.floor(n * F.lit(1e9)).cast("bigint").alias("norm_e9"),
+                bind(n, lambda nn: F.when(
+                    nn.isNotNull(), F.transform(v, lambda x: x / nn)
+                )).alias("unit"),
+            )
+
+        return bind(ss, _over_norm)
+
+    out = df.select(F.col(id_col), bind(vc, _over_vec).alias("_s"))
+    return out.select(
+        id_col,
+        F.col("_s.dim").alias("dim"),
+        F.col("_s.norm_e9").alias("norm_e9"),
+        F.col("_s.unit").alias("unit"),
+    )

@@ -1775,6 +1775,37 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unit_norm_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 unit normalization over the embeddings table (%101 vectors
+    zeroed for the NULL-norm path). Squared-sum folds left in index
+    order, sqrt and each division are single IEEE ops — the normalized
+    vector is bit-identical in any engine, compared via md5-low32 of the
+    e9-quantized components."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 101 == 0,
+            F.expr("transform(embedding, x -> double(0))"),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("v"),
+    )
+    out = ann.unit_norm_embeddings(emb, "vec_id", "v")
+    unit_ints = F.transform(
+        F.col("unit"),
+        lambda x: F.floor(x * F.lit(1e9)).cast("bigint").cast("string"),
+    )
+    return out.select(
+        "vec_id",
+        "dim",
+        "norm_e9",
+        F.when(
+            F.col("unit").isNotNull(),
+            dedup.md5_low32(F.concat_ws(",", unit_ints)),
+        ).alias("unit_md5"),
+    )
+
+
 def q_phash_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup-index lookup in the gate: the INDEX is the
     derived md5-low60 phash population minus every 50th event; the BATCH
@@ -3218,6 +3249,7 @@ QUERIES = {
     "benford_lineitem": q_benford_lineitem,
     "split_leakage_documents": q_split_leakage_documents,
     "phash_incremental_events": q_phash_incremental_events,
+    "unit_norm_embeddings": q_unit_norm_embeddings,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
@@ -4753,6 +4785,35 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# unit norm: left-fold squared sum from 0.0 (mirrors Spark aggregate's
+# init), sqrt + per-component division single IEEE ops; components
+# compared via md5 of e9-floored ints
+ORACLE_SQL["unit_norm_embeddings"] = """
+WITH e AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 101 = 0
+      THEN list_transform(embedding, x -> 0.0::DOUBLE)
+      ELSE embedding::DOUBLE[] END AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, len(v)::BIGINT AS dim,
+    list_reduce(
+      list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)),
+      (a, b) -> a + b) AS ss,
+    v
+  FROM e
+)
+SELECT vec_id, dim,
+  CASE WHEN ss > 0 THEN floor(sqrt(ss) * 1e9)::BIGINT END AS norm_e9,
+  CASE WHEN ss > 0 THEN
+    ('0x' || substr(md5(array_to_string(
+       list_transform(v, x -> floor(x / sqrt(ss) * 1e9)::BIGINT), ',')),
+       1, 8))::BIGINT
+  END AS unit_md5
+FROM n
+"""
+
 # incremental phash lookup: the same banding replay as the self-join
 # oracle, restricted to batch×index pairs
 ORACLE_SQL["phash_incremental_events"] = """

@@ -65,3 +65,33 @@ def test_validate_embeddings_priority_dim_beats_nan(spark):
         df, "vec_id", "embedding", expected_dim=2
     ).collect()[0]
     assert r.viol == "dim_mismatch"  # first failed check wins
+
+
+def test_unit_norm_embeddings_norms_and_null_path(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ndto_spark.ann import unit_norm_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),
+            (2, [0.0, 0.0]),
+            (3, [1.0]),
+            (4, [-2.0, 2.0, 1.0]),
+        ],
+        "vec_id bigint, v array<double>",
+    )
+    rows = unit_norm_embeddings(df, "vec_id", "v").collect()
+    got = {r.vec_id: (r.dim, r.norm_e9, r.unit) for r in rows}
+    assert got[1] == (2, 5_000_000_000, [0.6, 0.8])
+    assert got[2] == (2, None, None)  # zero vector → NULL path
+    assert got[3] == (1, 1_000_000_000, [1.0])
+    dim, n9, unit = got[4]
+    assert dim == 3 and n9 == math.floor(3.0 * 1e9)
+    assert unit == [-2.0 / 3.0, 2.0 / 3.0, 1.0 / 3.0]
+    # post-normalization norms are 1 within one ulp-ish fold error
+    for vid in (1, 3, 4):
+        u = got[vid][2]
+        assert abs(sum(x * x for x in u) - 1.0) < 1e-12
