@@ -1775,6 +1775,33 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_incremental_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index lookup over REAL decoded images: the INDEX is the
+    decoded phash of every group-base image (row_id % 3 == 0), the BATCH
+    is the planted hamming-1/2 variants — the daily-crawl-vs-stored-index
+    shape, end to end through the PNG decode. The oracle regenerates both
+    populations from the closed-form cell masks and replays the
+    batch×index banding."""
+    from . import fixtures
+    from .multimodal import decode_image_features
+
+    df = fixtures.synth_phash_images_cached(spark, _PHASH_IMG_N)
+    feats = (
+        decode_image_features(df)
+        .filter(F.col("ok"))
+        .select(
+            "image_id",
+            "phash",
+            (F.substring("image_id", 4, 8).cast("bigint") % 3).alias("_r"),
+        )
+    )
+    index = feats.filter(F.col("_r") == 0).drop("_r")
+    batch = feats.filter(F.col("_r") != 0).drop("_r")
+    return dedup.phash_near_dups_against(
+        batch, index, "image_id", "phash", bits=16, bands=4, max_hamming=2
+    )
+
+
 def q_unit_norm_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 unit normalization over the embeddings table (%101 vectors
     zeroed for the NULL-norm path). Squared-sum folds left in index
@@ -3250,6 +3277,7 @@ QUERIES = {
     "split_leakage_documents": q_split_leakage_documents,
     "phash_incremental_events": q_phash_incremental_events,
     "unit_norm_embeddings": q_unit_norm_embeddings,
+    "phash_incremental_images": q_phash_incremental_images,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
@@ -4785,6 +4813,31 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# incremental image lookup: same closed-form masks, banding restricted
+# to variant×base pairs
+ORACLE_SQL["phash_incremental_images"] = f"""
+WITH {_PHASH_IMG_CTES},
+r AS (
+  SELECT iid, ph, (substr(iid, 4, 8)::BIGINT % 3) AS rr FROM cls
+),
+ba AS (
+  SELECT iid, ph, b, (ph >> (b * 4)) & 15 AS key
+  FROM r, (VALUES (0), (1), (2), (3)) AS t(b) WHERE rr != 0
+),
+bi AS (
+  SELECT iid, ph, b, (ph >> (b * 4)) & 15 AS key
+  FROM r, (VALUES (0), (1), (2), (3)) AS t(b) WHERE rr = 0
+),
+c2 AS (
+  SELECT DISTINCT ba.iid AS batch_id, bi.iid AS index_id,
+         ba.ph AS pa, bi.ph AS pb
+  FROM ba JOIN bi ON ba.b = bi.b AND ba.key = bi.key
+)
+SELECT batch_id, index_id,
+       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM c2 WHERE bit_count(xor(pa, pb)) <= 2
+"""
+
 # unit norm: left-fold squared sum from 0.0 (mirrors Spark aggregate's
 # init), sqrt + per-component division single IEEE ops; components
 # compared via md5 of e9-floored ints
