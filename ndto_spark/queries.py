@@ -1775,6 +1775,34 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over events: first-seen day per user
+    → distinct-user counts per (cohort, day offset). Exact bigint day
+    buckets on both engines."""
+    from .temporal import cohort_retention
+
+    return cohort_retention(
+        _read(spark, sf_dir, "events"), "ts", "user_id",
+        granularity_seconds=86400,
+    )
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel: stage k counts users whose
+    first step-k event falls STRICTLY after their stage-(k-1) time —
+    exact integer epoch compares, replayed by the oracle's staged CTE
+    chain."""
+    from .temporal import funnel_stages
+
+    return funnel_stages(
+        _read(spark, sf_dir, "events"),
+        "ts",
+        "user_id",
+        "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
 def q_phash_incremental_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index lookup over REAL decoded images: the INDEX is the
     decoded phash of every group-base image (row_id % 3 == 0), the BATCH
@@ -3278,6 +3306,8 @@ QUERIES = {
     "phash_incremental_events": q_phash_incremental_events,
     "unit_norm_embeddings": q_unit_norm_embeddings,
     "phash_incremental_images": q_phash_incremental_images,
+    "cohort_retention_events": q_cohort_retention_events,
+    "funnel_events": q_funnel_events,
     "domain_filter_events": q_domain_filter_events,
     "join_skew_events": q_join_skew_events,
     "collocations_documents": q_collocations_documents,
@@ -4813,6 +4843,46 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# cohort retention: DuckDB's own two-level aggregation over exact day
+# buckets (per-timestamp epoch floor, then integer // 86400)
+ORACLE_SQL["cohort_retention_events"] = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+    (floor(epoch(ts))::BIGINT // 86400) AS p
+  FROM events
+),
+firstp AS (SELECT u, min(p) AS cohort FROM act GROUP BY 1)
+SELECT cohort, (p - cohort) AS "offset",
+       count(DISTINCT u)::BIGINT AS n_users
+FROM act JOIN firstp USING (u)
+GROUP BY 1, 2
+"""
+
+# funnel: staged CTE chain — stage k's first event strictly after stage
+# k-1's time, exact integer epochs
+ORACLE_SQL["funnel_events"] = """
+WITH ev AS (
+  SELECT user_id AS u, floor(epoch(ts))::BIGINT AS ep, event_type AS t
+  FROM events
+),
+s1 AS (SELECT u, min(ep) AS tk FROM ev WHERE t = 'view' GROUP BY 1),
+s2 AS (
+  SELECT ev.u, min(ep) AS tk
+  FROM ev JOIN s1 ON ev.u = s1.u
+  WHERE ev.t = 'click' AND ev.ep > s1.tk GROUP BY 1
+),
+s3 AS (
+  SELECT ev.u, min(ep) AS tk
+  FROM ev JOIN s2 ON ev.u = s2.u
+  WHERE ev.t = 'purchase' AND ev.ep > s2.tk GROUP BY 1
+)
+SELECT 1::BIGINT AS stage, 'view' AS step, count(*)::BIGINT AS n_users FROM s1
+UNION ALL
+SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
+UNION ALL
+SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3
+"""
+
 # incremental image lookup: same closed-form masks, banding restricted
 # to variant×base pairs
 ORACLE_SQL["phash_incremental_images"] = f"""

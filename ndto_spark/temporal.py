@@ -489,3 +489,99 @@ def coverage_gaps(
             "yyyy-MM-dd HH:mm:ss",
         ).alias("bucket_start"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    granularity_seconds: int = 86400,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST-seen period
+    (the cohort), then counted per (cohort, offset) where offset = how
+    many periods after the cohort's start the user was active again. The
+    standard product/feed-health view (and, for training corpora, the
+    contributor-churn view).
+
+    Output: (cohort, offset, n_users) with cohort an exact bigint period
+    index and n_users = DISTINCT users from that cohort active at that
+    offset (offset 0 row == cohort size).
+
+    100 TB shape: two partial-aggregated groupBys — first-seen per user
+    (|users| rows), then the (cohort, offset) matrix over the DISTINCT
+    (user, period) activity set; the join back is on the user key the
+    first aggregate already partitioned by.
+    """
+    bucket = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / F.lit(granularity_seconds)
+    ).cast("bigint")
+    act = df.select(
+        F.col(user_col).alias("u"), bucket.alias("p")
+    ).distinct()
+    first = act.groupBy("u").agg(F.min("p").alias("cohort"))
+    return (
+        act.join(first, "u")
+        .groupBy("cohort", (F.col("p") - F.col("cohort")).alias("offset"))
+        .agg(F.countDistinct("u").cast("bigint").alias("n_users"))
+    )
+
+
+def funnel_stages(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed step k of
+    ``steps`` IN ORDER (each step strictly after the previous one in
+    event time)? The classic conversion view (view → click → purchase),
+    and for pipelines an ordered-milestone audit (ingested → validated →
+    published).
+
+    Stage semantics: t₁ = the user's first ``steps[0]`` event; tₖ = the
+    first ``steps[k-1]`` event STRICTLY after tₖ₋₁. Timestamps compare as
+    exact integer epoch seconds.
+
+    Output: (stage, step, n_users), stage 1-based; n_users is
+    monotonically non-increasing by construction.
+
+    100 TB shape: one partial-agg groupBy per stage over the (user, ts,
+    type) projection, each joined back on the user key the previous
+    aggregate already produced (broadcast-sized once the funnel narrows);
+    no windows, no per-user arrays.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.unix_timestamp(F.col(ts_col)).cast("bigint").alias("ep"),
+        F.col(type_col).alias("t"),
+    )
+    prev = None
+    outs = []
+    for k, step in enumerate(steps):
+        if prev is None:
+            cur = ev.filter(F.col("t") == step).groupBy("u").agg(
+                F.min("ep").alias("tk")
+            )
+        else:
+            cur = (
+                ev.filter(F.col("t") == step)
+                .join(prev.select("u", F.col("tk").alias("_pt")), "u")
+                .filter(F.col("ep") > F.col("_pt"))
+                .groupBy("u")
+                .agg(F.min("ep").alias("tk"))
+            )
+        outs.append(
+            cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(k + 1).cast("bigint").alias("stage"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+        prev = cur
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

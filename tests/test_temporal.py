@@ -226,3 +226,51 @@ def test_latest_snapshot_keeps_newest_with_tiebreak(spark):
     out = latest_snapshot(df, ["k", "sub"], "ts", tiebreak="event_id")
     got = {(r["k"], r["sub"], r["event_id"]) for r in out.collect()}
     assert got == {("a", 10, 2), ("a", 20, 4), ("b", 10, 5)}
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from ndto_spark.temporal import cohort_retention
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 5)), (1, d(2024, 1, 2, 9)), (1, d(2024, 1, 2, 10)),
+        (2, d(2024, 1, 1, 20)), (2, d(2024, 1, 3, 1)),
+        (3, d(2024, 1, 2, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = cohort_retention(df, "ts", "user_id").collect()
+    c0 = min(r.cohort for r in out)
+    got = {(r.cohort - c0, r.offset): r.n_users for r in out}
+    # users 1,2 in day-0 cohort; user 3 in day-1 cohort
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_funnel_stages_strict_order(spark):
+    import datetime as dt
+
+    import pytest
+
+    from ndto_spark.temporal import funnel_stages
+
+    d = dt.datetime
+    rows = [
+        # user 1: full ordered funnel
+        (1, d(2024, 1, 1, 0), "view"), (1, d(2024, 1, 1, 1), "click"),
+        (1, d(2024, 1, 1, 2), "purchase"),
+        # user 2: click BEFORE view → stalls at stage 1
+        (2, d(2024, 1, 1, 0), "click"), (2, d(2024, 1, 1, 1), "view"),
+        # user 3: view+click same second → strict > rejects the click
+        (3, d(2024, 1, 1, 0, 0, 30), "view"),
+        (3, d(2024, 1, 1, 0, 0, 30), "click"),
+        # user 4: never views
+        (4, d(2024, 1, 1, 0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    out = funnel_stages(df, "ts", "user_id", "event_type",
+                        ["view", "click", "purchase"]).collect()
+    got = {r.stage: (r.step, r.n_users) for r in out}
+    assert got == {1: ("view", 3), 2: ("click", 1), 3: ("purchase", 1)}
+    with pytest.raises(ValueError):
+        funnel_stages(df, "ts", "user_id", "event_type", [])
