@@ -120,3 +120,98 @@ def shard_manifest(
     unpersist_positions(pos)
     atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
     return df.sparkSession.read.parquet(run_dir)
+
+
+def grouped_shard_manifest(
+    df: DataFrame,
+    group_cols,
+    key_col: str,
+    shard_size: int,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """STRATIFIED shard manifest: an independent key-ordered shard
+    sequence per group (per-language WebDataset shards, per-source tar
+    sets). Same two-phase distributed rank as shard_manifest, with the
+    offset map keyed by (group, range-partition): range partitioning on
+    (group, key) keeps each group's rows on a contiguous partition span,
+    so the per-(group, partition) exclusive prefix sums (a tiny driver
+    map) convert partition-local ranks into per-group global positions.
+
+    Output: (group..., shard_id, n_rows, first_key, last_key); shard_id
+    restarts at 0 within every group.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    if shard_size <= 0:
+        raise ValueError(f"shard_size must be positive, got {shard_size}")
+    gc = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    part = (
+        df.repartitionByRange(
+            n_partitions, *[F.col(c) for c in gc], F.col(key_col)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = (
+        part.groupBy(*gc, "_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # exclusive prefix sum per group over partition ids
+    by_group: dict = {}
+    for r in counts:
+        g = tuple(r[c] for c in gc)
+        by_group.setdefault(g, []).append((r["_pid"], r["n"]))
+    offsets: dict = {}
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            offsets[(g, pid)] = acc
+            acc += n
+    # literal map keyed by a string of (group..., pid) — groups × pids is
+    # driver-tiny by construction
+    sep = "\x1f"
+    key_expr = F.concat_ws(
+        sep, *[F.col(c).cast("string") for c in gc], F.col("_pid")
+    )
+    off_map = F.create_map(
+        *[
+            F.lit(x)
+            for (g, pid), off in sorted(
+                offsets.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+            )
+            for x in (sep.join([*(str(v) for v in g), str(pid)]), off)
+        ]
+    )
+    from pyspark.sql import Window
+
+    local = F.row_number().over(
+        Window.partitionBy("_pid", *gc).orderBy(F.col(key_col))
+    )
+    pos = part.withColumn(
+        "_pos", (off_map[key_expr] + local).cast("bigint")
+    )
+    out = (
+        pos.withColumn(
+            "shard_id",
+            F.floor((F.col("_pos") - 1) / F.lit(shard_size)).cast("bigint"),
+        )
+        .groupBy(*gc, "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(key_col).alias("first_key"),
+            F.max(key_col).alias("last_key"),
+        )
+    )
+    run_dir = tempfile.mkdtemp(prefix="ndto_shards_")
+    try:
+        out.write.mode("overwrite").parquet(run_dir)
+    except Exception:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        part.unpersist()
+        raise
+    part.unpersist()
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    return df.sparkSession.read.parquet(run_dir)

@@ -1775,6 +1775,22 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified shard manifest: per-language 40-doc shard sequences over
+    documents (the multilingual WebDataset layout). Oracle replays a
+    per-group row_number — the semantics the grouped two-phase rank must
+    reproduce."""
+    from .functions.sharding import grouped_shard_manifest
+
+    return grouped_shard_manifest(
+        _read(spark, sf_dir, "documents"),
+        "lang",
+        "doc_id",
+        shard_size=40,
+        n_partitions=8,
+    )
+
+
 def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention matrix over events: first-seen day per user
     → distinct-user counts per (cohort, day offset). Exact bigint day
@@ -3306,6 +3322,7 @@ QUERIES = {
     "phash_incremental_events": q_phash_incremental_events,
     "unit_norm_embeddings": q_unit_norm_embeddings,
     "phash_incremental_images": q_phash_incremental_images,
+    "grouped_shards_documents": q_grouped_shards_documents,
     "cohort_retention_events": q_cohort_retention_events,
     "funnel_events": q_funnel_events,
     "domain_filter_events": q_domain_filter_events,
@@ -4843,6 +4860,19 @@ WHERE prev_value IS NOT NULL AND value < prev_value
 
 # snapshot diff: DuckDB runs its OWN full outer join and compares the
 # values with IS DISTINCT FROM (no fingerprint replay)
+# grouped shards: per-group global row_number replay
+ORACLE_SQL["grouped_shards_documents"] = """
+WITH r AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT lang, ((rn - 1) // 40)::BIGINT AS shard_id,
+       count(*)::BIGINT AS n_rows,
+       min(doc_id) AS first_key, max(doc_id) AS last_key
+FROM r GROUP BY 1, 2
+"""
+
 # cohort retention: DuckDB's own two-level aggregation over exact day
 # buckets (per-timestamp epoch floor, then integer // 86400)
 ORACLE_SQL["cohort_retention_events"] = """

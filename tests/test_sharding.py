@@ -55,3 +55,25 @@ def test_shard_manifest_rejects_bad_size(spark):
     df = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         shard_manifest(df, "k", shard_size=0)
+
+
+def test_grouped_shard_manifest_per_group_sequences(spark):
+    from ndto_spark.functions.sharding import grouped_shard_manifest
+
+    # two groups with different sizes; shuffled input order
+    df = spark.range(0, 90, 1, 6).select(
+        F.when(F.col("id") % 3 == 0, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        ((F.col("id") * 53) % 90).alias("k"),
+    )
+    rows = grouped_shard_manifest(df, "g", "k", shard_size=10,
+                                  n_partitions=4).collect()
+    got = {(r.g, r.shard_id): (r.n_rows, r.first_key, r.last_key) for r in rows}
+    # group a: ids with (53*id)%90 where id%3==0 → 30 keys; b → 60 keys
+    a_keys = sorted((i * 53) % 90 for i in range(0, 90, 3))
+    b_keys = sorted((i * 53) % 90 for i in range(90) if i % 3)
+    for name, keys in (("a", a_keys), ("b", b_keys)):
+        n_shards = (len(keys) + 9) // 10
+        assert sum(1 for (g, _) in got if g == name) == n_shards
+        for s in range(n_shards):
+            chunk = keys[10 * s : 10 * (s + 1)]
+            assert got[(name, s)] == (len(chunk), chunk[0], chunk[-1])
