@@ -3224,6 +3224,34 @@ def q_dsir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals over the events upsert stream: per
+    user_id, compacted (event_type, value_cents) versions with
+    [valid_from_us, valid_to_us) and is_current. The oracle builds the
+    same history with DuckDB's OWN lag/lead windows — an independent
+    second implementation, not a replay."""
+    from .temporal import scd2_intervals
+
+    e = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+    return scd2_intervals(
+        e,
+        "user_id",
+        "ts",
+        ["event_type", "value_cents"],
+        tiebreak="event_id",
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3361,6 +3389,7 @@ QUERIES = {
     "sample_k_documents": q_sample_k_documents,
     "split_documents": q_split_documents,
     "dsir_documents": q_dsir_documents,
+    "scd2_events": q_scd2_events,
 }
 
 
@@ -6440,4 +6469,30 @@ ORACLE_SQL["simhash_apply_documents"] = f"""
 WITH {_simhash_cte(16)}
 SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id IN (SELECT min(doc_id) FROM s GROUP BY simhash)
+"""
+
+# scd2: DuckDB's own lag/lead windows rebuild the compacted history — an
+# independent second implementation of the SCD2 semantics.
+ORACLE_SQL["scd2_events"] = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type,
+         floor(value * 100)::BIGINT AS value_cents
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+l AS (
+  SELECT *, row_number() OVER w AS rn,
+         lag(event_type) OVER w AS p_t,
+         lag(value_cents) OVER w AS p_v
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+k AS (
+  SELECT * FROM l
+  WHERE rn = 1 OR event_type IS DISTINCT FROM p_t
+     OR value_cents IS DISTINCT FROM p_v
+)
+SELECT user_id, event_type, value_cents,
+       t_us AS valid_from_us,
+       lead(t_us) OVER w2 AS valid_to_us,
+       lead(t_us) OVER w2 IS NULL AS is_current
+FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us, event_id)
 """

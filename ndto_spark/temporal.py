@@ -585,3 +585,59 @@ def funnel_stages(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    ts: str,
+    attrs: Sequence[str],
+    *,
+    tiebreak: str | None = None,
+    compact: bool = True,
+) -> DataFrame:
+    """SCD Type-2 history build: turn a change/upsert stream into validity
+    intervals — one row per (key, version) with ``valid_from_us`` /
+    ``valid_to_us`` (NULL = current) and ``is_current``. The companion to
+    ``latest_snapshot``: that keeps only the newest version, this keeps
+    the full history as half-open intervals [valid_from, valid_to), the
+    shape a training-data time-travel join (or ``asof_join``) consumes.
+
+    ``compact=True`` (default) first drops rows whose tracked ``attrs``
+    all equal the key's previous row (null-safe compare) — a run of
+    identical versions collapses to its first row, so intervals describe
+    CHANGES, not raw event cadence.
+
+    Versions order by (event time, ``tiebreak``) — pass a tiebreak column
+    when the source can emit several versions in one timestamp tick.
+
+    100 TB shape: ONE Exchange on the key feeds both windows (the lag
+    compare and the lead carrying valid_to) — the compaction filter
+    preserves the sort order, so the second Window adds no sort. No
+    joins, no driver state; per-key state in the window is one row.
+    """
+    keys = _as_list(keys)
+    attrs = list(attrs)
+    if not attrs:
+        raise ValueError("attrs must be non-empty")
+    t = ts_to_us(df, ts)
+    order = [t.asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    d = df.withColumn("__vf_us", t)
+    if compact:
+        changed = F.row_number().over(w) == 1
+        for a in attrs:
+            changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+        d = d.withColumn("__chg", changed).filter("__chg").drop("__chg")
+    # survivors keep the (key, time) ordering through the filter, so this
+    # lead re-uses the same Exchange + sort
+    d = d.withColumn("valid_to_us", F.lead("__vf_us").over(w))
+    return d.select(
+        *keys,
+        *attrs,
+        F.col("__vf_us").alias("valid_from_us"),
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+    )

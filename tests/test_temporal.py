@@ -274,3 +274,53 @@ def test_funnel_stages_strict_order(spark):
     assert got == {1: ("view", 3), 2: ("click", 1), 3: ("purchase", 1)}
     with pytest.raises(ValueError):
         funnel_stages(df, "ts", "user_id", "event_type", [])
+
+
+def test_scd2_intervals_compacts_runs_and_marks_current(spark):
+    from ndto_spark.temporal import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            # key "a": x, x (dup run), y, x — 3 intervals after compaction
+            (1, "a", "x", T(2024, 1, 1, 0)),
+            (2, "a", "x", T(2024, 1, 1, 1)),
+            (3, "a", "y", T(2024, 1, 1, 2)),
+            (4, "a", "x", T(2024, 1, 1, 3)),
+            # key "b": single version, current
+            (5, "b", "z", T(2024, 1, 2, 0)),
+        ],
+        "event_id long, k string, v string, ts timestamp",
+    )
+    out = scd2_intervals(df, "k", "ts", ["v"], tiebreak="event_id")
+    rows = sorted(out.collect(), key=lambda r: (r["k"], r["valid_from_us"]))
+    got = [
+        (r["k"], r["v"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+        for r in rows
+    ]
+    h = lambda n: int(
+        (T(2024, 1, 1) - T(1970, 1, 1)).total_seconds() + n * 3600
+    ) * 1_000_000
+    assert got == [
+        ("a", "x", h(0), h(2), False),
+        ("a", "y", h(2), h(3), False),
+        ("a", "x", h(3), None, True),
+        ("b", "z", h(24), None, True),
+    ]
+
+
+def test_scd2_intervals_null_safe_and_no_compact(spark):
+    from ndto_spark.temporal import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", None, T(2024, 1, 1, 0)),
+            (2, "a", None, T(2024, 1, 1, 1)),  # null == null: compacted
+            (3, "a", "x", T(2024, 1, 1, 2)),
+        ],
+        "event_id long, k string, v string, ts timestamp",
+    )
+    assert scd2_intervals(df, "k", "ts", ["v"]).count() == 2
+    raw = scd2_intervals(df, "k", "ts", ["v"], compact=False)
+    assert raw.count() == 3
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_intervals(df, "k", "ts", [])
