@@ -3252,6 +3252,26 @@ def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank over a link graph derived from events
+    (src = user_id % 50, dst = (user_id*7 + event_id) % 50, self-loops
+    dropped, distinct). All arithmetic is exact BIGINT with truncating
+    division, so the oracle's unrolled per-iteration CTEs match
+    bit-for-bit at any parallelism."""
+    from .graph import pagerank
+
+    e = _read(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    edges = (
+        e.select(
+            (F.col("user_id") % 50).alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, n_iter=5)
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3390,6 +3410,7 @@ QUERIES = {
     "split_documents": q_split_documents,
     "dsir_documents": q_dsir_documents,
     "scd2_events": q_scd2_events,
+    "pagerank_events": q_pagerank_events,
 }
 
 
@@ -6496,3 +6517,46 @@ SELECT user_id, event_type, value_cents,
        lead(t_us) OVER w2 IS NULL AS is_current
 FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us, event_id)
 """
+
+
+def _pagerank_sql(
+    n_iter: int, damping_e6: int = 850_000, scale: int = 10**12
+) -> str:
+    """Unrolled per-iteration CTEs replaying graph.pagerank's exact
+    integer recurrence (DuckDB ``//`` == Spark ``div`` on non-negative
+    BIGINTs; integer sums are order-independent, so the compare is
+    bit-exact)."""
+    inv_e6 = 1_000_000 - damping_e6
+    ctes = [
+        """e AS (
+  SELECT DISTINCT user_id % 50 AS s, (user_id * 7 + event_id) % 50 AS d
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND user_id % 50 <> (user_id * 7 + event_id) % 50
+)""",
+        "v AS (SELECT DISTINCT s AS v FROM e UNION SELECT DISTINCT d FROM e)",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM v)",
+        "outd AS (SELECT s, count(*)::BIGINT AS od FROM e GROUP BY s)",
+        f"r0 AS (SELECT v.v, ({scale} // nn.n)::BIGINT AS r"
+        " FROM v CROSS JOIN nn)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT v.v,
+         ((({scale} * {inv_e6}) // 1000000) // nn.n)::BIGINT
+           + coalesce(m.m, 0)::BIGINT AS r
+  FROM v CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.d AS v,
+           sum(((r{i - 1}.r * {damping_e6}) // 1000000) // outd.od)::BIGINT AS m
+    FROM e JOIN r{i - 1} ON e.s = r{i - 1}.v JOIN outd ON e.s = outd.s
+    GROUP BY e.d
+  ) m ON v.v = m.v
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS vertex, r AS rank_scaled FROM r{n_iter}"
+    )
+
+
+ORACLE_SQL["pagerank_events"] = _pagerank_sql(5)

@@ -1,0 +1,60 @@
+"""Integer-quantized PageRank (ndto_spark.graph)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ndto_spark.graph import pagerank
+
+
+def _py_pagerank(edges, n_iter=5, damping_e6=850_000, scale=10**12):
+    """Exact Python replica of the integer recurrence."""
+    verts = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(verts)
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    r = {v: scale // n for v in verts}
+    base = (scale * (1_000_000 - damping_e6)) // 1_000_000 // n
+    for _ in range(n_iter):
+        acc = {v: 0 for v in verts}
+        for s, d in edges:
+            acc[d] += (r[s] * damping_e6 // 1_000_000) // outd[s]
+        r = {v: base + acc[v] for v in verts}
+    return r
+
+
+def test_pagerank_matches_integer_replica(spark):
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 3),  # parallel edge
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vertex"]: r["rank_scaled"]
+        for r in pagerank(df, n_iter=4).collect()
+    }
+    assert got == _py_pagerank(edges, n_iter=4)
+
+
+def test_pagerank_sink_gets_base_only_and_mass_bounded(spark):
+    # 4 has no in-edges: rank = teleport base exactly; total mass <= scale
+    edges = [(4, 1), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank(df, n_iter=3).collect()
+    scale = 10**12
+    base = (scale * 150_000) // 1_000_000 // 3  # vertices {1, 2, 4}
+    got = {r["vertex"]: r["rank_scaled"] for r in rows}
+    assert got[4] == base
+    assert sum(got.values()) <= scale
+    # symmetric 2-cycle members converge to equal ranks once both have
+    # equal inputs (after the first round 1 and 2 feed each other alone
+    # plus 4's one-shot — asymmetric, so just check the replica instead)
+    assert got == _py_pagerank(edges, n_iter=3)
+
+
+def test_pagerank_validates_args(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(df, n_iter=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping_e6=1_000_000)
