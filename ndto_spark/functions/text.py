@@ -1139,3 +1139,68 @@ def canonical_url(col: Column) -> Column:
     from ..dedup import bind
 
     return bind(u, _canon)
+
+
+def linear_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights_e6: "list[int]",
+    *,
+    bias_e6: int = 0,
+    threshold_e6: int = 0,
+) -> DataFrame:
+    """Hashed bag-of-words linear classifier — the fastText-style quality
+    filter every CommonCrawl pipeline runs (CCNet / RefinedWeb / FineWeb
+    score pages with a linear model over hashed token features and keep
+    the positive tail). Inference only: ``weights_e6`` is the trained
+    weight vector, 1e-6 fixed-point, one slot per hash bucket.
+
+    margin_e6(doc) = bias_e6 + Σ_tok weights_e6[md5_low32(tok) % B]
+
+    ``keep`` = margin_e6 > threshold_e6 · n_tokens (an exact integer
+    cross-multiply of "average per-token margin > threshold"), so the
+    verdict — like the margin itself — is a pure BIGINT function of the
+    text, bit-reproducible across engines and cluster sizes. No sigmoid:
+    the logistic link is monotone, so thresholding the margin is
+    thresholding the probability, without dragging libm ``exp`` into a
+    cross-engine compare. Zero-token docs keep iff bias_e6 > 0.
+
+    100 TB shape: ONE projection — the weight vector rides as a plan
+    literal (the DSIR/IVF-codebook discipline, same ≤ 4096 guard) and the
+    per-token fold is an integer ``aggregate`` over a let-``bind``-once
+    tokenization; zero joins, zero shuffles, zero Python. The fold tree
+    appears in both the margin and keep output columns (projection-level
+    CSE skips lambda-bearing subtrees), so the per-row cost is 2× one
+    fold — constant-factor, the quality_metrics convention; Catalyst's
+    SimplifyExtractValueOps prunes the fold out of the n_tokens copy.
+    """
+    from ..dedup import bind, md5_low32, tokens
+
+    n_buckets = len(weights_e6)
+    if not 2 <= n_buckets <= 4096:
+        raise ValueError(
+            f"need 2..4096 weights (plan literal), got {n_buckets}"
+        )
+    w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights_e6])
+
+    def _both(toks: Column) -> Column:
+        return F.struct(
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                toks,
+                F.lit(int(bias_e6)).cast("bigint"),
+                lambda acc, t: acc
+                + F.get(w_arr, (md5_low32(t) % F.lit(n_buckets)).cast("int")),
+            ).alias("margin_e6"),
+        )
+
+    s = bind(tokens(F.col(text_col)), _both)
+    return df.select(
+        F.col(id_col),
+        s["n_tokens"].alias("n_tokens"),
+        s["margin_e6"].alias("margin_e6"),
+    ).withColumn(
+        "keep",
+        F.col("margin_e6") > F.lit(int(threshold_e6)) * F.col("n_tokens"),
+    )

@@ -3272,6 +3272,31 @@ def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=5)
 
 
+# deterministic 512-bucket demo weight vector for the linear quality
+# classifier gate (MINSTD multiplier keeps products tiny); both the Spark
+# side and the generated oracle SQL embed the SAME literals — the model is
+# an input, the operator under test is the scoring.
+_LINEAR_W_E6 = [
+    (((b + 1) * 48271) % 2001 - 1000) * 1000 for b in range(512)
+]
+
+
+def q_linear_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier margins over documents (fastText-style
+    quality filter, inference): integer margin + keep verdict, exact
+    BIGINT arithmetic end to end — the oracle re-hashes every token and
+    re-folds the same literal weight vector."""
+    from .functions.text import linear_scores
+
+    return linear_scores(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        _LINEAR_W_E6,
+        threshold_e6=0,
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3411,6 +3436,7 @@ QUERIES = {
     "dsir_documents": q_dsir_documents,
     "scd2_events": q_scd2_events,
     "pagerank_events": q_pagerank_events,
+    "linear_scores_documents": q_linear_scores_documents,
 }
 
 
@@ -6560,3 +6586,21 @@ def _pagerank_sql(
 
 
 ORACLE_SQL["pagerank_events"] = _pagerank_sql(5)
+
+# linear classifier: DuckDB re-hashes every token against the same literal
+# weight vector and re-folds the integer margin.
+ORACLE_SQL["linear_scores_documents"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DOC_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         coalesce(list_sum(list_transform(
+           toks,
+           x -> ([{", ".join(str(w) for w in _LINEAR_W_E6)}])
+                 [({_md5_low32_sql("x")} % 512)::INT + 1]
+         )), 0)::BIGINT AS margin_e6
+  FROM t
+)
+SELECT doc_id, n_tokens, margin_e6, margin_e6 > 0 AS keep FROM s
+"""

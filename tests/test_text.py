@@ -345,3 +345,37 @@ def test_canonical_url_variants_collapse(spark):
         "https://a.com/x?keep=1",
         "https://a.com/x?keep=1",
     ]
+
+
+def test_linear_scores_hand_fold_and_threshold(spark):
+    import hashlib
+
+    from ndto_spark.functions.text import linear_scores
+
+    w = [1000, -2000, 3000, 500]
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, ""), (3, None), (4, "zz")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_tokens"], r["margin_e6"], r["keep"])
+        for r in linear_scores(
+            df, "id", "text", w, bias_e6=10, threshold_e6=200
+        ).collect()
+    }
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 4
+
+    m1 = 10 + sum(w[bucket(t)] for t in ["a", "b", "c", "a"])
+    assert out[1] == (4, m1, m1 > 200 * 4)
+    assert out[2] == (0, 10, True)  # zero tokens: keep iff bias > 0
+    m4 = 10 + w[bucket("zz")]
+    assert out[4] == (1, m4, m4 > 200)
+    # null text: tokens NULL -> bind yields NULL margin, size -1? check:
+    assert out[3][0] is None or out[3][0] in (-1, 0)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="4096"):
+        linear_scores(df, "id", "text", [1])
