@@ -1524,3 +1524,57 @@ def phash_near_dups_against(
     return cand.select(
         "batch_id", "index_id", ham.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= F.lit(max_hamming))
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Semantic benchmark decontamination — ``decontaminate``'s embedding
+    sibling: flag corpus vectors whose cosine similarity to ANY eval-set
+    vector reaches ``threshold`` (paraphrased eval leakage that shingle
+    overlap can't see; the GPT-4/Llama report methodology).
+
+    Output: (id, n_hits, max_sim) for flagged vectors only — n_hits =
+    how many eval items the vector is close to, max_sim the closest.
+    max() over per-pair doubles is order-independent, so the result is
+    as engine-exact as the pairwise cosine itself.
+
+    100 TB shape: eval sets are SMALL, so the eval side (with
+    precomputed norms) BROADCASTS and the corpus streams through one
+    BroadcastNestedLoopJoin scan — linear in |corpus|·|eval|, the same
+    discipline as ``decontaminate``'s broadcast shingle set; the per-id
+    groupBy is partially aggregated map-side. Corpus norms are computed
+    once per row, never per pair. For |eval| beyond a few thousand,
+    bucket first (``embedding_near_dups``' LSH path) — this operator is
+    deliberately the exact-verdict shape.
+    """
+    from .ann import dot, norm
+
+    def _side(df: DataFrame, pre: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(f"{pre}id"),
+                F.col(vec_col).cast("array<double>").alias(f"{pre}v"),
+            )
+            .withColumn(f"{pre}n", norm(F.col(f"{pre}v")))
+            .filter(F.col(f"{pre}n") > 0)
+        )
+
+    co = _side(corpus, "c_")
+    ev = F.broadcast(_side(evalset, "e_"))
+    sim = dot(F.col("c_v"), F.col("e_v")) / (F.col("c_n") * F.col("e_n"))
+    hits = co.crossJoin(ev).select(
+        "c_id", sim.alias("sim")
+    ).filter(F.col("sim") >= F.lit(float(threshold)))
+    return (
+        hits.groupBy("c_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.max("sim").alias("max_sim"),
+        )
+        .select(F.col("c_id").alias(id_col), "n_hits", "max_sim")
+    )

@@ -3297,6 +3297,29 @@ def q_linear_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontaminate_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic decontamination: eval set = vec_id % 23 == 0, corpus =
+    the rest; flag corpus vectors with cosine ≥ 0.35 to any eval vector.
+    Oracle = DuckDB's NATIVE list_cosine_similarity (independent);
+    max_sim ships floor-quantized to e4 (the embedding_near_dup
+    convention)."""
+    from .dedup import semantic_decontaminate
+
+    e = _read(spark, sf_dir, "embeddings")
+    out = semantic_decontaminate(
+        e.filter(F.col("vec_id") % 23 != 0),
+        e.filter(F.col("vec_id") % 23 == 0),
+        threshold=0.35,
+    )
+    return out.select(
+        "vec_id",
+        "n_hits",
+        F.floor(F.col("max_sim") * 1e4).cast("bigint").alias("max_sim_e4"),
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3437,6 +3460,7 @@ QUERIES = {
     "scd2_events": q_scd2_events,
     "pagerank_events": q_pagerank_events,
     "linear_scores_documents": q_linear_scores_documents,
+    "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,
 }
 
 
@@ -6603,4 +6627,20 @@ s AS (
   FROM t
 )
 SELECT doc_id, n_tokens, margin_e6, margin_e6 > 0 AS keep FROM s
+"""
+
+
+# semantic decontamination: DuckDB's native list_cosine_similarity is the
+# independent evaluator (the embedding_near_dup convention).
+ORACLE_SQL["semantic_decontaminate_embeddings"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT * FROM e WHERE vec_id % 23 = 0),
+co AS (SELECT * FROM e WHERE vec_id % 23 <> 0),
+p AS (
+  SELECT co.vec_id, list_cosine_similarity(co.v, ev.v) AS s
+  FROM co, ev WHERE list_cosine_similarity(co.v, ev.v) >= 0.35::DOUBLE
+)
+SELECT vec_id, count(*)::BIGINT AS n_hits,
+       floor(max(s) * 1e4)::BIGINT AS max_sim_e4
+FROM p GROUP BY vec_id
 """

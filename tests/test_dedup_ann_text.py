@@ -621,3 +621,26 @@ def test_phash_near_dups_against_index_lookup(spark):
         phash_near_dups_against(
             batch, index, "img", "ph", bits=16, bands=4, max_hamming=4
         )
+
+
+def test_semantic_decontaminate_flags_and_counts(spark):
+    from ndto_spark.dedup import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    co = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),    # cos=1 to ev100, 0 to ev101 -> 1 hit
+            (2, [1.0, 1.0]),    # cos≈0.707 to both -> 2 hits
+            (3, [-1.0, 0.0]),   # negative/zero cos -> no hits
+            (4, [0.0, 0.0]),    # zero vector skipped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["n_hits"], round(r["max_sim"], 9))
+        for r in semantic_decontaminate(co, ev, threshold=0.5).collect()
+    }
+    assert out == {1: (1, 1.0), 2: (2, round(2**-0.5, 9))}
