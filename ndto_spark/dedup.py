@@ -1578,3 +1578,70 @@ def semantic_decontaminate(
         )
         .select(F.col("c_id").alias(id_col), "n_hits", "max_sim")
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_count: int = 2,
+    spread: bool = True,
+) -> DataFrame:
+    """Repeated-substring span detection — the detection half of
+    ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): at every character position, hash the
+    k-char gram starting there; a position is DUPLICATED when its gram
+    occurs ≥ ``min_count`` times in the whole corpus (within OR across
+    docs — memorization doesn't care which document repeats the span).
+
+    Output: (id, n_pos, n_dup, dup_frac_e6) per doc with ≥ 1 position
+    (docs shorter than k characters have none and are omitted);
+    dup_frac_e6 is an exact integer ``(n_dup·1e6) div n_pos``.
+
+    100 TB shape: the gram-hash ARRAY is built in one let-bound
+    projection (explode_outer + IS-NOT-NULL, the rule-safe explode), so
+    only (doc, hash) longs ever shuffle — never text. One
+    ``repartition(hash)`` Exchange is shared (ReuseExchange) by the
+    corpus-wide gram count and the join back, and the per-doc rollup is
+    partially aggregated map-side. ``spread`` pins the hashing stage to
+    shuffle.partitions tasks (file-layout-bound scans otherwise run it
+    1-task). Memory per task is bounded by gram-count partial-agg state.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    if spread:
+        rows = _spread(rows)  # gram hashing must not ride the 1-task scan
+
+    def _gram_hashes(t: Column) -> Column:
+        n = F.length(t) - F.lit(k - 1)
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: md5_low32(t.substr(i, F.lit(k))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    g = (
+        rows.select(
+            "doc",
+            F.explode_outer(bind(F.col("_t"), _gram_hashes)).alias("gh"),
+        )
+        .filter(F.col("gh").isNotNull())
+        .repartition(F.col("gh"))  # ONE Exchange: count + join-back share it
+    )
+    counts = g.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    flagged = g.join(counts, "gh").groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+        F.sum((F.col("c") >= min_count).cast("bigint"))
+        .cast("bigint")
+        .alias("n_dup"),
+    )
+    return flagged.select(
+        F.col("doc").alias(id_col),
+        "n_pos",
+        "n_dup",
+        F.expr("(n_dup * 1000000L) div n_pos").alias("dup_frac_e6"),
+    )

@@ -3320,6 +3320,15 @@ def q_semantic_decontaminate_embeddings(
     )
 
 
+def q_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated 20-char-gram span fractions over
+    documents. The oracle re-enumerates every position with DuckDB's
+    range() + substr and replays the corpus-wide gram counts."""
+    from .dedup import dup_spans
+
+    return dup_spans(_read(spark, sf_dir, "documents"), "doc_id", "text", k=20)
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3461,6 +3470,7 @@ QUERIES = {
     "pagerank_events": q_pagerank_events,
     "linear_scores_documents": q_linear_scores_documents,
     "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,
+    "dup_spans_documents": q_dup_spans_documents,
 }
 
 
@@ -6643,4 +6653,21 @@ p AS (
 SELECT vec_id, count(*)::BIGINT AS n_hits,
        floor(max(s) * 1e4)::BIGINT AS max_sim_e4
 FROM p GROUP BY vec_id
+"""
+
+
+# dup spans: DuckDB enumerates the same char positions and replays the
+# corpus-wide gram-count rule with its own GROUP BY.
+ORACLE_SQL["dup_spans_documents"] = f"""
+WITH g AS (
+  SELECT d.doc_id,
+         {_md5_low32_sql("substr(d.text, t.i::INT, 20)")} AS gh
+  FROM documents d, unnest(range(1, greatest(len(d.text) - 18, 1))) AS t(i)
+),
+c AS (SELECT gh, count(*) AS c FROM g GROUP BY gh)
+SELECT g.doc_id, count(*)::BIGINT AS n_pos,
+       coalesce(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END), 0)::BIGINT AS n_dup,
+       ((coalesce(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END), 0) * 1000000)
+        // count(*))::BIGINT AS dup_frac_e6
+FROM g JOIN c USING (gh) GROUP BY g.doc_id
 """

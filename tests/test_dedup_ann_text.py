@@ -644,3 +644,32 @@ def test_semantic_decontaminate_flags_and_counts(spark):
         for r in semantic_decontaminate(co, ev, threshold=0.5).collect()
     }
     assert out == {1: (1, 1.0), 2: (2, round(2**-0.5, 9))}
+
+
+def test_dup_spans_cross_doc_within_doc_and_short(spark):
+    from ndto_spark.dedup import dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),   # identical to doc 2: every gram duplicated
+            (2, "abcdefgh"),
+            (3, "aaaaaa"),     # within-doc repeat: "aaaaa" at pos 1 and 2
+            (4, "qwertyuiop"), # unique grams only
+            (5, "abc"),        # shorter than k: omitted
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_pos"], r["n_dup"], r["dup_frac_e6"])
+        for r in dup_spans(df, "id", "text", k=5).collect()
+    }
+    assert out[1] == (4, 4, 1_000_000)
+    assert out[2] == (4, 4, 1_000_000)
+    assert out[3] == (2, 2, 1_000_000)
+    assert out[4] == (6, 0, 0)
+    assert 5 not in out
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        dup_spans(df, "id", "text", k=1)
