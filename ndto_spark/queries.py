@@ -3329,6 +3329,47 @@ def q_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_spans(_read(spark, sf_dir, "documents"), "doc_id", "text", k=20)
 
 
+def q_rollup_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP dataset stats over events: (event_type, day)
+    prefix levels + grand total in one pass, with per-dim grouping
+    flags. Oracle = DuckDB's OWN ROLLUP + GROUPING() — independent."""
+    from .table_rules import rollup_stats
+
+    e = _read(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return rollup_stats(
+        d, ["event_type", "day"], {"sum_cents": F.col("cents")}
+    )
+
+
+def q_spikes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window volume spikes per event_type: rows on days where
+    day % 11 == 3 are replicated 4x expression-side (both engines replay
+    the planting), so those buckets exceed the 2x trailing-7-bucket mean
+    once the window warms up. Oracle = DuckDB's OWN rolling window."""
+    from .table_rules import rolling_count_spikes
+
+    e = _read(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    planted = e.select(
+        "ts",
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.when(day % 11 == 3, F.lit(4)).otherwise(F.lit(1))
+            )
+        ).alias("_r"),
+    )
+    return rolling_count_spikes(
+        planted, "ts", "event_type", granularity_seconds=86400,
+        window=7, mult_e6=2_000_000, min_base=3,
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3471,6 +3512,8 @@ QUERIES = {
     "linear_scores_documents": q_linear_scores_documents,
     "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,
     "dup_spans_documents": q_dup_spans_documents,
+    "rollup_stats_events": q_rollup_stats_events,
+    "spikes_events": q_spikes_events,
 }
 
 
@@ -6670,4 +6713,44 @@ SELECT g.doc_id, count(*)::BIGINT AS n_pos,
        ((coalesce(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END), 0) * 1000000)
         // count(*))::BIGINT AS dup_frac_e6
 FROM g JOIN c USING (gh) GROUP BY g.doc_id
+"""
+
+
+# rollup stats: DuckDB's own GROUP BY ROLLUP + GROUPING() is the
+# independent evaluator.
+ORACLE_SQL["rollup_stats_events"] = """
+SELECT event_type,
+       epoch_us(ts) // 86400000000 AS day,
+       count(*)::BIGINT AS n_rows,
+       sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents,
+       GROUPING(event_type)::BIGINT AS event_type_agg,
+       GROUPING(epoch_us(ts) // 86400000000)::BIGINT AS day_agg
+FROM events
+GROUP BY ROLLUP (event_type, epoch_us(ts) // 86400000000)
+"""
+
+# spikes: the planting (4x on day % 11 == 3) and the rolling compare are
+# replayed with DuckDB's own window implementation.
+ORACLE_SQL["spikes_events"] = """
+WITH planted AS (
+  SELECT e.event_type, epoch_us(e.ts) // 86400000000 AS bucket
+  FROM events e,
+       unnest(range(CASE WHEN (epoch_us(e.ts) // 86400000000) % 11 = 3
+                         THEN 4 ELSE 1 END)) AS t(r)
+),
+c AS (
+  SELECT event_type, bucket, count(*)::BIGINT AS n_rows
+  FROM planted GROUP BY 1, 2
+),
+w AS (
+  SELECT *,
+         count(*) OVER win::BIGINT AS base_n,
+         coalesce(sum(n_rows) OVER win, 0)::BIGINT AS base_sum
+  FROM c
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket, n_rows, base_n, base_sum,
+       base_n >= 3 AND n_rows * base_n * 1000000 > 2000000 * base_sum AS spike
+FROM w
 """

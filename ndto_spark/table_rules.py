@@ -1332,3 +1332,98 @@ def benford_report(
             > F.lit(tolerance_e6),
         )
     )
+
+
+def rollup_stats(
+    df: DataFrame,
+    dims: Sequence[str],
+    sum_cols: "Optional[dict[str, Column]]" = None,
+) -> DataFrame:
+    """Hierarchical dataset statistics via GROUP BY ROLLUP: counts (and
+    optional integer sums) at every prefix level of ``dims`` — per
+    (a, b), per (a), and the grand total in ONE pass. The multi-level
+    dataset-card rollup (per-source, per-(source, lang), overall) without
+    scanning once per level.
+
+    Each dim also emits ``<dim>_agg`` (1 = this level aggregates the dim
+    away) so consumers — and the gate's hash compare — can tell a rolled-
+    up NULL from a genuine NULL dim value.
+
+    100 TB shape: Spark expands rollup into a single Expand + one
+    partially-aggregated hash aggregate — one corpus scan, map-side
+    combine at every level; output is |level-combo| rows, data-size
+    independent. Pass pre-quantized integer expressions in ``sum_cols``
+    (order-independent sums keep the result engine-exact).
+    """
+    dims = list(dims)
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for name, col in (sum_cols or {}).items():
+        aggs.append(F.sum(col).cast("bigint").alias(name))
+    aggs.extend(
+        F.grouping(d).cast("bigint").alias(f"{d}_agg") for d in dims
+    )
+    return df.rollup(*dims).agg(*aggs)
+
+
+def rolling_count_spikes(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: "str | Sequence[str]",
+    granularity_seconds: int = 86400,
+    window: int = 7,
+    mult_e6: int = 2_000_000,
+    min_base: int = 3,
+) -> DataFrame:
+    """Per-group rolling-window volume spike detection: bucket rows into
+    fixed periods per group, then flag buckets whose count exceeds
+    ``mult_e6``× the mean of the previous ``window`` buckets — the
+    feed-burst / crawler-loop probe that the global median-MAD
+    ``count_anomalies`` can't localize to one group.
+
+    The compare is the exact integer cross-multiply
+    ``n · base_n · 1e6 > mult_e6 · base_sum`` (mean = base_sum/base_n
+    never materializes as a float); buckets with fewer than ``min_base``
+    preceding observed buckets emit spike = false (cold start). Only
+    OBSERVED buckets count toward the base (a silent group stays silent —
+    pair with coverage_gaps for the missing-bucket view).
+
+    Output: (group…, bucket, n_rows, base_n, base_sum, spike).
+
+    100 TB shape: one partial-agg groupBy collapses the corpus to
+    (group, bucket) counts — |groups|·|buckets| rows, time-bounded — and
+    the rolling window runs per group over THAT tiny frame; the corpus
+    itself never sorts.
+    """
+    gc = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    bucket = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / F.lit(granularity_seconds)
+    ).cast("bigint")
+    counts = df.groupBy(*gc, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*gc)
+        .orderBy("bucket")
+        .rowsBetween(-window, -1)
+    )
+    base_n = F.count(F.lit(1)).over(w).cast("bigint")
+    base_sum = F.sum("n_rows").over(w).cast("bigint")
+    out = counts.select(
+        *gc,
+        "bucket",
+        "n_rows",
+        base_n.alias("base_n"),
+        F.coalesce(base_sum, F.lit(0)).cast("bigint").alias("base_sum"),
+    )
+    return out.withColumn(
+        "spike",
+        (F.col("base_n") >= min_base)
+        & (
+            F.col("n_rows") * F.col("base_n") * F.lit(1_000_000)
+            > F.lit(int(mult_e6)) * F.col("base_sum")
+        ),
+    )

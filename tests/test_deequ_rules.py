@@ -419,3 +419,54 @@ def test_benford_report_shares_and_expectations(spark):
         9: (5, 250_000, e(9), True),
     }
     assert got[1][3] is True and got[2][3] is False
+
+
+def test_rollup_stats_levels_and_grouping_flags(spark):
+    from ndto_spark.table_rules import rollup_stats
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "x", 10), ("a", "y", 20), ("b", "x", 5)],
+        "s string, l string, v long",
+    )
+    out = rollup_stats(df, ["s", "l"], {"sum_v": F.col("v")})
+    got = {
+        (r["s"], r["l"], r["s_agg"], r["l_agg"]): (r["n_rows"], r["sum_v"])
+        for r in out.collect()
+    }
+    assert got[("a", "x", 0, 0)] == (1, 10)
+    assert got[("a", None, 0, 1)] == (2, 30)   # per-s level
+    assert got[(None, None, 1, 1)] == (3, 35)  # grand total
+    assert len(got) == 3 + 2 + 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rollup_stats(df, [])
+
+
+def test_rolling_count_spikes_flags_burst_after_warmup(spark):
+    import datetime as dt
+
+    from ndto_spark.table_rules import rolling_count_spikes
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # 5 quiet days of 2 rows, then a 10-row burst on day 5
+    for d in range(5):
+        rows += [("g", base + dt.timedelta(days=d, hours=h)) for h in (1, 2)]
+    rows += [
+        ("g", base + dt.timedelta(days=5, minutes=m)) for m in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {
+        r["bucket"]: (r["n_rows"], r["base_n"], r["base_sum"], r["spike"])
+        for r in rolling_count_spikes(
+            df, "ts", "k", window=7, mult_e6=2_000_000, min_base=3
+        ).collect()
+    }
+    b0 = min(out)
+    # first 3 buckets: cold start (base_n < 3) -> no spike
+    assert not out[b0][3] and not out[b0 + 1][3] and not out[b0 + 2][3]
+    # burst day: 10 rows vs mean 2 over 5 base buckets -> spike
+    assert out[b0 + 5] == (10, 5, 10, True)
