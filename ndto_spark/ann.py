@@ -640,3 +640,119 @@ def unit_norm_embeddings(
         F.col("_s.norm_e9").alias("norm_e9"),
         F.col("_s.unit").alias("unit"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query (anchor), the k most-similar corpus vectors whose ``group_col``
+    DIFFERS from the anchor's — the near-miss negatives that teach a
+    metric model its decision boundary (in-batch random negatives are
+    trivially far at scale; hard ones carry the gradient signal).
+
+    Same-group candidates (potential positives) and self-matches are
+    excluded with a null-safe compare, so NULL-labeled rows are mutual
+    negatives of everything, including each other. Ties break by
+    neighbor id. Returns (query_id, neighbor_id, cosine_sim).
+
+    100 TB shape: identical to ``brute_force_topk`` — anchors broadcast,
+    ONE corpus scan, and the group filter prunes candidates BEFORE the
+    bounded two-phase top-k (O(k·partitions) state per anchor, never the
+    candidate set). For anchor sets too big to broadcast, run per-shard.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col(group_col).alias("qg"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(group_col).alias("cg"),
+    )
+    scored = c.join(
+        q,
+        (F.col("query_id") != F.col("neighbor_id"))
+        & ~F.col("qg").eqNullSafe(F.col("cg")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+    )
+    return two_phase_topk(scored, k)
+
+
+def centroid_outliers(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_e6: int = 2_000_000,
+) -> DataFrame:
+    """Embedding-space outlier detection: squared L2 distance to the
+    NEAREST codebook centroid, flagged when the e6-quantized distance
+    exceeds ``threshold_e6`` — the garbage-embedding probe (corrupt
+    decodes, OOD inputs, collapsed encoders) run before vectors enter an
+    ANN index or a SemDeDup pass.
+
+    Distance math is fixed-order per centroid: ``(ssv − 2·dot) + ssc``
+    with the vector's squared norm let-bound ONCE per row and each
+    centroid's squared norm a Python-float literal; argmin ties break on
+    the lower centroid index (lexicographic struct min). Output:
+    (id, cid, dist2_e6, outlier).
+
+    100 TB shape: pure expression-side projection — the codebook rides as
+    plan literals (``_check_codebook_size`` guard), one corpus scan, zero
+    joins/shuffles/Python; cost O(k·dim) per row, the IVF-assignment
+    shape.
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    _check_codebook_size(len(centroids), max(len(c) for c in centroids))
+    from .dedup import bind
+
+    cents = [[float(x) for x in c] for c in centroids]
+    ss_c = [sum(x * x for x in c) for c in cents]
+
+    def _assign(v: Column) -> Column:
+        ssv = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+
+        def _over_ssv(sv: Column) -> Column:
+            best = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            (
+                                (sv - F.lit(2.0) * dot(v, F.array(*map(F.lit, c))))
+                                + F.lit(ss_c[i])
+                            ).alias("d2"),
+                            F.lit(i).cast("bigint").alias("cid"),
+                        )
+                        for i, c in enumerate(cents)
+                    ]
+                )
+            )
+            return F.struct(
+                best["cid"].alias("cid"),
+                F.floor(best["d2"] * F.lit(1e6)).cast("bigint").alias("dist2_e6"),
+            )
+
+        return bind(ssv, _over_ssv)
+
+    out = df.select(
+        F.col(id_col),
+        bind(F.col(vec_col).cast("array<double>"), _assign).alias("_a"),
+    )
+    return out.select(
+        id_col,
+        F.col("_a.cid").alias("cid"),
+        F.col("_a.dist2_e6").alias("dist2_e6"),
+    ).withColumn("outlier", F.col("dist2_e6") > F.lit(int(threshold_e6)))

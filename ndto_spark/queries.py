@@ -3370,6 +3370,53 @@ def q_spikes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance embedding outliers: codebook = the deterministic
+    md5-ordered 16-sample (the untrained-IVF pick), flag vectors whose
+    nearest-centroid squared distance exceeds 1.75 (e6-quantized). The
+    oracle replays the exact (ssv - 2*dot) + ssc fold order — not native
+    distance functions — so dist2_e6 matches bit-for-bit."""
+    from .ann import centroid_outliers
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = [
+        list(r["cvec"])
+        for r in emb.select(
+            F.col("embedding").alias("cvec"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+        )
+        .orderBy("h", "vec_id")
+        .limit(16)
+        .select("cvec")
+        .collect()
+    ]
+    return centroid_outliers(emb, cents, threshold_e6=1_750_000)
+
+
+def q_hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for anchors vec_id < 5, the 3 most-similar
+    vectors with a DIFFERENT label (same-label positives excluded).
+    Oracle = the ann_topk shape plus the label exclusion."""
+    from .ann import hard_negatives
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    out = hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 5), k=3
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4"),
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3514,6 +3561,8 @@ QUERIES = {
     "dup_spans_documents": q_dup_spans_documents,
     "rollup_stats_events": q_rollup_stats_events,
     "spikes_events": q_spikes_events,
+    "embedding_outliers": q_embedding_outliers,
+    "hard_negatives_embeddings": q_hard_negatives_embeddings,
 }
 
 
@@ -6753,4 +6802,60 @@ w AS (
 SELECT event_type, bucket, n_rows, base_n, base_sum,
        base_n >= 3 AND n_rows * base_n * 1000000 > 2000000 * base_sum AS spike
 FROM w
+"""
+
+
+_FOLD_SS = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform({v}, x -> x * x)), (a, b) -> a + b)"
+)
+_FOLD_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
+    "(a, b) -> a + b)"
+)
+
+# centroid outliers: the oracle replays the EXACT Spark fold order
+# ((ssv - 2*dot) + ssc), so the e6-quantized distance is bit-identical.
+ORACLE_SQL["embedding_outliers"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
+         v AS cvec
+  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+),
+d AS (
+  SELECT e.vec_id, c.cid,
+         (({_FOLD_SS.format(v="e.v")})
+          - 2.0::DOUBLE * ({_FOLD_DOT.format(a="e.v", b="c.cvec")}))
+         + ({_FOLD_SS.format(v="c.cvec")}) AS d2
+  FROM e CROSS JOIN cents c
+),
+r AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+  FROM d
+)
+SELECT vec_id, cid, floor(d2 * 1e6)::BIGINT AS dist2_e6,
+       floor(d2 * 1e6)::BIGINT > 1750000 AS outlier
+FROM r WHERE rk = 1
+"""
+
+# hard negatives: the ann_topk oracle shape + the null-safe label exclusion.
+ORACLE_SQL["hard_negatives_embeddings"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.v) AS sim
+  FROM q, e
+  WHERE e.vec_id != q.query_id AND e.label IS DISTINCT FROM q.ql
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(floor(sim * 1e4) AS BIGINT) AS sim_e4
+FROM ranked WHERE rk <= 3
 """

@@ -673,3 +673,49 @@ def test_dup_spans_cross_doc_within_doc_and_short(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         dup_spans(df, "id", "text", k=1)
+
+
+def test_centroid_outliers_assignment_and_flag(spark):
+    from ndto_spark.ann import centroid_outliers
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, 0.0]),   # d2=0.25 to c0
+            (2, [9.0, 0.0]),   # d2=1.0 to c1
+            (3, [5.0, 0.0]),   # equidistant (25.0): tie -> cid 0
+            (4, [0.0, 3.0]),   # d2=9.0 to c0 -> outlier at thr 2e6
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["cid"], r["dist2_e6"], r["outlier"])
+        for r in centroid_outliers(df, cents, threshold_e6=2_000_000).collect()
+    }
+    assert out[1] == (0, 250_000, False)
+    assert out[2] == (1, 1_000_000, False)
+    assert out[3][0] == 0 and out[3][2] is True
+    assert out[4] == (0, 9_000_000, True)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        centroid_outliers(df, [])
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from ndto_spark.ann import hard_negatives
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.99, 0.1], 7),   # same label: excluded despite sim
+            (2, [0.9, 0.2], 8),
+            (3, [0.5, 0.5], None), # null label: valid negative
+            (4, [-1.0, 0.0], 8),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    got = [(r["query_id"], r["neighbor_id"]) for r in out]
+    assert got == [(0, 2), (0, 3)]  # ordered by sim desc; 1 excluded
