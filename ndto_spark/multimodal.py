@@ -316,3 +316,60 @@ def audio_quality_verdicts(
         q(peak).alias("peak_e6"),
         verdict.alias("verdict"),
     )
+
+
+def color_histograms(
+    df: DataFrame, n_bins: int = 4, id_col: str = "image_id"
+) -> DataFrame:
+    """Per-channel color histograms over REALLY decoded pixels — the
+    color-profile feature image curation pipelines bucket on (tint
+    filters, duplicate-palette detection, day/night splits). Each decoded
+    image emits its NON-EMPTY (channel, bin) cells: bin = pixel_value //
+    (256 // n_bins), n_px the exact pixel count. Undecodable payloads
+    emit nothing (the ok=False path is gated in decode_image_features).
+
+    Output: (id, channel 0..2, bin, n_px) — sparse long format, so the
+    row volume is data-bounded (≤ 3·n_bins per image) and needs no
+    array-vs-list comparison shims in the gate.
+
+    100 TB shape: same single Arrow exchange as decode_image_features —
+    mapInPandas, per-row Python is one ``bincount`` per channel
+    (vectorized over pixels), bookkeeping is list-extend per NONZERO bin
+    only; no shuffle, no joins.
+    """
+    if n_bins < 2 or 256 % n_bins:
+        raise ValueError(f"n_bins must divide 256 and be >= 2, got {n_bins}")
+    width = 256 // n_bins
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf["bytes"].to_numpy(dtype=object, copy=False)
+            ids = pdf[id_col].to_numpy(dtype=object, copy=False)
+            o_id, o_ch, o_bin, o_n = [], [], [], []
+            for i in range(len(pdf)):
+                try:
+                    _, px = codecs.decode(bytes(payloads[i]))
+                except Exception:
+                    continue
+                for ch in range(3):
+                    counts = np.bincount(
+                        (px[:, :, ch] // width).ravel(), minlength=n_bins
+                    )
+                    nz = np.nonzero(counts)[0]
+                    o_id.extend([ids[i]] * len(nz))
+                    o_ch.extend([ch] * len(nz))
+                    o_bin.extend(int(b) for b in nz)
+                    o_n.extend(int(c) for c in counts[nz])
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.Series(o_id, dtype=object),
+                    "channel": pd.Series(o_ch, dtype="int32"),
+                    "bin": pd.Series(o_bin, dtype="int32"),
+                    "n_px": pd.Series(o_n, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "bytes").mapInPandas(
+        run, "image_id string, channel int, bin int, n_px long"
+    )

@@ -3417,6 +3417,19 @@ def q_hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_color_hist_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel 4-bin color histograms over REALLY decoded two-tone
+    fixtures: each decodable image is exactly two pixel values (c1,
+    c1+100) in equal halves, and 100 > 64 puts them in distinct bins —
+    so the sparse histogram is a closed-form SQL expression of the row
+    id (two cells per channel, w·h/2 pixels each)."""
+    from . import fixtures
+    from .multimodal import color_histograms
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    return color_histograms(df, n_bins=4)
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3563,6 +3576,7 @@ QUERIES = {
     "spikes_events": q_spikes_events,
     "embedding_outliers": q_embedding_outliers,
     "hard_negatives_embeddings": q_hard_negatives_embeddings,
+    "color_hist_images": q_color_hist_images,
 }
 
 
@@ -6858,4 +6872,26 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(floor(sim * 1e4) AS BIGINT) AS sim_e4
 FROM ranked WHERE rk <= 3
+"""
+
+
+# color histograms: the two-tone fixture makes every histogram cell a
+# closed-form function of the row id (c1 and c1+100 never share a 64-wide
+# bin; halves are exactly w*h/2 pixels — w is a multiple of 4).
+ORACLE_SQL["color_hist_images"] = f"""
+WITH cls AS (
+  SELECT i, printf('fi_%08d', i) AS iid,
+    8 + 4 * (i % 5) AS w, 6 + i % 7 AS h,
+    (i * 37 + 11) % 128 AS c1
+  FROM (SELECT unnest(range({_FEAT_IMG_N})) AS i)
+  WHERE i % 25 <> 24
+),
+cells AS (
+  SELECT iid, ch.ch AS channel, b.bin AS bin, (w * h // 2)::BIGINT AS n_px
+  FROM cls,
+       (SELECT unnest([0, 1, 2]) AS ch) ch,
+       LATERAL (SELECT unnest([c1 // 64, (c1 + 100) // 64]) AS bin) b
+)
+SELECT iid AS image_id, channel::INT AS channel, bin::INT AS bin, n_px
+FROM cells
 """

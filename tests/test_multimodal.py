@@ -331,3 +331,30 @@ def test_audio_quality_verdict_priority(spark):
     # three classes are reachable here; near_clipped/ok coverage lives in
     # the 600-clip gate oracle (amp sweeps the full residue range there)
     assert seen == {"undecodable", "too_short", "too_quiet"}
+
+
+def test_color_histograms_counts_skip_undecodable_and_validate(spark):
+    import numpy as np
+    import pytest
+
+    from ndto_spark import codecs
+    from ndto_spark.multimodal import color_histograms
+
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 10          # R: all 8 px in bin 0
+    px[:, :, 1] = 200         # G: all in bin 3
+    px[:, 2:, 2] = 70         # B: 4 px bin 0, 4 px bin 1
+    df = spark.createDataFrame(
+        [("a", bytearray(codecs.png_encode(px))), ("bad", bytearray(b"nope"))],
+        "image_id string, bytes binary",
+    )
+    rows = color_histograms(df, n_bins=4).collect()
+    got = {(r["image_id"], r["channel"], r["bin"]): r["n_px"] for r in rows}
+    assert got == {
+        ("a", 0, 0): 8,
+        ("a", 1, 3): 8,
+        ("a", 2, 0): 4,
+        ("a", 2, 1): 4,
+    }
+    with pytest.raises(ValueError, match="n_bins"):
+        color_histograms(df, n_bins=3)
