@@ -756,3 +756,52 @@ def centroid_outliers(
         F.col("_a.cid").alias("cid"),
         F.col("_a.dist2_e6").alias("dist2_e6"),
     ).withColumn("outlier", F.col("dist2_e6") > F.lit(int(threshold_e6)))
+
+
+def dimension_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Per-DIMENSION embedding health profile — the whitening/PCA prep
+    and the dead-dim / scale-drift probe (a collapsed encoder shows up as
+    dimensions with zero variance; a fine-tune gone wrong as a few
+    dimensions dwarfing the rest).
+
+    All aggregates are EXACT integers over e9-quantized components
+    (float sums across rows are partition-order-dependent; integer sums
+    are not — the engine-portability rule every cross-row float reduction
+    here follows): (dim, n, n_zero, sum_q, sum_sq_q, min_q, max_q,
+    dead = min_q == max_q). Means/variances divide out downstream at
+    whatever precision the consumer wants.
+
+    100 TB shape: posexplode_outer (rule-safe generator) → ONE
+    partial-aggregated groupBy(dim) — state is |dims| rows per task, the
+    shuffle carries |dims| partials per partition; no windows, no joins.
+    """
+    q = F.floor(F.col("x") * F.lit(float(scale))).cast("bigint")
+    g = (
+        df.select(
+            F.posexplode_outer(F.col(vec_col).cast("array<double>")).alias(
+                "dim", "x"
+            )
+        )
+        .filter(F.col("x").isNotNull())
+        .select(F.col("dim").cast("bigint").alias("dim"), q.alias("xq"),
+                F.col("x"))
+    )
+    sq = F.floor(F.col("x") * F.col("x") * F.lit(float(scale))).cast("bigint")
+    return (
+        g.select("dim", "xq", sq.alias("x2q"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("xq") == 0).cast("bigint")).cast("bigint").alias("n_zero"),
+            F.sum("xq").cast("bigint").alias("sum_q"),
+            F.sum("x2q").cast("bigint").alias("sum_sq_q"),
+            F.min("xq").cast("bigint").alias("min_q"),
+            F.max("xq").cast("bigint").alias("max_q"),
+        )
+        .withColumn("dead", F.col("min_q") == F.col("max_q"))
+    )

@@ -176,15 +176,22 @@ def grouped_shard_manifest(
     key_expr = F.concat_ws(
         sep, *[F.col(c).cast("string") for c in gc], F.col("_pid")
     )
-    off_map = F.create_map(
-        *[
-            F.lit(x)
-            for (g, pid), off in sorted(
-                offsets.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
-            )
-            for x in (sep.join([*(str(v) for v in g), str(pid)]), off)
-        ]
-    )
+    if offsets:
+        off_map = F.create_map(
+            *[
+                F.lit(x)
+                for (g, pid), off in sorted(
+                    offsets.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+                )
+                for x in (sep.join([*(str(v) for v in g), str(pid)]), off)
+            ]
+        )
+    else:
+        # empty input: a zero-arg create_map() is map<string,string> and
+        # the `+ row_number` below fails analysis — use a typed empty map
+        off_map = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<int>")
+        )
     from pyspark.sql import Window
 
     local = F.row_number().over(

@@ -1204,3 +1204,69 @@ def linear_scores(
         "keep",
         F.col("margin_e6") > F.lit(int(threshold_e6)) * F.col("n_tokens"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Per-document characteristic terms — top-k by a LOGARITHM-FREE
+    tf-idf: ``score_e6 = tf · ((N · 1e6) div df)``, the linear-idf
+    variant (the collocations-lift precedent: libm ``ln`` differs across
+    engines in the last ulp, and a flipped near-tie re-orders top-k; the
+    integer score makes rank order bit-reproducible). Rarer terms damp
+    linearly instead of logarithmically — same extremes, monotone in tf
+    and 1/df — and the keyword-extraction verdict stays deterministic.
+
+    Output: (id, term, tf, df, score_e6, rank), rank 1..k per doc, ties
+    broken by (score desc, term asc).
+
+    100 TB shape: tokenize once into a partial-aggregated (doc, term) tf
+    groupBy (only compact pairs shuffle); doc frequency is a second
+    partial aggregate OVER the tf frame; N collects once as a 1-row
+    broadcast; the per-doc top-k is a window whose rank ≤ k filter
+    WindowGroupLimit pushes map-side — no doc's full term list ever
+    sorts in one task.
+    """
+    from pyspark.sql import Window
+
+    from ..dedup import tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    tf = (
+        base.select(
+            "doc", F.explode_outer(tokens(F.col("_t"))).alias("term")
+        )
+        .filter(F.col("term").isNotNull())
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = base.select(
+        F.count_distinct(F.col("doc")).cast("bigint").alias("_n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            "df",
+            F.expr("tf * ((_n * 1000000L) div df)").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "term", "tf", "df", "score_e6", "rank")
+    )

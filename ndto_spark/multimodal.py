@@ -373,3 +373,59 @@ def color_histograms(
     return df.select(id_col, "bytes").mapInPandas(
         run, "image_id string, channel int, bin int, n_px long"
     )
+
+
+def embed_images(
+    df: DataFrame, grid: int = 4, id_col: str = "image_id"
+) -> DataFrame:
+    """Pooled-pixel image embeddings: decode, grayscale (channel mean),
+    mean-pool onto a ``grid``×``grid`` cell lattice, and emit the
+    row-major cell means as an ``array<double>`` — the deterministic
+    stand-in for a CLIP-style encoder that wires the image pipeline into
+    the ANN/near-dup/SemDeDup operators (which only need an id + vector
+    contract). Cell boundaries are the integer lattice ``i·h div grid``
+    (phash_of's convention). Undecodable payloads emit nothing.
+
+    100 TB shape: the same single Arrow decode exchange as
+    decode_image_features; per-row Python is one reshape-free numpy mean
+    per cell; downstream ANN consumes (id, embedding) without the bytes
+    column ever shuffling.
+    """
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf["bytes"].to_numpy(dtype=object, copy=False)
+            ids = pdf[id_col].to_numpy(dtype=object, copy=False)
+            o_id, o_emb = [], []
+            for i in range(len(pdf)):
+                try:
+                    _, px = codecs.decode(bytes(payloads[i]))
+                except Exception:
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                if h < grid or w < grid:
+                    continue
+                gray = px.mean(axis=2, dtype=np.float64)
+                emb = [
+                    float(
+                        gray[
+                            r * h // grid : (r + 1) * h // grid,
+                            c * w // grid : (c + 1) * w // grid,
+                        ].mean()
+                    )
+                    for r in range(grid)
+                    for c in range(grid)
+                ]
+                o_id.append(ids[i])
+                o_emb.append(emb)
+            yield pd.DataFrame(
+                {"image_id": pd.Series(o_id, dtype=object),
+                 "embedding": pd.Series(o_emb, dtype=object)}
+            )
+
+    return df.select(id_col, "bytes").mapInPandas(
+        run, "image_id string, embedding array<double>"
+    )

@@ -3393,6 +3393,10 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cvec")
         .collect()
     ]
+    if not cents:  # empty table: nothing to profile, contract schema out
+        return spark.createDataFrame(
+            [], "vec_id bigint, cid bigint, dist2_e6 bigint, outlier boolean"
+        )
     return centroid_outliers(emb, cents, threshold_e6=1_750_000)
 
 
@@ -3428,6 +3432,93 @@ def q_color_hist_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
     return color_histograms(df, n_bins=4)
+
+
+def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event_type
+    sequences (tiebreak = event_id for equal timestamps). Oracle =
+    DuckDB's OWN lead window + GROUP BY; p_e6 is exact integer div."""
+    from .temporal import transition_matrix
+
+    e = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return transition_matrix(
+        e, "user_id", "ts", "event_type", tiebreak="event_id"
+    )
+
+
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join per event_type: left spans =
+    [ts, ts + (1 + event_id % 5) min), right spans (every 17th event) =
+    [ts, ts + (1 + user_id % 3) min). Exactly-once pair emission via the
+    max-start bucket filter; oracle = DuckDB's own inequality join."""
+    from .temporal import interval_overlap_join
+
+    e = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    left = e.select(
+        "event_type",
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_start"),
+        F.timestamp_add(
+            "MINUTE", (F.lit(1) + F.col("event_id") % 5).cast("int"), F.col("ts")
+        ).alias("l_end"),
+    )
+    right = e.filter(F.col("event_id") % 17 == 0).select(
+        "event_type",
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_start"),
+        F.timestamp_add(
+            "MINUTE", (F.lit(1) + F.col("user_id") % 3).cast("int"), F.col("ts")
+        ).alias("r_end"),
+    )
+    out = interval_overlap_join(
+        left, right, "event_type", "l_start", "l_end", "r_start", "r_end",
+        bucket_s=120.0,
+    )
+    return out.select("event_type", "l_id", "r_id")
+
+
+def q_dim_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: exact integer aggregates over
+    e9-quantized components (order-independent, engine-exact). Oracle
+    re-quantizes with DuckDB's generate_series indexing."""
+    from .ann import dimension_profile
+
+    return dimension_profile(_read(spark, sf_dir, "embeddings"))
+
+
+def q_image_embed_topk_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image → embedding → ANN composition: pooled-pixel embeddings
+    over REALLY decoded two-tone fixtures (cell means are exact integer
+    doubles by construction) fed into brute_force_topk. The oracle
+    rebuilds the closed-form 16-dim vectors from the row ids and replays
+    the exact cosine fold order."""
+    from . import ann, fixtures
+    from .multimodal import embed_images
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    emb = embed_images(df, grid=4)
+    anchors = emb.filter(F.col("image_id") < "fi_00000005")
+    out = ann.brute_force_topk(emb, anchors, "image_id", "embedding", k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4"),
+    )
+
+
+def q_tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by the log-free integer tf-idf
+    (score = tf * ((N*1e6) div df)) — rank order is bit-reproducible.
+    Oracle = DuckDB's own windows over the same integer scores."""
+    from .functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
 
 
 QUERIES = {
@@ -3577,6 +3668,11 @@ QUERIES = {
     "embedding_outliers": q_embedding_outliers,
     "hard_negatives_embeddings": q_hard_negatives_embeddings,
     "color_hist_images": q_color_hist_images,
+    "transitions_events": q_transitions_events,
+    "interval_join_events": q_interval_join_events,
+    "dim_profile_embeddings": q_dim_profile_embeddings,
+    "image_embed_topk_images": q_image_embed_topk_images,
+    "tfidf_documents": q_tfidf_documents,
 }
 
 
@@ -6894,4 +6990,116 @@ cells AS (
 )
 SELECT iid AS image_id, channel::INT AS channel, bin::INT AS bin, n_px
 FROM cells
+"""
+
+
+ORACLE_SQL["transitions_events"] = """
+WITH seq AS (
+  SELECT user_id, event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_state
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+c AS (
+  SELECT state, next_state, count(*)::BIGINT AS n
+  FROM seq WHERE next_state IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT state, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.state, c.next_state, c.n,
+       ((c.n * 1000000) // t.tot)::BIGINT AS p_e6
+FROM c JOIN t USING (state)
+"""
+
+ORACLE_SQL["interval_join_events"] = """
+WITH l AS (
+  SELECT event_type, event_id AS l_id, ts AS l_s,
+         ts + to_minutes(1 + event_id % 5) AS l_e
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, event_id AS r_id, ts AS r_s,
+         ts + to_minutes(1 + user_id % 3) AS r_e
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id % 17 = 0
+)
+SELECT l.event_type, l.l_id, r.r_id
+FROM l JOIN r ON l.event_type = r.event_type
+             AND l.l_s < r.r_e AND r.r_s < l.l_e
+"""
+
+ORACLE_SQL["dim_profile_embeddings"] = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT t.i - 1 AS dim, v[t.i] AS x,
+         floor(v[t.i] * 1000000000.0::DOUBLE)::BIGINT AS xq,
+         floor(v[t.i] * v[t.i] * 1000000000.0::DOUBLE)::BIGINT AS x2q
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+)
+SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+       sum(CASE WHEN xq = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+       sum(xq)::BIGINT AS sum_q, sum(x2q)::BIGINT AS sum_sq_q,
+       min(xq)::BIGINT AS min_q, max(xq)::BIGINT AS max_q,
+       min(xq) = max(xq) AS dead
+FROM x GROUP BY dim
+"""
+
+# image-embed top-k: rebuild the closed-form pooled vectors from row ids
+# and replay the exact cosine fold order (dot/(sqrt(ssa)*sqrt(ssb))).
+ORACLE_SQL["image_embed_topk_images"] = f"""
+WITH cls AS (
+  SELECT i, printf('fi_%08d', i) AS iid,
+    (i * 37 + 11) % 128 AS c1, (i % 2 = 1) AS swapped
+  FROM (SELECT unnest(range({_FEAT_IMG_N})) AS i)
+  WHERE i % 25 <> 24
+),
+v AS (
+  SELECT iid,
+    list_transform(generate_series(0, 15), j ->
+      CASE WHEN (j % 4) < 2
+           THEN (CASE WHEN swapped THEN c1 + 100 ELSE c1 END)
+           ELSE (CASE WHEN swapped THEN c1 ELSE c1 + 100 END)
+      END::DOUBLE) AS emb
+  FROM cls
+),
+q AS (SELECT iid AS query_id, emb AS qv FROM v WHERE iid < 'fi_00000005'),
+scored AS (
+  SELECT q.query_id, v.iid AS neighbor_id,
+         ({{dot}}) / (sqrt({{ssa}}) * sqrt({{ssb}})) AS sim
+  FROM q, v WHERE v.iid != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, floor(sim * 1e4)::BIGINT AS sim_e4
+FROM ranked WHERE rk <= 3
+""".format(
+    dot=_FOLD_DOT.format(a="q.qv", b="v.emb"),
+    ssa=_FOLD_SS.format(v="q.qv"),
+    ssb=_FOLD_SS.format(v="v.emb"),
+)
+
+
+ORACLE_SQL["tfidf_documents"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DOC_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         (tf.tf * ((nn.n * 1000000) // dfreq.df))::BIGINT AS score_e6
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_e6 DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_e6, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3
 """

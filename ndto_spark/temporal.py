@@ -641,3 +641,119 @@ def scd2_intervals(
         "valid_to_us",
         F.col("valid_to_us").isNull().alias("is_current"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    by: str | Sequence[str],
+    ts: str,
+    state_col: str,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts over per-key event sequences:
+    for each key, order events by time and count (state → next_state)
+    adjacencies — the behavioral-sequence profile (navigation flows,
+    pipeline stage hops) and the input to sequence-anomaly scoring.
+
+    Output: (state, next_state, n, p_e6) where p_e6 is the exact integer
+    ``(n · 1e6) div row-total`` — a quantized row-stochastic matrix with
+    no float division in sight.
+
+    100 TB shape: ONE window Exchange on the key (lead over (key, time)),
+    then a partial-aggregated groupBy over the |states|² pair space and a
+    broadcast-sized row-total join. The corpus sorts per key once;
+    nothing else is data-sized.
+    """
+    by = _as_list(by)
+    order = [ts_to_us(df, ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*by).orderBy(*order)
+    pairs = (
+        df.withColumn("next_state", F.lead(state_col).over(w))
+        .filter(F.col("next_state").isNotNull())
+        .select(F.col(state_col).alias("state"), "next_state")
+    )
+    counts = pairs.groupBy("state", "next_state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("state").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "state")
+        .select(
+            "state",
+            "next_state",
+            "n",
+            F.expr("(n * 1000000L) div _tot").alias("p_e6"),
+        )
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | Sequence[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    *,
+    bucket_s: float,
+    max_buckets: int = 1 << 12,
+) -> DataFrame:
+    """Interval×interval OVERLAP join per key (half-open [start, end)):
+    every (left, right) pair whose spans intersect — ``range_join``'s
+    two-sided sibling (sessions × incidents, downtime × experiment
+    windows, speech segments × transcript spans).
+
+    Physical shape: BOTH sides explode into the fixed-width buckets they
+    cover and equi-join on (by…, bucket) with the exact overlap predicate
+    ``l_s < r_e AND r_s < l_e`` as the residual. A pair sharing several
+    buckets is emitted EXACTLY once — only in the bucket containing
+    ``greatest(l_start, r_start)`` (the overlap's first bucket), a pure
+    filter instead of a pair-level dropDuplicates shuffle. Same
+    ``max_buckets`` loud-failure guard as range_join, applied per side.
+
+    Output: all left columns then all non-key right columns (names must
+    be disjoint). Shuffles on (by, bucket) like any equi-join.
+    """
+    by = _as_list(by)
+    dup = (set(left.columns) & set(right.columns)) - set(by)
+    if dup:
+        raise ValueError(f"left/right column collision: {sorted(dup)}")
+    w_us = int(round(bucket_s * _US))
+    if w_us <= 0:
+        raise ValueError("bucket_s must be positive")
+
+    def _explode(df: DataFrame, start: str, end: str, cols: list) -> DataFrame:
+        s_us = ts_to_us(df, start)
+        e_us = ts_to_us(df, end)
+        first_b = F.floor(s_us / F.lit(w_us))
+        last_b = F.floor((e_us - F.lit(1)) / F.lit(w_us))
+        guard = F.assert_true(
+            last_b - first_b + F.lit(1) <= F.lit(int(max_buckets)),
+            F.concat(
+                F.lit(
+                    f"interval_overlap_join: interval covers > {max_buckets}"
+                    f" buckets of {bucket_s}s; start="
+                ),
+                F.col(start).cast("string"),
+            ),
+        )
+        d = df.filter(e_us > s_us).select(
+            "*",
+            F.when(guard.isNull(), F.sequence(first_b, last_b)).alias("__bs"),
+        )
+        return d.select(*cols, F.explode("__bs").alias("__b"))
+
+    li = _explode(left, l_start, l_end, left.columns)
+    ri = _explode(
+        right, r_start, r_end, [c for c in right.columns]
+    )
+    joined = li.join(ri, on=by + ["__b"], how="inner")
+    l_s, l_e = ts_to_us(left, l_start), ts_to_us(left, l_end)
+    r_s, r_e = ts_to_us(right, r_start), ts_to_us(right, r_end)
+    once = F.col("__b") == F.floor(F.greatest(l_s, r_s) / F.lit(w_us))
+    out_cols = list(left.columns) + [c for c in right.columns if c not in by]
+    return joined.filter((l_s < r_e) & (r_s < l_e) & once).select(*out_cols)

@@ -719,3 +719,39 @@ def test_hard_negatives_excludes_same_label(spark):
     out = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
     got = [(r["query_id"], r["neighbor_id"]) for r in out]
     assert got == [(0, 2), (0, 3)]  # ordered by sim desc; 1 excluded
+
+
+def test_dimension_profile_exact_integers_and_dead_dim(spark):
+    from ndto_spark.ann import dimension_profile
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.0, 0.0]), (2, [0.25, 1.0, -0.5]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["dim"]: r for r in dimension_profile(df).collect()}
+    assert out[0]["sum_q"] == 750_000_000 and not out[0]["dead"]
+    assert out[0]["sum_sq_q"] == 312_500_000  # 0.25e9 + 0.0625e9
+    assert out[1]["dead"] and out[1]["min_q"] == 1_000_000_000
+    assert out[2]["n_zero"] == 1 and out[2]["min_q"] == -500_000_000
+    assert all(out[d]["n"] == 2 for d in (0, 1, 2))
+
+
+def test_tfidf_top_terms_rank_and_logfree_score(spark):
+    from ndto_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana shared"),
+            (3, "cherry shared"),
+        ],
+        "id long, text string",
+    )
+    out = tfidf_top_terms(df, "id", "text", k=2).collect()
+    got = {(r["id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score_e6"])
+           for r in out}
+    # doc1: apple tf=2 df=1 -> 2*(3e6//1)=6e6 beats banana 1*(3e6//2)
+    assert got[(1, 1)] == ("apple", 2, 1, 6_000_000)
+    assert got[(1, 2)] == ("banana", 1, 2, 1_500_000)
+    # doc3: cherry (df=1, 3e6) beats shared (df=3, 1e6)
+    assert got[(3, 1)][0] == "cherry" and got[(3, 2)][0] == "shared"

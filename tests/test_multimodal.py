@@ -358,3 +358,28 @@ def test_color_histograms_counts_skip_undecodable_and_validate(spark):
     }
     with pytest.raises(ValueError, match="n_bins"):
         color_histograms(df, n_bins=3)
+
+
+def test_embed_images_pooled_cells_and_skips(spark):
+    import numpy as np
+    import pytest
+
+    from ndto_spark import codecs
+    from ndto_spark.multimodal import embed_images
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, 2:] = 90  # right half bright
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(codecs.png_encode(px))),
+            ("bad", bytearray(b"nope")),
+            ("tiny", bytearray(codecs.png_encode(np.zeros((1, 1, 3), np.uint8)))),
+        ],
+        "image_id string, bytes binary",
+    )
+    rows = embed_images(df, grid=2).collect()
+    got = {r["image_id"]: r["embedding"] for r in rows}
+    assert set(got) == {"a"}
+    assert got["a"] == [0.0, 90.0, 0.0, 90.0]
+    with pytest.raises(ValueError, match="grid"):
+        embed_images(df, grid=0)

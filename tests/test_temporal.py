@@ -324,3 +324,62 @@ def test_scd2_intervals_null_safe_and_no_compact(spark):
     assert raw.count() == 3
     with pytest.raises(ValueError, match="non-empty"):
         scd2_intervals(df, "k", "ts", [])
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from ndto_spark.temporal import transition_matrix
+
+    rows = [
+        (1, 1, "a", T(2024, 1, 1, 0)),
+        (2, 1, "b", T(2024, 1, 1, 1)),
+        (3, 1, "a", T(2024, 1, 1, 2)),
+        (4, 1, "c", T(2024, 1, 1, 3)),
+        (5, 2, "a", T(2024, 1, 1, 0)),
+        (6, 2, "b", T(2024, 1, 1, 1)),
+        # user 3: single event -> no transition
+        (7, 3, "z", T(2024, 1, 1, 0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, u long, s string, ts timestamp")
+    out = {
+        (r["state"], r["next_state"]): (r["n"], r["p_e6"])
+        for r in transition_matrix(df, "u", "ts", "s", tiebreak="event_id").collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 666_666),
+        ("a", "c"): (1, 333_333),
+        ("b", "a"): (1, 1_000_000),
+    }
+
+
+def test_interval_overlap_join_exactly_once_and_boundaries(spark):
+    from ndto_spark.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            ("k", 1, T(2024, 1, 1, 0, 0), T(2024, 1, 1, 1, 0)),
+            ("k", 2, T(2024, 1, 1, 2, 0), T(2024, 1, 1, 3, 0)),
+        ],
+        "k string, l_id long, l_s timestamp, l_e timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            # overlaps l1 across many tiny buckets -> must emit ONCE
+            ("k", 10, T(2024, 1, 1, 0, 30), T(2024, 1, 1, 2, 30)),
+            # touches l1's end exactly: half-open -> NO match with l1
+            ("k", 11, T(2024, 1, 1, 1, 0), T(2024, 1, 1, 1, 30)),
+            ("x", 12, T(2024, 1, 1, 0, 0), T(2024, 1, 1, 9, 0)),  # other key
+        ],
+        "k string, r_id long, r_s timestamp, r_e timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, "k", "l_s", "l_e", "r_s", "r_e", bucket_s=60.0
+    )
+    got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    assert got == [(1, 10), (2, 10)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(
+            left, left, "k", "l_s", "l_e", "l_s", "l_e", bucket_s=60.0
+        )
