@@ -429,3 +429,87 @@ def embed_images(
     return df.select(id_col, "bytes").mapInPandas(
         run, "image_id string, embedding array<double>"
     )
+
+
+def energy_segments(
+    df: DataFrame,
+    window: int = 256,
+    thr_e6: int = 200_000,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over REAL WAV decode —
+    the speech-corpus first pass that trims silence and splits long
+    recordings before ASR/captioning. Per clip: channel-mean samples are
+    cut into fixed ``window``-sample frames (tail frame short), each
+    frame's RMS (of x/2^15) is e6-quantized, frames with
+    ``rms_e6 >= thr_e6`` are ACTIVE, and consecutive active frames merge
+    into segments.
+
+    Output: (id, n_windows, n_active, n_segments, longest_run,
+    rms_max_e6). Undecodable payloads emit nothing (the ok=False path is
+    gated in audio_features_clips). Keep ``window`` a power of two when
+    bit-reproducibility matters: the frame mean then divides by a power
+    of two (exact), which is what lets the gate's closed-form fixture
+    oracle replay rms_e6 exactly.
+
+    100 TB shape: same single Arrow exchange as extract_audio_features;
+    per-row Python is one reshape + vectorized per-frame reduction; the
+    per-clip summary keeps output rows == input rows.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf["bytes"].to_numpy(dtype=object, copy=False)
+            ids = pdf[id_col].to_numpy(dtype=object, copy=False)
+            out = []
+            for i in range(len(pdf)):
+                data = bytes(payloads[i]) if payloads[i] is not None else b""
+                try:
+                    _, x = codecs.wav_decode(data)
+                except Exception:
+                    continue
+                if x.shape[0] == 0:
+                    continue
+                mono = x.astype(np.float64).mean(axis=1) / 32768.0
+                n = mono.size
+                rms_e6 = []
+                for s in range(0, n, window):
+                    fr = mono[s : s + window]
+                    rms_e6.append(
+                        int(np.floor(np.sqrt((fr * fr).mean()) * 1e6))
+                    )
+                act = [r >= thr_e6 for r in rms_e6]
+                segs, run_len, longest, prev = 0, 0, 0, False
+                for a in act:
+                    if a:
+                        run_len = run_len + 1 if prev else 1
+                        if run_len == 1:
+                            segs += 1
+                        longest = max(longest, run_len)
+                    prev = a
+                out.append(
+                    dict(
+                        clip_id=ids[i],
+                        n_windows=len(rms_e6),
+                        n_active=sum(act),
+                        n_segments=segs,
+                        longest_run=longest,
+                        rms_max_e6=max(rms_e6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "clip_id", "n_windows", "n_active", "n_segments",
+                    "longest_run", "rms_max_e6",
+                ],
+            )
+
+    return df.select(id_col, "bytes").mapInPandas(
+        run,
+        "clip_id string, n_windows long, n_active long, n_segments long, "
+        "longest_run long, rms_max_e6 long",
+    )

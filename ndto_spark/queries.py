@@ -3521,6 +3521,41 @@ def q_tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vad_segments_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold VAD segmentation over REALLY decoded square-wave
+    WAVs: every 256-sample frame of a square wave has rms = amp/2^15
+    EXACTLY (power-of-two frame mean + dyadic samples), so frame verdicts
+    and rms_max_e6 = (amp*15625)//512 are closed-form in the row id —
+    whole clip one segment when loud, zero when quiet."""
+    from . import fixtures
+    from .multimodal import energy_segments
+
+    df = fixtures.synth_audio_clips_cached(spark, _AUDIO_N)
+    return energy_segments(df, window=256, thr_e6=200_000)
+
+
+def q_winsorize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized [p01, p99] clamp of extendedprice cents. Oracle =
+    DuckDB's OWN quantile_cont + clamp (the quantiles_lineitem-proven
+    interpolation parity); clamped ships floor-quantized e4."""
+    from .table_rules import winsorize
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = winsorize(
+        li,
+        F.floor(F.col("l_extendedprice") * 100),
+        ["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "v",
+        F.floor(F.col("clamped") * 1e4).cast("bigint").alias("clamped_e4"),
+        "clipped_lo",
+        "clipped_hi",
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3673,6 +3708,8 @@ QUERIES = {
     "dim_profile_embeddings": q_dim_profile_embeddings,
     "image_embed_topk_images": q_image_embed_topk_images,
     "tfidf_documents": q_tfidf_documents,
+    "vad_segments_clips": q_vad_segments_clips,
+    "winsorize_lineitem": q_winsorize_lineitem,
 }
 
 
@@ -7102,4 +7139,47 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df, score_e6, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 3
+"""
+
+
+# VAD: the square-wave fixture makes every frame RMS exact — the oracle is
+# pure residue arithmetic (rms_e6 = amp*15625 // 512, 1e6/2^15 reduced).
+ORACLE_SQL["vad_segments_clips"] = f"""
+WITH cls AS (
+  SELECT i, printf('au_%08d', i) AS cid,
+         1000 + (i * 97) % 3000 AS n,
+         1000 + (i * 37) % 20000 AS amp
+  FROM (SELECT unnest(range({_AUDIO_N})) AS i)
+  WHERE i % 25 <> 24
+),
+d AS (
+  SELECT cid, (n + 255) // 256 AS n_w,
+         (amp * 15625) // 512 AS rms_e6
+  FROM cls
+)
+SELECT cid AS clip_id, n_w::BIGINT AS n_windows,
+       (CASE WHEN rms_e6 >= 200000 THEN n_w ELSE 0 END)::BIGINT AS n_active,
+       (CASE WHEN rms_e6 >= 200000 THEN 1 ELSE 0 END)::BIGINT AS n_segments,
+       (CASE WHEN rms_e6 >= 200000 THEN n_w ELSE 0 END)::BIGINT AS longest_run,
+       rms_e6::BIGINT AS rms_max_e6
+FROM d
+"""
+
+
+ORACLE_SQL["winsorize_lineitem"] = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         floor(l_extendedprice * 100)::BIGINT AS v
+  FROM lineitem
+),
+thr AS (
+  SELECT quantile_cont(v, 0.01) AS plo, quantile_cont(v, 0.99) AS phi
+  FROM base
+)
+SELECT b.l_orderkey, b.l_linenumber, b.v,
+       floor(least(greatest(b.v::DOUBLE, t.plo), t.phi) * 1e4)::BIGINT
+         AS clamped_e4,
+       b.v < t.plo AS clipped_lo,
+       b.v > t.phi AS clipped_hi
+FROM base b CROSS JOIN thr t
 """

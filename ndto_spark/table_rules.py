@@ -1427,3 +1427,43 @@ def rolling_count_spikes(
             > F.lit(int(mult_e6)) * F.col("base_sum")
         ),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value: Column,
+    keys: Sequence[str],
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Winsorized robust clipping — the feature-preprocessing tail clamp
+    (fat-fingered prices, sensor glitches) that MAD-outlier REMOVAL is
+    too blunt for: values beyond the exact [lo, hi] percentiles are
+    clamped TO the percentile, everything else passes through.
+
+    ``value`` should be an integer-quantized expression (the repo's
+    engine-exact convention); the two thresholds are Spark's EXACT
+    ``percentile`` (the quantiles_lineitem-proven (n-1)·p interpolation
+    that DuckDB's quantile_cont reproduces). Output: keys…, v, clamped
+    (double — percentile thresholds interpolate), clipped_lo, clipped_hi.
+
+    100 TB shape: one partial-aggregated percentile pass reduced to a
+    1-row broadcast, then a pure clamp projection — two scans, no
+    shuffle of row data, no window.
+    """
+    if not 0 <= lo < hi <= 1:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    base = df.select(*keys, value.cast("bigint").alias("v"))
+    thr = base.agg(
+        F.percentile(F.col("v"), F.lit(float(lo))).alias("_plo"),
+        F.percentile(F.col("v"), F.lit(float(hi))).alias("_phi"),
+    )
+    return base.crossJoin(F.broadcast(thr)).select(
+        *keys,
+        "v",
+        F.least(
+            F.greatest(F.col("v").cast("double"), F.col("_plo")), F.col("_phi")
+        ).alias("clamped"),
+        (F.col("v") < F.col("_plo")).alias("clipped_lo"),
+        (F.col("v") > F.col("_phi")).alias("clipped_hi"),
+    )

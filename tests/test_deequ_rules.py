@@ -470,3 +470,26 @@ def test_rolling_count_spikes_flags_burst_after_warmup(spark):
     assert not out[b0][3] and not out[b0 + 1][3] and not out[b0 + 2][3]
     # burst day: 10 rows vs mean 2 over 5 base buckets -> spike
     assert out[b0 + 5] == (10, 5, 10, True)
+
+
+def test_winsorize_clamps_tails_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from ndto_spark.table_rules import winsorize
+
+    # 11 values 0..1000: p(0.1) = 100, p(0.9) = 900 exactly ((n-1)*p integer)
+    df = spark.createDataFrame(
+        [(i, i * 100) for i in range(11)], "id long, x long"
+    )
+    out = {
+        r["id"]: (r["clamped"], r["clipped_lo"], r["clipped_hi"])
+        for r in winsorize(df, F.col("x"), ["id"], 0.1, 0.9).collect()
+    }
+    assert out[0] == (100.0, True, False)
+    assert out[5] == (500.0, False, False)
+    assert out[10] == (900.0, False, True)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="lo < hi"):
+        winsorize(df, F.col("x"), ["id"], 0.9, 0.1)

@@ -383,3 +383,29 @@ def test_embed_images_pooled_cells_and_skips(spark):
     assert got["a"] == [0.0, 90.0, 0.0, 90.0]
     with pytest.raises(ValueError, match="grid"):
         embed_images(df, grid=0)
+
+
+def test_energy_segments_runs_and_tail_window(spark):
+    import numpy as np
+    import pytest
+
+    from ndto_spark import codecs
+    from ndto_spark.multimodal import energy_segments
+
+    # 10 samples, window 4: 3 windows (tail of 2); pattern loud-quiet-loud
+    loud = np.full(4, 16384, dtype=np.int16)     # rms = 0.5
+    quiet = np.zeros(4, dtype=np.int16)
+    tail = np.full(2, 16384, dtype=np.int16)
+    samples = np.concatenate([loud, quiet, tail])
+    df = spark.createDataFrame(
+        [("a", bytearray(codecs.wav_encode(samples, 8000))),
+         ("bad", bytearray(b"xx"))],
+        "clip_id string, bytes binary",
+    )
+    rows = energy_segments(df, window=4, thr_e6=250_000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_windows"], r["n_active"], r["n_segments"],
+            r["longest_run"], r["rms_max_e6"]) == (3, 2, 2, 1, 500_000)
+    with pytest.raises(ValueError, match="window"):
+        energy_segments(df, window=0)
