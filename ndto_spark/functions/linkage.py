@@ -63,3 +63,79 @@ def fuzzy_join(
     return j.withColumn("dist", dist.cast("int")).filter(
         F.col("dist") <= max_dist
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Sorted-Neighborhood Method (SNM) record-linkage candidates —
+    blocking's classic complement (Hernández & Stolfo): sort the corpus
+    on the match key and pair every row with its next ``window``
+    neighbors in sort order. Where ``fuzzy_join``'s block key misses
+    edits INSIDE the block, SNM catches any pair the sort brings close —
+    the two are run as a union in production linkage.
+
+    Determinism: the sort key is (key, zero-padded id) — unique — so the
+    global order, hence the candidate set, is bit-reproducible at any
+    parallelism (ids must be non-negative; the pad keeps lexicographic ==
+    numeric order). Output: (id_a, key_a, id_b, key_b, dist) with dist =
+    levenshtein(key_a, key_b), one row per ordered neighbor pair.
+
+    100 TB shape: the global rank is the TWO-PHASE distributed rank
+    (range partition → per-partition counts → window + literal offsets —
+    no single-task sort); candidates come from ONE equi-join on
+    rank+offset after a window-sized explode (fan-out = ``window``, the
+    LSH-band shape). The pair table is spilled to parquet (the repo's
+    lineage-spill idiom) so the rank's persisted parent releases
+    immediately.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sharding import sequential_positions, unpersist_positions
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    base = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(key_col).alias("rkey"),
+        F.concat_ws(
+            "\x1f",
+            F.col(key_col),
+            F.lpad(F.col(id_col).cast("string"), 20, "0"),
+        ).alias("_sk"),
+    )
+    pos = sequential_positions(base, "_sk", n_partitions=n_partitions)
+    a = pos.select(
+        F.col("rid").alias("id_a"), F.col("rkey").alias("key_a"),
+        F.col("pos").alias("_pa"),
+    )
+    probes = a.select(
+        "id_a", "key_a", "_pa",
+        F.explode(F.sequence(F.lit(1), F.lit(int(window)))).alias("_o"),
+    ).select(
+        "id_a", "key_a", (F.col("_pa") + F.col("_o")).alias("_pb")
+    )
+    b = pos.select(
+        F.col("rid").alias("id_b"), F.col("rkey").alias("key_b"),
+        F.col("pos").alias("_pb"),
+    )
+    out = probes.join(b, "_pb").select(
+        "id_a", "key_a", "id_b", "key_b",
+        F.levenshtein(F.col("key_a"), F.col("key_b")).cast("int").alias("dist"),
+    )
+    run_dir = tempfile.mkdtemp(prefix="ndto_snm_")
+    try:
+        out.write.mode("overwrite").parquet(run_dir)
+    except Exception:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        unpersist_positions(pos)
+        raise
+    unpersist_positions(pos)
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    return df.sparkSession.read.parquet(run_dir)

@@ -3556,6 +3556,42 @@ def q_winsorize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage candidates over documents keyed by the
+    lowercased 16-char text prefix, window 3. The (key, padded-id) sort
+    key is unique, so the candidate set is deterministic; oracle =
+    DuckDB's OWN row_number + its own levenshtein."""
+    from .functions.linkage import sorted_neighborhood_pairs
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring(F.col("text"), 1, 16)).alias("k")
+    )
+    return sorted_neighborhood_pairs(d, "doc_id", "k", window=3)
+
+
+def q_image_embed_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup BY EMBEDDING: decode → pooled-pixel embed →
+    embedding-cosine pairs ≥ 0.95 (exact small-scale twin). Same-class
+    images (equal (c1, swap)) are exact cosine-1 pairs; cross-class pairs
+    reduce to 2-d cosines of (lo, hi) ratios — the oracle rebuilds the
+    vectors from row ids and uses DuckDB's native cosine."""
+    from . import fixtures
+    from .dedup import embedding_near_dups
+    from .multimodal import embed_images
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    emb = embed_images(df, grid=4)
+    pairs = embedding_near_dups(
+        emb, id_col="image_id", vec_col="embedding",
+        threshold=0.95, exact=True,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4"),
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3710,6 +3746,8 @@ QUERIES = {
     "tfidf_documents": q_tfidf_documents,
     "vad_segments_clips": q_vad_segments_clips,
     "winsorize_lineitem": q_winsorize_lineitem,
+    "snm_documents": q_snm_documents,
+    "image_embed_near_dup_images": q_image_embed_near_dup_images,
 }
 
 
@@ -7183,3 +7221,46 @@ SELECT b.l_orderkey, b.l_linenumber, b.v,
        b.v > t.phi AS clipped_hi
 FROM base b CROSS JOIN thr t
 """
+
+
+ORACLE_SQL["snm_documents"] = """
+WITH base AS (
+  SELECT doc_id AS rid, lower(substr(text, 1, 16)) AS rkey,
+         lower(substr(text, 1, 16)) || chr(31)
+           || lpad(doc_id::VARCHAR, 20, '0') AS sk
+  FROM documents
+),
+r AS (SELECT *, row_number() OVER (ORDER BY sk) AS pos FROM base),
+p AS (
+  SELECT r.rid AS id_a, r.rkey AS key_a, r.pos + o.o AS pb
+  FROM r, unnest(range(1, 4)) AS o(o)
+)
+SELECT p.id_a, p.key_a, b.rid AS id_b, b.rkey AS key_b,
+       levenshtein(p.key_a, b.rkey)::INT AS dist
+FROM p JOIN r b ON b.pos = p.pb
+"""
+
+# image embedding near-dup: closed-form pooled vectors from row ids;
+# DuckDB's native cosine is the independent evaluator (the
+# embedding_near_dup convention).
+ORACLE_SQL["image_embed_near_dup_images"] = f"""
+WITH cls AS (
+  SELECT i, printf('fi_%08d', i) AS iid,
+    (i * 37 + 11) % 128 AS c1, (i % 2 = 1) AS swapped
+  FROM (SELECT unnest(range({{n}})) AS i)
+  WHERE i % 25 <> 24
+),
+v AS (
+  SELECT iid,
+    list_transform(generate_series(0, 15), j ->
+      CASE WHEN (j % 4) < 2
+           THEN (CASE WHEN swapped THEN c1 + 100 ELSE c1 END)
+           ELSE (CASE WHEN swapped THEN c1 ELSE c1 + 100 END)
+      END::DOUBLE) AS emb
+  FROM cls
+)
+SELECT a.iid AS id_a, b.iid AS id_b,
+       floor(list_cosine_similarity(a.emb, b.emb) * 1e4)::BIGINT AS sim_e4
+FROM v a JOIN v b ON a.iid < b.iid
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95::DOUBLE
+""".format(n=_FEAT_IMG_N)
