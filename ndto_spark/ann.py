@@ -805,3 +805,52 @@ def dimension_profile(
         )
         .withColumn("dead", F.col("min_q") == F.col("max_q"))
     )
+
+
+def class_prototypes(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Per-class embedding prototypes — the nearest-class-mean building
+    block (few-shot heads, per-domain centroids for SemDeDup, drift
+    probes comparing a class's prototype across snapshots). Emits one row
+    per (label, dim) with exact integer aggregates over e9-quantized
+    components: (label, dim, n, sum_q, mean_q = sum_q div n) — the
+    ``dimension_profile`` order-independence rule, applied per class
+    (float means across rows depend on partition order; integer sums
+    don't).
+
+    NULL labels are kept as their own class (they often ARE the
+    interesting cohort). Zero/NULL vectors contribute nothing. ``mean_q``
+    truncates toward zero (Spark ``div``; sums go negative — DuckDB's
+    ``//`` FLOORS, so the oracle reconstructs truncation as
+    ``(sum_q - sum_q % n) // n``).
+
+    100 TB shape: posexplode_outer (rule-safe) → ONE partial-aggregated
+    groupBy(label, dim); state per task ≤ |classes|·|dims| longs.
+    """
+    g = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode_outer(F.col(vec_col).cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        )
+        .filter(F.col("x").isNotNull())
+        .select(
+            "label",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.floor(F.col("x") * F.lit(float(scale))).cast("bigint").alias("xq"),
+        )
+    )
+    return (
+        g.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xq").cast("bigint").alias("sum_q"),
+        )
+        .withColumn("mean_q", F.expr("sum_q div n"))
+    )

@@ -3592,6 +3592,40 @@ def q_image_embed_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA volume monitor per event_type over daily buckets, with the
+    same expression-side 4x planting as spikes_events (day % 11 == 3) so
+    the long-memory baseline gets real bursts to flag. alpha = 1/4 is
+    dyadic — every EWMA step is three single IEEE ops, so the oracle's
+    recursive CTE replays the sequence bit-exactly."""
+    from .table_rules import ewma_monitor
+
+    e = _read(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    planted = e.select(
+        "ts",
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.when(day % 11 == 3, F.lit(4)).otherwise(F.lit(1))
+            )
+        ).alias("_r"),
+    )
+    return ewma_monitor(
+        planted, "ts", "event_type", granularity_seconds=86400,
+        alpha_num=1, alpha_den=4, mult_e6=2_000_000, warmup=3,
+    )
+
+
+def q_prototypes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding prototypes: exact integer (label, dim)
+    aggregates over e9-quantized components; mean_q truncates toward
+    zero (the oracle reconstructs Spark's div from DuckDB's floor-%)."""
+    from .ann import class_prototypes
+
+    return class_prototypes(_read(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3748,6 +3782,8 @@ QUERIES = {
     "winsorize_lineitem": q_winsorize_lineitem,
     "snm_documents": q_snm_documents,
     "image_embed_near_dup_images": q_image_embed_near_dup_images,
+    "ewma_events": q_ewma_events,
+    "prototypes_embeddings": q_prototypes_embeddings,
 }
 
 
@@ -7264,3 +7300,58 @@ SELECT a.iid AS id_a, b.iid AS id_b,
 FROM v a JOIN v b ON a.iid < b.iid
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95::DOUBLE
 """.format(n=_FEAT_IMG_N)
+
+
+# EWMA: recursive CTE replays the sequential fold — alpha = 1/4 is exact
+# in binary, so ewma' = ewma + (n - ewma) * 0.25 is bit-identical.
+ORACLE_SQL["ewma_events"] = """
+WITH RECURSIVE planted AS (
+  SELECT e.event_type, epoch_us(e.ts) // 86400000000 AS bucket
+  FROM events e,
+       unnest(range(CASE WHEN (epoch_us(e.ts) // 86400000000) % 11 = 3
+                         THEN 4 ELSE 1 END)) AS t(r)
+),
+c AS (
+  SELECT event_type, bucket, count(*)::BIGINT AS n_rows
+  FROM planted GROUP BY 1, 2
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY bucket) AS rn
+  FROM c
+),
+r AS (
+  SELECT event_type, rn, bucket, n_rows,
+         n_rows::DOUBLE AS pre, n_rows::DOUBLE AS post
+  FROM w WHERE rn = 1
+  UNION ALL
+  SELECT w.event_type, w.rn, w.bucket, w.n_rows,
+         r.post AS pre,
+         r.post + (w.n_rows::DOUBLE - r.post) * 0.25::DOUBLE AS post
+  FROM r JOIN w ON w.event_type = r.event_type AND w.rn = r.rn + 1
+)
+SELECT event_type, bucket, n_rows,
+       floor(pre * 1e6)::BIGINT AS ewma_e6,
+       (rn >= 4) AND (n_rows * 1000000 > floor(pre * 2000000.0::DOUBLE)::BIGINT)
+         AS spike
+FROM r
+"""
+
+# prototypes: DuckDB's // floors while Spark's div truncates — reconstruct
+# truncation via (sum_q - sum_q % n) // n (both engines' % truncates).
+ORACLE_SQL["prototypes_embeddings"] = """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT label, t.i - 1 AS dim,
+         floor(v[t.i] * 1000000000.0::DOUBLE)::BIGINT AS xq
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+),
+a AS (
+  SELECT label, dim::BIGINT AS dim, count(*)::BIGINT AS n,
+         sum(xq)::BIGINT AS sum_q
+  FROM x GROUP BY 1, 2
+)
+SELECT label, dim, n, sum_q,
+       ((sum_q - (sum_q % n)) // n)::BIGINT AS mean_q
+FROM a
+"""

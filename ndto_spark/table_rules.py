@@ -1467,3 +1467,103 @@ def winsorize(
         (F.col("v") < F.col("_plo")).alias("clipped_lo"),
         (F.col("v") > F.col("_phi")).alias("clipped_hi"),
     )
+
+
+def ewma_monitor(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: "str | Sequence[str]",
+    granularity_seconds: int = 86400,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    mult_e6: int = 2_000_000,
+    warmup: int = 3,
+) -> DataFrame:
+    """Exponentially-weighted volume monitor — ``rolling_count_spikes``'s
+    long-memory sibling (slow drifts move the EWMA baseline; a hard
+    cutoff window forgets them). Per (group, bucket): the running
+    ``ewma' = ewma + (n − ewma)·α`` over observed buckets in time order,
+    and a spike flag when ``n · 1e6 > mult_e6 · ewma`` after ``warmup``
+    observed buckets.
+
+    Engine-exactness: α must be dyadic (default 1/4) — then every EWMA
+    step is three single IEEE ops on identical inputs, so the whole
+    per-group sequence is bit-reproducible and the gate oracle can replay
+    it with a recursive CTE. ewma ships e6-floor-quantized; the spike
+    compare is on exact integers.
+
+    100 TB shape: the corpus collapses to (group, bucket) counts in one
+    partial-agg groupBy; the sequential fold runs per group over that
+    TINY time-bounded frame inside one expression (collect_list +
+    aggregate — O(buckets²) array building per group, buckets being
+    hundreds, not data-sized). The corpus itself never sorts.
+    """
+    gc = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not (0 < alpha_num < alpha_den and (alpha_den & (alpha_den - 1)) == 0):
+        raise ValueError(
+            f"alpha must be dyadic in (0,1): got {alpha_num}/{alpha_den}"
+        )
+    alpha = float(alpha_num) / float(alpha_den)
+    bucket = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / F.lit(granularity_seconds)
+    ).cast("bigint")
+    counts = df.groupBy(*gc, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    per_group = counts.groupBy(*gc).agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "n_rows"))
+        ).alias("_seq")
+    )
+    out_t = (
+        "array<struct<bucket:bigint,n_rows:bigint,ewma:double,idx:int>>"
+    )
+
+    def _fold(seq: Column) -> Column:
+        init = F.struct(
+            F.lit(None).cast("double").alias("ewma"),
+            F.lit(0).cast("int").alias("i"),
+            F.array().cast(out_t).alias("out"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            nd = x["n_rows"].cast("double")
+            new = F.when(
+                acc["ewma"].isNull(), nd
+            ).otherwise(acc["ewma"] + (nd - acc["ewma"]) * F.lit(alpha))
+            row = F.struct(
+                x["bucket"].alias("bucket"),
+                x["n_rows"].alias("n_rows"),
+                # flag against the PRE-update baseline; first bucket uses
+                # itself (never flags)
+                F.coalesce(acc["ewma"], nd).alias("ewma"),
+                acc["i"].alias("idx"),
+            )
+            return F.struct(
+                new.alias("ewma"),
+                (acc["i"] + 1).alias("i"),
+                F.array_append(acc["out"], row).alias("out"),
+            )
+
+        return F.aggregate(seq, init, step)["out"]
+
+    # explode_outer + post-filter: the rule-safe explode (a plain explode
+    # lets InferFiltersFromGenerate re-evaluate the whole fold per row)
+    rows = per_group.select(
+        *gc, F.explode_outer(_fold(F.col("_seq"))).alias("_r")
+    ).filter(F.col("_r").isNotNull())
+    ew_e6 = F.floor(F.col("_r.ewma") * F.lit(1e6)).cast("bigint")
+    # threshold = floor(ewma · mult_e6): ONE IEEE multiply on a double the
+    # oracle reproduces bit-exactly, then an integer compare — n·1e6 vs
+    # mult_e6·ewma_e6 would double-scale (and overflow at big buckets)
+    thr = F.floor(F.col("_r.ewma") * F.lit(float(mult_e6))).cast("bigint")
+    return rows.select(
+        *gc,
+        F.col("_r.bucket").alias("bucket"),
+        F.col("_r.n_rows").alias("n_rows"),
+        ew_e6.alias("ewma_e6"),
+        (
+            (F.col("_r.idx") >= warmup)
+            & (F.col("_r.n_rows") * F.lit(1_000_000) > thr)
+        ).alias("spike"),
+    )

@@ -493,3 +493,53 @@ def test_winsorize_clamps_tails_exactly(spark):
 
     with pytest.raises(ValueError, match="lo < hi"):
         winsorize(df, F.col("x"), ["id"], 0.9, 0.1)
+
+
+def test_ewma_monitor_sequence_and_flags(spark):
+    import datetime as dt
+
+    import pytest
+
+    from ndto_spark.table_rules import ewma_monitor
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # counts per day: 4, 4, 4, 4, then a 12-row burst on day 4
+    for d in range(4):
+        rows += [("g", base + dt.timedelta(days=d, hours=h)) for h in range(4)]
+    rows += [("g", base + dt.timedelta(days=4, minutes=m)) for m in range(12)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = sorted(
+        ewma_monitor(df, "ts", "k", warmup=3).collect(),
+        key=lambda r: r["bucket"],
+    )
+    # pre-update baselines: day0 uses itself (4.0), stays 4.0 through day3
+    assert [r["ewma_e6"] for r in out[:4]] == [4_000_000] * 4
+    # day4: baseline still 4.0; 12 > 2*4 and idx=4 >= warmup -> spike
+    assert out[4]["n_rows"] == 12 and out[4]["ewma_e6"] == 4_000_000
+    assert out[4]["spike"] is True
+    assert all(not r["spike"] for r in out[:4])
+    with pytest.raises(ValueError, match="dyadic"):
+        ewma_monitor(df, "ts", "k", alpha_num=1, alpha_den=3)
+
+
+def test_class_prototypes_integer_means_and_null_label(spark):
+    from ndto_spark.ann import class_prototypes
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5], 7),
+            (2, [0.5, -0.25], 7),
+            (3, [2.0, 2.0], None),
+            (4, None, 7),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        (r["label"], r["dim"]): (r["n"], r["sum_q"], r["mean_q"])
+        for r in class_prototypes(df).collect()
+    }
+    assert out[(7, 0)] == (2, 1_500_000_000, 750_000_000)
+    # negative sum: div truncates toward zero (-750000000, not floor)
+    assert out[(7, 1)] == (2, -750_000_000, -375_000_000)
+    assert out[(None, 0)] == (1, 2_000_000_000, 2_000_000_000)
