@@ -513,3 +513,69 @@ def energy_segments(
         "clip_id string, n_windows long, n_active long, n_segments long, "
         "longest_run long, rms_max_e6 long",
     )
+
+
+def image_sharpness(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Laplacian-variance sharpness scores over REALLY decoded pixels —
+    the standard blur detector (OpenCV's ``cv2.Laplacian(...).var()``)
+    image curation pipelines threshold on before training: defocused or
+    motion-smeared frames have a near-flat Laplacian response.
+
+    Per decodable image: gray3 = r+g+b (int — exact, no /3 rounding),
+    4-neighbor Laplacian ``L = 4·p − up − down − left − right`` over the
+    INTERIOR lattice (no border padding policy to disagree about), and
+    exact integer moments. ``lap_var_e6 = (1e6·(n·ΣL² − (ΣL)²)) // n²``
+    is a single integer expression (n·ΣL² ≥ (ΣL)² by Cauchy-Schwarz, so
+    floor == truncate and any engine agrees bit-for-bit). Images smaller
+    than 3×3 or undecodable emit nothing.
+
+    100 TB shape: same single Arrow exchange as decode_image_features —
+    mapInPandas, the Laplacian is four vectorized numpy shifts per image,
+    output is one narrow row per image; bytes never shuffle.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf["bytes"].to_numpy(dtype=object, copy=False)
+            ids = pdf[id_col].to_numpy(dtype=object, copy=False)
+            o_id, o_n, o_s, o_q, o_v = [], [], [], [], []
+            for i in range(len(pdf)):
+                try:
+                    _, px = codecs.decode(bytes(payloads[i]))
+                except Exception:
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                if h < 3 or w < 3:
+                    continue
+                g = px.sum(axis=2, dtype=np.int64)
+                lap = (
+                    4 * g[1:-1, 1:-1]
+                    - g[:-2, 1:-1]
+                    - g[2:, 1:-1]
+                    - g[1:-1, :-2]
+                    - g[1:-1, 2:]
+                )
+                n = int(lap.size)
+                s = int(lap.sum())
+                q = int((lap * lap).sum())
+                o_id.append(ids[i])
+                o_n.append(n)
+                o_s.append(s)
+                o_q.append(q)
+                o_v.append((1_000_000 * (n * q - s * s)) // (n * n))
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.Series(o_id, dtype=object),
+                    "n_interior": pd.Series(o_n, dtype="int64"),
+                    "lap_sum": pd.Series(o_s, dtype="int64"),
+                    "lap_sumsq": pd.Series(o_q, dtype="int64"),
+                    "lap_var_e6": pd.Series(o_v, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "bytes").mapInPandas(
+        run,
+        "image_id string, n_interior long, lap_sum long, lap_sumsq long, "
+        "lap_var_e6 long",
+    )

@@ -3626,6 +3626,47 @@ def q_prototypes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return class_prototypes(_read(spark, sf_dir, "embeddings"))
 
 
+def q_blur_scores_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplacian-variance sharpness over REALLY decoded two-tone PNGs.
+    Closed form: the 4-neighbor Laplacian of a vertical two-tone image is
+    ±3·(c2−c1) = ±300 in the two boundary-adjacent interior columns and 0
+    elsewhere, so lap_sum = 0 and lap_sumsq = 2·(h−2)·300² exactly — the
+    oracle replays the integer moments from the residue-class dims."""
+    from . import fixtures
+    from .multimodal import image_sharpness
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    return image_sharpness(df)
+
+
+def q_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type OLS trend of daily volumes — exact integer sums,
+    slope via truncating integer division (both engines subtract the
+    remainder first)."""
+    from .table_rules import group_trend
+
+    return group_trend(_read(spark, sf_dir, "events"), "ts", "event_type")
+
+
+def q_distinctness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ Distinctness / UniqueValueRatio / Uniqueness analyzers over
+    three lineitem columns; ratios are exact integer floor divisions."""
+    from .table_rules import distinctness_profile
+
+    return distinctness_profile(
+        _read(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_partkey", "l_quantity"],
+    )
+
+
+def q_gini_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts via the grouped
+    (value, frequency) closed form — tie-order-free, exact integers."""
+    from .table_rules import gini_concentration
+
+    return gini_concentration(_read(spark, sf_dir, "events"), "user_id")
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3784,6 +3825,10 @@ QUERIES = {
     "image_embed_near_dup_images": q_image_embed_near_dup_images,
     "ewma_events": q_ewma_events,
     "prototypes_embeddings": q_prototypes_embeddings,
+    "blur_scores_images": q_blur_scores_images,
+    "trend_events": q_trend_events,
+    "distinctness_lineitem": q_distinctness_lineitem,
+    "gini_events": q_gini_events,
 }
 
 
@@ -7353,5 +7398,109 @@ a AS (
 )
 SELECT label, dim, n, sum_q,
        ((sum_q - (sum_q % n)) // n)::BIGINT AS mean_q
+FROM a
+"""
+
+# Laplacian sharpness: interior lattice (h-2)x(w-2); the vertical tone
+# boundary contributes +-3*(c2-c1) = +-300 (gray3 units) in its two
+# adjacent interior columns, everything else is flat — lap_sum = 0,
+# lap_sumsq = 2*(h-2)*90000; var replays image_sharpness's single
+# integer expression (n*q - s*s >= 0, so // == truncation in any engine)
+ORACLE_SQL["blur_scores_images"] = f"""
+WITH {_FEAT_IMG_CLS},
+m AS (
+  SELECT iid, (h - 2) * (w - 2) AS n, 0 AS s, 180000 * (h - 2) AS q
+  FROM cls WHERE NOT corrupt
+)
+SELECT iid AS image_id, n::BIGINT AS n_interior, s::BIGINT AS lap_sum,
+       q::BIGINT AS lap_sumsq,
+       ((1000000 * (n * q - s * s)) // (n * n))::BIGINT AS lap_var_e6
+FROM m
+"""
+
+# OLS slope: nested-floor identity floor(floor(x)/n) = floor(x/n) makes
+# epoch_us // 86400e6 == Spark's floor(unix_timestamp/86400); x re-based
+# per group so every sum stays in int64; truncating division replayed as
+# (a - a % b) // b (DuckDB % truncates like Spark div)
+ORACLE_SQL["trend_events"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+xy AS (
+  SELECT event_type,
+         bucket - min(bucket) OVER (PARTITION BY event_type) AS x, y
+  FROM c
+),
+a AS (
+  SELECT event_type, count(*)::BIGINT AS n_buckets,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS total_rows,
+         sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+  FROM xy GROUP BY 1
+),
+b AS (
+  SELECT event_type, n_buckets, total_rows,
+         (n_buckets * sxy - sx * total_rows)::BIGINT AS num,
+         (n_buckets * sxx - sx * sx)::BIGINT AS den
+  FROM a
+)
+SELECT event_type, n_buckets, total_rows, num, den,
+       CASE WHEN den > 0 THEN
+         ((num * 1000000 - ((num * 1000000) % den)) // den)::BIGINT
+       END AS slope_e6
+FROM b
+"""
+
+
+def _distinctness_cte(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS "column", n_nonnull, n_distinct, n_unique,
+    CASE WHEN n_nonnull > 0
+         THEN (n_distinct * 1000000) // n_nonnull END::BIGINT
+      AS distinctness_e6,
+    CASE WHEN n_distinct > 0
+         THEN (n_unique * 1000000) // n_distinct END::BIGINT
+      AS unique_ratio_e6,
+    CASE WHEN n_nonnull > 0
+         THEN (n_unique * 1000000) // n_nonnull END::BIGINT
+      AS uniqueness_e6
+  FROM (
+    SELECT coalesce(sum(cnt), 0)::BIGINT AS n_nonnull,
+           count(*)::BIGINT AS n_distinct,
+           coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_unique
+    FROM (SELECT {col} AS v, count(*) AS cnt FROM lineitem
+          WHERE {col} IS NOT NULL GROUP BY 1)
+  )"""
+
+
+ORACLE_SQL["distinctness_lineitem"] = (
+    _distinctness_cte("l_returnflag")
+    + "\nUNION ALL\n"
+    + _distinctness_cte("l_partkey")
+    + "\nUNION ALL\n"
+    + _distinctness_cte("l_quantity")
+)
+
+# Gini over the grouped (value, frequency) form — rank blocks of equal
+# counts contribute v*(f*start + f(f+1)/2) regardless of tie order
+ORACLE_SQL["gini_events"] = """
+WITH x AS (SELECT user_id, count(*)::BIGINT AS v FROM events GROUP BY 1),
+vf AS (SELECT v, count(*)::BIGINT AS f FROM x GROUP BY 1),
+b AS (
+  SELECT v, f, sum(f) OVER (ORDER BY v) - f AS start,
+         (f * (f + 1)) // 2 AS half
+  FROM vf
+),
+a AS (
+  SELECT sum(f)::BIGINT AS n_keys, sum(v * f)::BIGINT AS total_rows,
+         sum(v * (f * start + half))::BIGINT AS s1
+  FROM b
+)
+SELECT n_keys, total_rows,
+  CASE WHEN n_keys * total_rows > 0 THEN
+    ((2 * s1 - (n_keys + 1) * total_rows) * 1000000)
+      // (n_keys * total_rows) END::BIGINT AS gini_e6
 FROM a
 """

@@ -1567,3 +1567,175 @@ def ewma_monitor(
             & (F.col("_r.n_rows") * F.lit(1_000_000) > thr)
         ).alias("spike"),
     )
+
+
+def group_trend(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: "str | Sequence[str]",
+    granularity_seconds: int = 86400,
+) -> DataFrame:
+    """Per-group OLS volume trend — is this event type growing or dying?
+    The monitoring primitive behind "traffic for key K dropped 40% this
+    month" alerts, fitted exactly: per (group, bucket) counts y over time
+    buckets x, then the closed-form least-squares slope
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` on EXACT integer sums.
+
+    x is re-based to the group's first bucket (the slope is shift-
+    invariant; re-basing keeps every sum within int64 for daily counts up
+    to ~1e7 over ~centuries of buckets). ``slope_e6`` is the e6-scaled
+    slope via truncating integer division (num·1e6 div den — both engines
+    truncate identically once the remainder is subtracted); NULL when the
+    group has a single bucket (den = 0). Output: group…, n_buckets,
+    total_rows, num, den, slope_e6.
+
+    100 TB shape: one partial-agg groupBy collapses the corpus to
+    (group, bucket) counts; the re-base min and the five sums are a
+    second partial-agg pass over that TINY frame. The corpus never
+    sorts, nothing windows over row data.
+    """
+    gc = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    bucket = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / F.lit(granularity_seconds)
+    ).cast("bigint")
+    counts = df.groupBy(*gc, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    from pyspark.sql.window import Window
+
+    minb = F.min("bucket").over(Window.partitionBy(*gc))
+    xy = counts.select(
+        *gc, (F.col("bucket") - minb).alias("x"), "y"
+    )
+    a = xy.groupBy(*gc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("x").cast("bigint").alias("_sx"),
+        F.sum("y").cast("bigint").alias("total_rows"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("_sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("_sxy"),
+    )
+    num = (
+        F.col("n_buckets") * F.col("_sxy") - F.col("_sx") * F.col("total_rows")
+    )
+    den = F.col("n_buckets") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    res = a.select(
+        *gc,
+        "n_buckets",
+        "total_rows",
+        num.alias("num"),
+        den.alias("den"),
+    )
+    return res.withColumn(
+        "slope_e6",
+        F.when(F.col("den") > 0, F.expr("(num * 1000000) div den")).cast(
+            "bigint"
+        ),
+    )
+
+
+def distinctness_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Deequ-parity distinctness metrics per column: ``distinctness``
+    (#distinct / #non-null), ``uniqueValueRatio`` (#values seen exactly
+    once / #distinct) and ``uniqueness`` (#rows with a unique value /
+    #non-null) — the three ratios Deequ's Distinctness /
+    UniqueValueRatio / Uniqueness analyzers compute, over non-null rows.
+
+    Ratios ship e6-floored via exact integer floor division (both
+    operands are counts). Output: (column, n_nonnull, n_distinct,
+    n_unique, distinctness_e6, unique_ratio_e6, uniqueness_e6).
+
+    100 TB shape: one partial-agg value-count groupBy per column (the
+    same shape as ``uniqueness`` above — hash partial combine
+    neutralizes hot values), each reduced to one row before the union.
+    """
+    outs = []
+    for c in cols:
+        vc = (
+            df.select(F.col(c).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        outs.append(
+            vc.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias(
+                    "n_nonnull"
+                ),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.coalesce(
+                    F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)), F.lit(0)
+                ).cast("bigint").alias("n_unique"),
+            ).select(
+                F.lit(c).alias("column"),
+                "n_nonnull",
+                "n_distinct",
+                "n_unique",
+                F.when(
+                    F.col("n_nonnull") > 0,
+                    F.floor(F.col("n_distinct") * 1_000_000 / F.col("n_nonnull")),
+                ).cast("bigint").alias("distinctness_e6"),
+                F.when(
+                    F.col("n_distinct") > 0,
+                    F.floor(F.col("n_unique") * 1_000_000 / F.col("n_distinct")),
+                ).cast("bigint").alias("unique_ratio_e6"),
+                F.when(
+                    F.col("n_nonnull") > 0,
+                    F.floor(F.col("n_unique") * 1_000_000 / F.col("n_nonnull")),
+                ).cast("bigint").alias("uniqueness_e6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def gini_concentration(
+    df: DataFrame, key_cols: "str | Sequence[str]"
+) -> DataFrame:
+    """Gini coefficient of the per-key row-count distribution — the
+    skew-at-a-glance monitor (0 = uniform traffic, →1 = one key owns the
+    table) dataset cards report next to top-k heavy hitters.
+
+    Exact integer arithmetic on the GROUPED form: per-key counts x are
+    grouped by VALUE (v, f_v); with keys in ascending-count order the
+    rank block of value v starts after ``start_v`` smaller rows, so
+    ``Σ rank·x = Σ_v v·(f_v·start_v + f_v·(f_v+1)/2)`` — tie order
+    cannot matter. ``G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)``, e6-floored
+    (numerator ≥ 0). Output one row: n_keys, total_rows, gini_e6.
+
+    100 TB shape: the corpus collapses to per-key counts in one
+    partial-agg groupBy, then to the (v, f_v) frame — bounded by the
+    number of DISTINCT COUNT VALUES, thousands at most — and only that
+    tiny frame flows through the single-partition cumulative window.
+    """
+    gc = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    x = df.groupBy(*gc).agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    vf = x.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    blocks = vf.select(
+        "v",
+        "f",
+        (F.sum("f").over(w) - F.col("f")).alias("start"),
+        # f·(f+1) is even, so div keeps the whole chain in exact int64
+        F.expr("f * (f + 1) div 2").alias("_half"),
+    )
+    contrib = F.col("v") * (
+        F.col("f") * F.col("start") + F.col("_half")
+    )
+    a = blocks.agg(
+        F.sum("f").cast("bigint").alias("n_keys"),
+        F.sum(F.col("v") * F.col("f")).cast("bigint").alias("total_rows"),
+        F.sum(contrib).cast("bigint").alias("_s1"),
+    )
+    num = 2 * F.col("_s1") - (F.col("n_keys") + 1) * F.col("total_rows")
+    den = F.col("n_keys") * F.col("total_rows")
+    return a.select(
+        "n_keys",
+        "total_rows",
+        F.when(den > 0, F.floor(num * 1_000_000 / den))
+        .cast("bigint")
+        .alias("gini_e6"),
+    )

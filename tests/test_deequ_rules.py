@@ -543,3 +543,58 @@ def test_class_prototypes_integer_means_and_null_label(spark):
     # negative sum: div truncates toward zero (-750000000, not floor)
     assert out[(7, 1)] == (2, -750_000_000, -375_000_000)
     assert out[(None, 0)] == (1, 2_000_000_000, 2_000_000_000)
+
+
+def test_group_trend_planted_slope_and_single_bucket(spark):
+    from datetime import datetime
+
+    from ndto_spark.table_rules import group_trend
+
+    rows = []
+    # type A: 1, 2, 3, 4 rows on 4 consecutive days -> slope exactly 1
+    for day in range(4):
+        for _ in range(day + 1):
+            rows.append(("A", datetime(2024, 1, day + 1, 12, 0, 0)))
+    # type B: one bucket only -> den = 0 -> slope NULL
+    rows.append(("B", datetime(2024, 1, 1, 6, 0, 0)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in group_trend(df, "ts", "event_type").collect()}
+    a = out["A"]
+    assert (a["n_buckets"], a["total_rows"]) == (4, 10)
+    # x = 0..3, y = 1..4: num = 4*20 - 6*10 = 20, den = 4*14 - 36 = 20
+    assert (a["num"], a["den"], a["slope_e6"]) == (20, 20, 1_000_000)
+    b = out["B"]
+    assert b["den"] == 0 and b["slope_e6"] is None
+
+
+def test_distinctness_profile_ratios_and_nulls(spark):
+    from ndto_spark.table_rules import distinctness_profile
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", None), (None, 2)],
+        "a string, b int",
+    )
+    out = {r["column"]: r for r in distinctness_profile(df, ["a", "b"]).collect()}
+    ra = out["a"]  # non-null: x, x, y -> distinct 2, unique-values 1
+    assert (ra["n_nonnull"], ra["n_distinct"], ra["n_unique"]) == (3, 2, 1)
+    assert ra["distinctness_e6"] == 666_666
+    assert ra["unique_ratio_e6"] == 500_000
+    assert ra["uniqueness_e6"] == 333_333
+    rb = out["b"]  # non-null: 1, 2, 2
+    assert (rb["n_nonnull"], rb["n_distinct"], rb["n_unique"]) == (3, 2, 1)
+
+
+def test_gini_concentration_uniform_and_skewed(spark):
+    from ndto_spark.table_rules import gini_concentration
+
+    uniform = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "k string"
+    )
+    r = gini_concentration(uniform, "k").collect()[0]
+    assert (r["n_keys"], r["total_rows"], r["gini_e6"]) == (3, 3, 0)
+    skew = spark.createDataFrame(
+        [("a",)] + [("b",)] * 3, "k string"
+    )
+    r = gini_concentration(skew, "k").collect()[0]
+    # x sorted = [1, 3]: G = (2*7 - 3*4) / (2*4) = 0.25
+    assert (r["n_keys"], r["total_rows"], r["gini_e6"]) == (2, 4, 250_000)

@@ -409,3 +409,40 @@ def test_energy_segments_runs_and_tail_window(spark):
             r["longest_run"], r["rms_max_e6"]) == (3, 2, 2, 1, 500_000)
     with pytest.raises(ValueError, match="window"):
         energy_segments(df, window=0)
+
+
+def test_image_sharpness_exact_moments_and_skips(spark):
+    import numpy as np
+
+    from ndto_spark import codecs
+    from ndto_spark.multimodal import image_sharpness
+
+    # 4x5 gradient: gray3 = 3 * col value; hand-computed Laplacian moments
+    px = np.zeros((4, 5, 3), dtype=np.uint8)
+    for c in range(5):
+        px[:, c, :] = 10 * c * c  # columns: 0, 10, 40, 90, 160
+    g = px.sum(axis=2).astype(np.int64)
+    lap = (
+        4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+        - g[1:-1, :-2] - g[1:-1, 2:]
+    )
+    n, s, q = lap.size, int(lap.sum()), int((lap * lap).sum())
+    flat = np.full((3, 3, 3), 77, dtype=np.uint8)  # zero Laplacian
+    tiny = np.full((2, 2, 3), 5, dtype=np.uint8)   # < 3x3: skipped
+    df = spark.createDataFrame(
+        [
+            ("grad", bytearray(codecs.png_encode(px))),
+            ("flat", bytearray(codecs.png_encode(flat))),
+            ("tiny", bytearray(codecs.png_encode(tiny))),
+            ("bad", bytearray(b"nope")),
+        ],
+        "image_id string, bytes binary",
+    )
+    rows = {r["image_id"]: r for r in image_sharpness(df).collect()}
+    assert set(rows) == {"grad", "flat"}
+    assert rows["flat"]["lap_sum"] == 0
+    assert rows["flat"]["lap_sumsq"] == 0
+    assert rows["flat"]["lap_var_e6"] == 0
+    gr = rows["grad"]
+    assert (gr["n_interior"], gr["lap_sum"], gr["lap_sumsq"]) == (n, s, q)
+    assert gr["lap_var_e6"] == (1_000_000 * (n * q - s * s)) // (n * n)
