@@ -421,3 +421,44 @@ def select_until_budget(
         cum.cast("bigint").alias("cum_cost"),
         ((cum <= F.lit(budget)) | (rn == 1)).alias("selected"),
     )
+
+
+def grouped_split_summary(
+    df: DataFrame,
+    group_col: str,
+    splits: "dict[str, float]",
+    seed: int = 42,
+) -> DataFrame:
+    """GroupShuffleSplit-style audit: assign train/val/test by the GROUP
+    key (every row of a user/session/document-family lands in one split —
+    the leakage-safe way to split correlated rows), then REPORT the
+    result: per split its row count, group count, and the number of
+    groups observed in more than one split.
+
+    ``leaked_groups`` is computed, not assumed — it is the validation
+    engine's check that the assignment really is a pure function of the
+    group key (0 by construction; a nondeterministic key expression or a
+    re-keyed union would surface here). Output one row per split:
+    (split, n_rows, n_groups, leaked_groups).
+
+    100 TB shape: the md5-bucket assignment is a pure projection; both
+    reports are partial-agg groupBys over (group, split) — the corpus
+    collapses to one row per group before any cross-split math.
+    """
+    assigned = assign_splits(df, group_col, splits, seed=seed)
+    per_group = assigned.groupBy(group_col, "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    leaked = per_group.groupBy(group_col).agg(
+        F.countDistinct("split").alias("_ns")
+    )
+    n_leaked = leaked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_ns") > 1, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("leaked_groups")
+    )
+    per_split = per_group.groupBy("split").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    return per_split.crossJoin(F.broadcast(n_leaked))

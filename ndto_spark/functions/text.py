@@ -1270,3 +1270,74 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("doc").alias(id_col), "term", "tf", "df", "score_e6", "rank")
     )
+
+
+def lm_score(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus bigram-LM fluency score — the KenLM-perplexity stand-in a
+    library-free engine can gate on: word-salad and boilerplate docs score
+    low against the corpus's own bigram statistics, no external model.
+
+    ``p(w2|w1) = c(w1,w2) / c(w1·)`` with ``c(w1·)`` counting w1 as a
+    bigram PREFIX (so probabilities per prefix sum to 1 exactly, no
+    end-of-doc smoothing case). Per position the e6-floored probability is
+    EXACT integer division; per doc: ``n_bigrams``, ``sum_p_e6`` (sum of
+    per-position p_e6) and ``avg_p_e6 = sum_p_e6 // n_bigrams`` — a
+    log-free fluency proxy (the repo convention: no float transcendentals
+    on data, cf. collocations/tfidf). Docs with fewer than two tokens emit
+    nothing.
+
+    100 TB shape: ONE let-bound tokenization + explode; a partial-agg
+    groupBy(doc, left, right) collapses positions; the bigram table
+    (vocab²-bounded) and its prefix re-aggregate derive from THAT frame —
+    corpus text never re-tokenizes and the scoring joins carry
+    (doc, left, right, k) rows only.
+    """
+    from ..dedup import bind, tokens
+
+    def _pairs(toks: Column) -> Column:
+        n = F.size(toks)
+        arr = F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.struct(
+                F.get(toks, i - F.lit(1)).alias("left"),
+                F.get(toks, i).alias("right"),
+            ),
+        )
+        return F.when(n >= 2, arr)
+
+    pairs = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(bind(tokens(F.col(text_col)), _pairs)).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    doc_pairs = pairs.groupBy(
+        "doc", "p.left", "p.right"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    bg = doc_pairs.groupBy("left", "right").agg(
+        F.sum("k").cast("bigint").alias("c_bg")
+    )
+    uni = bg.groupBy("left").agg(F.sum("c_bg").cast("bigint").alias("c_uni"))
+    scored = (
+        doc_pairs.join(bg, ["left", "right"])
+        .join(uni, ["left"])
+        .select(
+            "doc",
+            "k",
+            F.floor(
+                F.col("c_bg") * F.lit(1_000_000) / F.col("c_uni")
+            ).cast("bigint").alias("p_e6"),
+        )
+    )
+    out = scored.groupBy("doc").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("p_e6")).cast("bigint").alias("sum_p_e6"),
+    )
+    return out.select(
+        F.col("doc").alias(id_col),
+        "n_bigrams",
+        "sum_p_e6",
+        F.floor(F.col("sum_p_e6") / F.col("n_bigrams"))
+        .cast("bigint")
+        .alias("avg_p_e6"),
+    )

@@ -3667,6 +3667,40 @@ def q_gini_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_concentration(_read(spark, sf_dir, "events"), "user_id")
 
 
+def q_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM fluency scores — log-free (per-position e6-floored
+    exact integer probabilities); oracle rebuilds the same counts with
+    DuckDB's own list machinery."""
+    from .functions.text import lm_score
+
+    return lm_score(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_hopping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-day hopping windows with a 1-day hop per event_type: every event
+    lands in exactly 3 windows; counts + integer-cent sums are exact."""
+    from .temporal import hopping_windows
+
+    e = _read(spark, sf_dir, "events")
+    return hopping_windows(
+        e, "ts", "event_type",
+        window_seconds=259200, hop_seconds=86400,
+        value=F.floor(F.col("value") * 100),
+    )
+
+
+def q_group_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupShuffleSplit audit over events grouped by user_id — split
+    assignment is a pure function of the user key, so leaked_groups is 0
+    and the oracle recomputes the same md5 buckets per user."""
+    from .functions.sampling import grouped_split_summary
+
+    return grouped_split_summary(
+        _read(spark, sf_dir, "events"), "user_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3829,6 +3863,9 @@ QUERIES = {
     "trend_events": q_trend_events,
     "distinctness_lineitem": q_distinctness_lineitem,
     "gini_events": q_gini_events,
+    "lm_score_documents": q_lm_score_documents,
+    "hopping_events": q_hopping_events,
+    "group_split_events": q_group_split_events,
 }
 
 
@@ -7503,4 +7540,80 @@ SELECT n_keys, total_rows,
     ((2 * s1 - (n_keys + 1) * total_rows) * 1000000)
       // (n_keys * total_rows) END::BIGINT AS gini_e6
 FROM a
+"""
+
+# bigram LM: c(w1,w2)/c(w1-as-prefix); per-position p_e6 is exact integer
+# floor division, so sums and the final avg agree bit-for-bit
+ORACLE_SQL["lm_score_documents"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id, toks[j] AS l, toks[j + 1] AS r
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS j
+    FROM t WHERE len(toks) >= 2
+  )
+),
+dp AS (
+  SELECT doc_id, l, r, count(*)::BIGINT AS k FROM p GROUP BY 1, 2, 3
+),
+bg AS (SELECT l, r, sum(k)::BIGINT AS c_bg FROM dp GROUP BY 1, 2),
+un AS (SELECT l, sum(c_bg)::BIGINT AS c_uni FROM bg GROUP BY 1),
+s AS (
+  SELECT dp.doc_id, dp.k, (bg.c_bg * 1000000) // un.c_uni AS p_e6
+  FROM dp JOIN bg ON dp.l = bg.l AND dp.r = bg.r
+          JOIN un ON dp.l = un.l
+),
+o AS (
+  SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+         sum(k * p_e6)::BIGINT AS sum_p_e6
+  FROM s GROUP BY 1
+)
+SELECT doc_id, n_bigrams, sum_p_e6,
+       (sum_p_e6 // n_bigrams)::BIGINT AS avg_p_e6
+FROM o
+"""
+
+# hopping windows: event at hop-bucket h lands in window starts h-2..h;
+# nested-floor identity keeps the epoch bucket exact (cf. trend_events)
+ORACLE_SQL["hopping_events"] = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS h,
+         floor(value * 100)::BIGINT AS v
+  FROM events
+),
+x AS (
+  SELECT event_type, unnest(range(h - 2, h + 1)) AS w, v FROM b
+)
+SELECT event_type, (w * 86400)::BIGINT AS window_start,
+       count(*)::BIGINT AS n_rows, sum(v)::BIGINT AS sum_v
+FROM x GROUP BY 1, 2
+"""
+
+# group-integrity split: same md5-low32 bucket as split_documents, keyed
+# by user_id; leakage is structurally 0 (pure function of the key) but
+# the oracle REPLAYS the count rather than asserting it
+ORACLE_SQL["group_split_events"] = """
+WITH a AS (
+  SELECT user_id,
+    CASE WHEN b < 800000 THEN 'train'
+         WHEN b < 900000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT user_id,
+      ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+        % 1000000 AS b
+    FROM events
+  )
+),
+pg AS (
+  SELECT user_id, split, count(*)::BIGINT AS n_rows FROM a GROUP BY 1, 2
+),
+lk AS (
+  SELECT coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+           AS leaked_groups
+  FROM (SELECT user_id, count(DISTINCT split) AS ns FROM pg GROUP BY 1)
+)
+SELECT split, sum(n_rows)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+       (SELECT leaked_groups FROM lk) AS leaked_groups
+FROM pg GROUP BY split
 """

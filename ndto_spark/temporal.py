@@ -757,3 +757,56 @@ def interval_overlap_join(
     once = F.col("__b") == F.floor(F.greatest(l_s, r_s) / F.lit(w_us))
     out_cols = list(left.columns) + [c for c in right.columns if c not in by]
     return joined.filter((l_s < r_e) & (r_s < l_e) & once).select(*out_cols)
+
+
+def hopping_windows(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: "str | Sequence[str]",
+    window_seconds: int = 259200,
+    hop_seconds: int = 86400,
+    value: "Column | None" = None,
+) -> DataFrame:
+    """Hopping (sliding) window aggregates — the overlapping-window sibling
+    of ``time_rollup``'s tumbling buckets (Flink HOP / Spark streaming
+    window(slide) semantics for batch): every event lands in
+    ``window_seconds / hop_seconds`` consecutive windows, so a 3-day
+    window hopping daily smooths single-day spikes a tumbling day can't.
+
+    ``window_seconds`` must be a multiple of ``hop_seconds``. Output per
+    (group…, window_start epoch-seconds): n_rows, and sum_v when ``value``
+    (an integer-quantized expression, repo convention) is given. Windows
+    are half-open ``[start, start + window)``.
+
+    100 TB shape: one cheap integer-sequence explode (fan-out =
+    window/hop, a SMALL constant) followed by a partial-agg groupBy —
+    map-side combine reduces each task to (groups × windows) state before
+    the shuffle; no per-key sort, no window functions over row data.
+    """
+    gc = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if window_seconds <= 0 or hop_seconds <= 0:
+        raise ValueError("window_seconds and hop_seconds must be positive")
+    if window_seconds % hop_seconds:
+        raise ValueError(
+            f"window_seconds ({window_seconds}) must be a multiple of "
+            f"hop_seconds ({hop_seconds})"
+        )
+    k = window_seconds // hop_seconds
+    h = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(hop_seconds)).cast(
+        "bigint"
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    cols = [*gc, h.alias("_h")]
+    if value is not None:
+        cols.append(value.cast("bigint").alias("_v"))
+        aggs.append(F.sum("_v").cast("bigint").alias("sum_v"))
+    rows = df.select(*cols)
+    exploded = rows.withColumn(
+        "_w", F.explode(F.sequence(F.col("_h") - F.lit(k - 1), F.col("_h")))
+    )
+    return (
+        exploded.groupBy(*gc, (F.col("_w") * F.lit(hop_seconds)).alias(
+            "window_start"
+        ))
+        .agg(*aggs)
+    )

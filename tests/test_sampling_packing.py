@@ -459,3 +459,18 @@ def test_select_until_budget_validates_budget(spark):
     df = spark.createDataFrame([(1, "g", 1, 1)], "id long, src string, s long, c long")
     with pytest.raises(ValueError):
         select_until_budget(df, "id", F.col("src"), F.col("s"), F.col("c"), 0)
+
+
+def test_grouped_split_summary_integrity_and_counts(spark):
+    from ndto_spark.functions.sampling import grouped_split_summary
+
+    rows = [(u, i) for u in range(40) for i in range(3)]  # 3 rows per user
+    df = spark.createDataFrame(rows, "user_id long, i long")
+    out = grouped_split_summary(
+        df, "user_id", {"train": 0.5, "test": 0.5}
+    ).collect()
+    assert sum(r["n_rows"] for r in out) == 120
+    assert sum(r["n_groups"] for r in out) == 40
+    for r in out:
+        assert r["leaked_groups"] == 0
+        assert r["n_rows"] == 3 * r["n_groups"]  # group integrity

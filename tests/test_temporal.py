@@ -383,3 +383,32 @@ def test_interval_overlap_join_exactly_once_and_boundaries(spark):
         interval_overlap_join(
             left, left, "k", "l_s", "l_e", "l_s", "l_e", bucket_s=60.0
         )
+
+
+def test_hopping_windows_fanout_and_sums(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from ndto_spark.temporal import hopping_windows
+
+    df = spark.createDataFrame(
+        [
+            ("A", datetime(2024, 1, 5, 12, 0, 0), 10),
+            ("A", datetime(2024, 1, 6, 1, 0, 0), 5),
+        ],
+        "k string, ts timestamp, v int",
+    )
+    out = hopping_windows(
+        df, "ts", "k", window_seconds=2 * 86400, hop_seconds=86400,
+        value=F.col("v"),
+    ).collect()
+    day5 = (datetime(2024, 1, 5) - datetime(1970, 1, 1)).days
+    got = {r["window_start"] // 86400: (r["n_rows"], r["sum_v"]) for r in out}
+    # day-5 event -> windows starting day 4, 5; day-6 event -> 5, 6
+    assert got == {day5 - 1: (1, 10), day5: (2, 15), day5 + 1: (1, 5)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_windows(df, "ts", "k", window_seconds=100, hop_seconds=60)

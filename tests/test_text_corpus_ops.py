@@ -166,3 +166,27 @@ def test_simhash_keepers_apply_keeps_min_per_group(spark):
         r.doc_id for r in dedup.apply_dedup(df, groups, "doc_id").collect()
     )
     assert kept == [1, 3]
+
+
+def test_lm_score_exact_bigram_probabilities(spark):
+    from ndto_spark.functions.text import lm_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),      # bigrams: (a,b) x2, (b,a) x1
+            (2, "a c"),          # bigram: (a,c)
+            (3, "solo"),         # < 2 tokens: emits nothing
+        ],
+        "doc_id long, text string",
+    )
+    # corpus: c(a,b)=2, c(b,a)=1, c(a,c)=1; prefixes: c(a.)=3, c(b.)=1
+    out = {r["doc_id"]: r for r in lm_score(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    p_ab = (2 * 1_000_000) // 3
+    p_ba = (1 * 1_000_000) // 1
+    r1 = out[1]
+    assert r1["n_bigrams"] == 3
+    assert r1["sum_p_e6"] == 2 * p_ab + p_ba
+    assert r1["avg_p_e6"] == (2 * p_ab + p_ba) // 3
+    r2 = out[2]
+    assert (r2["n_bigrams"], r2["sum_p_e6"]) == (1, (1 * 1_000_000) // 3)
