@@ -245,38 +245,42 @@ def minhash_signature(
     return F.array(*sig)
 
 
-def minhash_lsh_pairs(
+def _minhash_base_sigs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 5,
-    num_hashes: int = 32,
-    bands: int = 8,
-    seed: int = 42,
-    verify_threshold: Optional[float] = 0.5,
-    spread: bool = True,
-) -> DataFrame:
-    """Candidate near-dup pairs via MinHash LSH banding, optionally verified.
+    k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    spread: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash plumbing: the hashed-shingle frame ``base``
+    (doc, hv) and the signature frame ``sigs`` (doc, sig array<bigint>).
 
-    signature → split into ``bands`` bands of r = num_hashes/bands rows →
-    band-bucket join → candidate pairs; when ``verify_threshold`` is set the
-    candidates are verified with the EXACT shingle-Jaccard (the false-positive
-    filter), so output pairs are true near-dups. False negatives are bounded
-    by the (bands, r) S-curve.
+    PLAN NOTE: two deliberate materialization barriers (repartition).
+    Without them CollapseProject inlines (a) the shingle+crc32 base-hash
+    expression into all num_hashes permutation mins, and (b) the whole
+    signature expression into the band-explode generator 'bands' times —
+    measured ~10x slowdown at sf0.1. The shuffled payloads are tiny
+    (doc id + ≤ num_hashes longs per row) and the band-bucket join
+    downstream shuffles anyway, so the barriers cost almost nothing.
+
+    PLAN NOTE: signatures as explode_outer + num_hashes min() AGGREGATES,
+    not array_min(transform(...)) per hash — higher-order functions are
+    interpreted per element (no whole-stage codegen), so 32 HOF passes
+    over every shingle array dominated the stage; min() aggregates are
+    codegen'd with map-side partial aggregation. base is already hash
+    partitioned by doc, so the groupBy adds NO shuffle. explode_outer
+    keeps shingle-less docs as a null row → all-null mins, bit-identical
+    to array_min over an empty array (and the rule-safe explode flavor,
+    see CLAUDE.md). min() skips nulls, so mixed rows are unaffected.
     """
     if num_hashes % bands != 0:
         # ValueError (not assert): the contract must survive python -O
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
-    r = num_hashes // bands
-    # PLAN NOTE: two deliberate materialization barriers (repartition).
-    # Without them CollapseProject inlines (a) the shingle+crc32 base-hash
-    # expression into all num_hashes permutation mins, and (b) the whole
-    # signature expression into the band-explode generator 'bands' times —
-    # measured ~10x slowdown at sf0.1. The shuffled payloads are tiny
-    # (doc id + ≤ num_hashes longs per row) and the band-bucket join
-    # downstream shuffles anyway, so the barriers cost almost nothing.
     rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
     if spread:
         rows = _spread(rows)  # shingling must not ride the 1-task scan
@@ -284,16 +288,6 @@ def minhash_lsh_pairs(
         "doc",
         F.transform(word_shingles(F.col("_t"), k), md5_low32).alias("hv"),
     ).repartition(F.col("doc"))
-
-    # PLAN NOTE: signatures as explode_outer + num_hashes min() AGGREGATES,
-    # not array_min(transform(...)) per hash — higher-order functions are
-    # interpreted per element (no whole-stage codegen), so 32 HOF passes
-    # over every shingle array dominated the stage; min() aggregates are
-    # codegen'd with map-side partial aggregation. base is already hash
-    # partitioned by doc, so the groupBy adds NO shuffle. explode_outer
-    # keeps shingle-less docs as a null row → all-null mins, bit-identical
-    # to array_min over an empty array (and the rule-safe explode flavor,
-    # see CLAUDE.md). min() skips nulls, so mixed rows are unaffected.
     exh = base.select("doc", F.explode_outer("hv").alias("x"))
     params = _hash_params(num_hashes, seed)
     sigs = (
@@ -311,6 +305,15 @@ def minhash_lsh_pairs(
             F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
         )
     )
+    return base, sigs
+
+
+def _lsh_candidates(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band-bucket self-join over the signature frame → distinct candidate
+    id pairs (id_a < id_b)."""
+    r = num_hashes // bands
     band_idx = list(range(bands))
     banded = sigs.select(
         "doc",
@@ -330,12 +333,37 @@ def minhash_lsh_pairs(
     ).select("doc", "bk.band", "bk.bucket")
     left = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
-    cands = (
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    verify_threshold: Optional[float] = 0.5,
+    spread: bool = True,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH banding, optionally verified.
+
+    signature → split into ``bands`` bands of r = num_hashes/bands rows →
+    band-bucket join → candidate pairs; when ``verify_threshold`` is set the
+    candidates are verified with the EXACT shingle-Jaccard (the false-positive
+    filter), so output pairs are true near-dups. False negatives are bounded
+    by the (bands, r) S-curve.
+    """
+    base, sigs = _minhash_base_sigs(
+        df, id_col, text_col, k, num_hashes, bands, seed, spread
+    )
+    cands = _lsh_candidates(sigs, num_hashes, bands)
     if verify_threshold is None:
         return cands
     # verify ONLY the candidate pairs (not the full all-pairs join): restrict
@@ -381,6 +409,73 @@ def minhash_lsh_pairs(
     )
     return inter.filter(
         F.col("jaccard_num") >= F.lit(verify_threshold) * F.col("jaccard_den")
+    )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    est_threshold: float = 0.5,
+    spread: bool = True,
+) -> DataFrame:
+    """Signature-ONLY near-dup pairs: LSH band candidates scored by the
+    MinHash Jaccard ESTIMATE — the fraction of agreeing signature
+    components (an unbiased estimator of Jaccard, σ ≈ √(J(1−J)/h)) —
+    instead of minhash_lsh_pairs' exact shingle verify. This is the
+    verify-free scale path: after the signature stage the corpus TEXT is
+    never touched again, so the verification cost is |candidates| ×
+    num_hashes longs rather than a second pass over the shingle inverted
+    index — the right trade at 100 TB when an estimator tolerance is
+    acceptable (e.g. dedup at J ≥ 0.8 with h = 128: σ ≈ 0.035).
+
+    Output: (id_a, id_b, n_agree, est_e6) for pairs with
+    n_agree/num_hashes ≥ est_threshold, compared as an EXACT integer
+    cross-multiply (n_agree·1e6 ≥ threshold_e6·num_hashes — no float
+    boundary). est_e6 = (n_agree·1e6) div num_hashes, exact.
+
+    Shingle-less docs carry all-NULL signatures and agree via null-safe
+    equality — two empty docs estimate J = 1 (they ARE identical); the
+    exact-verify path instead drops them (0/0 Jaccard). Documented
+    estimator-vs-verify divergence, same as real MinHash deployments.
+
+    100 TB shape: the same single signature Exchange as minhash_lsh_pairs
+    (partial-agg min() signatures, band-bucket equi-join); scoring joins
+    ship (id, num_hashes longs) only; the component agreement is one
+    zip_with/filter pass over two bounded arrays per CANDIDATE pair.
+    """
+    _, sigs = _minhash_base_sigs(
+        df, id_col, text_col, k, num_hashes, bands, seed, spread
+    )
+    cands = _lsh_candidates(sigs, num_hashes, bands)
+    sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    thr_e6 = int(round(est_threshold * 1_000_000))
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x.eqNullSafe(y)),
+            lambda b: b,
+        )
+    ).cast("bigint")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_agree.alias("n_agree"),
+            F.floor(n_agree * F.lit(1_000_000) / F.lit(num_hashes))
+            .cast("bigint")
+            .alias("est_e6"),
+        )
+        .filter(
+            F.col("n_agree") * F.lit(1_000_000)
+            >= F.lit(thr_e6) * F.lit(num_hashes)
+        )
     )
 
 
@@ -1312,18 +1407,18 @@ def semantic_dedup(
     )
 
 
-def simhash_keepers(
+def simhash_members(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16,
     spread: bool = True,
 ) -> DataFrame:
-    """(simhash, keeper_id, n_docs) — one keeper (min id) per simhash
-    value, singletons included: the GROUPS half of simhash dedup, shaped
-    for ``apply_dedup`` (mirrors exact_dedup_groups' keeper = min id).
+    """(id_col, simhash) — the per-doc simhash MEMBERSHIP frame: every doc
+    tagged with its group key, singletons included. The building block the
+    keeper/candidate views aggregate from; also the ``members`` input
+    shape ``best_per_group`` consumes for quality-aware survivor picks.
 
-    Same plan skeleton as simhash_dup_candidates (spread scan, token-hash
-    array materialized behind a repartition barrier so the per-bit votes
-    read an attribute); the aggregate carries only (min id, count) per
-    group — constant state, mega-cluster-safe with no example lists.
+    Plan skeleton shared with simhash_dup_candidates: spread scan, the
+    token-hash array materialized behind a repartition barrier so the
+    per-bit votes read an attribute instead of re-hashing per bit.
     """
     rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
     if spread:
@@ -1332,12 +1427,84 @@ def simhash_keepers(
         "doc",
         F.transform(tokens(F.col("_t")), md5_low32).alias("hv"),
     ).repartition(F.col("doc"))
-    sh = hashed.select(
-        "doc", simhash_from_hashes(F.col("hv"), bits).alias("simhash")
+    return hashed.select(
+        F.col("doc").alias(id_col),
+        simhash_from_hashes(F.col("hv"), bits).alias("simhash"),
     )
+
+
+def simhash_keepers(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16,
+    spread: bool = True,
+) -> DataFrame:
+    """(simhash, keeper_id, n_docs) — one keeper (min id) per simhash
+    value, singletons included: the GROUPS half of simhash dedup, shaped
+    for ``apply_dedup`` (mirrors exact_dedup_groups' keeper = min id).
+
+    Aggregates the simhash_members frame; the aggregate carries only
+    (min id, count) per group — constant state, mega-cluster-safe with no
+    example lists.
+    """
+    sh = simhash_members(df, id_col, text_col, bits=bits, spread=spread)
     return sh.groupBy("simhash").agg(
-        F.min("doc").alias("keeper_id"),
+        F.min(id_col).alias("keeper_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
+def best_per_group(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware dedup SURVIVOR selection: one row per group carrying
+    the HIGHEST-scored member (ties → smallest id). Real pipelines keep
+    the longest / cleanest / best-scored duplicate, not the min-id
+    convention near_dup_groups and simhash_keepers default to — this is
+    the policy layer between group assignment and ``apply_dedup``.
+
+    Inputs: ``members`` = any (id, group) assignment frame
+    (near_dup_groups output, simhash_members, exact_dedup_groups) and
+    ``scores`` = an id-unique (id, score) frame (quality_metrics length,
+    token counts, a model score). Scores cast to bigint for engine-exact
+    comparison. Output: (group_col, best_id, best_score, n_members).
+
+    100 TB shape: one inner join on id between two id-keyed frames far
+    narrower than the corpus, then ONE ``repartition(group)`` Exchange
+    that ReuseExchange shares across all three consumers — the per-group
+    max/count aggregate and both sides of the argmax join-back are
+    co-partitioned on the group key (partitioning on a subset of the join
+    keys satisfies the join's distribution), so the whole argmax costs a
+    single shuffle. No windows, no collect_list state: aggregate state per
+    group is two bigints — mega-cluster-safe.
+    """
+    j = (
+        members.select(F.col(id_col), F.col(group_col))
+        .join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias("_grp"),
+            F.col(score_col).cast("bigint").alias("_score"),
+        )
+        .repartition(F.col("_grp"))
+    )
+    ag = j.groupBy("_grp").agg(
+        F.max("_score").alias("best_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    ).withColumnRenamed("_grp", "_g2")
+    best = (
+        j.join(
+            ag,
+            (F.col("_grp") == F.col("_g2"))
+            & (F.col("_score") == F.col("best_score")),
+        )
+        .groupBy("_grp", "best_score", "n_members")
+        .agg(F.min("_id").alias("best_id"))
+    )
+    return best.select(
+        F.col("_grp").alias(group_col), "best_id", "best_score", "n_members"
     )
 
 

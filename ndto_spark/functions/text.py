@@ -8,6 +8,8 @@ parquet-read speed at 100 TB.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pandas as pd  # module-global: pandas_udf type-hint resolution needs it
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1340,4 +1342,82 @@ def lm_score(
         F.floor(F.col("sum_p_e6") / F.col("n_bigrams"))
         .cast("bigint")
         .alias("avg_p_e6"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: Optional[str] = None,
+    min_tf: int = 2,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group — the power-law sanity check on
+    token frequency distributions. Natural-language corpora fit a log-log
+    slope near −1 (Zipf's law); template/boilerplate floods, synthetic
+    gibberish, and tokenizer bugs bend the slope, so a per-source fit is
+    the dataset-card-grade "does this shard still look like language?"
+    probe.
+
+    LOGARITHM-FREE: x = floor(log2(rank)) and y = floor(log2(tf)) come
+    from ``length(bin(v)) − 1`` — exact integers in any engine, libm never
+    touches data. The OLS moment sums are exact BIGINTs; only the final
+    slope runs in float64, as the fixed operation order
+    ``floor((1e6 · cov) / var)`` over the two exact integer moments —
+    bit-identical doubles everywhere.
+
+    Output per group: (group, n_terms, sx, sy, sxy, sxx, slope_e6) — the
+    exact moments ride along so downstream can refit or pool; slope_e6 ≈
+    −1_000_000 for Zipfian text, NULL when the pruned vocabulary is
+    degenerate (all terms in one rank octave ⇒ var = 0).
+
+    100 TB shape: explode → ONE partial-agg groupBy((group, token)) —
+    map-side combine crushes the shuffle to vocabulary size; the min_tf
+    prune (default 2) drops the hapax mass; the rank window and the OLS
+    aggregate run over the pruned VOCABULARY frame only — the corpus never
+    sorts. BIGINT bound: |cov| ≤ n²·x_max·y_max ≈ n²·2¹⁰, safe through
+    vocabularies of ~10⁸ terms; prune harder before that.
+    """
+    from pyspark.sql import Window
+
+    grp = (
+        F.col(group_col) if group_col is not None else F.lit("all")
+    ).alias("grp")
+    toks = df.select(
+        grp,
+        F.explode_outer(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token").isNotNull())
+    tf = (
+        toks.groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("tf").desc(), F.col("token"))
+    ranked = tf.select(
+        "grp",
+        (F.length(F.bin(F.row_number().over(w).cast("bigint"))) - 1)
+        .cast("bigint")
+        .alias("x"),
+        (F.length(F.bin(F.col("tf"))) - 1).cast("bigint").alias("y"),
+    )
+    ag = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    cov = F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var = F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.floor(
+        (F.lit(1_000_000.0) * cov.cast("double")) / var.cast("double")
+    ).cast("bigint")
+    return ag.select(
+        F.col("grp").alias(group_col if group_col is not None else "grp"),
+        "n_terms",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.when(var > 0, slope).alias("slope_e6"),
     )

@@ -579,3 +579,103 @@ def image_sharpness(df: DataFrame, id_col: str = "image_id") -> DataFrame:
         "image_id string, n_interior long, lap_sum long, lap_sumsq long, "
         "lap_var_e6 long",
     )
+
+
+def caption_alignment(
+    df: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    grid: int = 4,
+) -> DataFrame:
+    """Image-caption agreement score — the CLIP-score-shaped pair filter
+    (LAION-style pipelines drop pairs whose image/text embeddings
+    disagree) with a deterministic stand-in encoder pair: images embed via
+    ``embed_images`` (pooled-pixel grid means over REALLY decoded
+    payloads), captions embed via a hashed bag-of-words onto the SAME
+    grid² dimensions (bucket = md5_low32(token) mod dim, value = token
+    count), and the score is the fixed-fold cosine between the two.
+
+    The two encoders are stand-ins a real deployment swaps for CLIP
+    towers; everything around them is the production plumbing — the
+    single Arrow decode exchange, the caption branch as a pure
+    column-pruned projection (bytes never enter it), the id equi-join
+    that ships only (id, vector), and the engine-exact cosine
+    (ascending-index folds, dot / (sqrt·sqrt) in fixed order).
+
+    Output: (id, n_tokens, align_e4) — align_e4 NULL when the caption is
+    NULL/empty (zero caption vector has no direction); undecodable images
+    emit nothing. 100 TB shape: decode exchange + one equi-join on id
+    whose both sides are (id, dim·8B) narrow; the hashed caption embed is
+    O(dim · n_tokens) expression work per row with the token-hash array
+    let-bound once.
+    """
+    from . import ann
+    from .dedup import bind, md5_low32, tokens
+
+    dim = grid * grid
+    emb = embed_images(df, grid=grid, id_col=id_col)
+
+    toks = tokens(F.col(caption_col))
+
+    def _cvec(hs):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.size(
+                F.filter(hs, lambda h: h == j.cast("bigint"))
+            ).cast("double"),
+        )
+
+    caps = df.select(
+        F.col(id_col),
+        bind(
+            F.transform(toks, lambda t: md5_low32(t) % dim), _cvec
+        ).alias("cvec"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    out = emb.join(caps, on=id_col)
+    a, b = F.col("embedding"), F.col("cvec")
+    sim = ann.dot(a, b) / (ann.norm(a) * ann.norm(b))
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0, F.floor(sim * F.lit(1e4)).cast("bigint")
+        ).alias("align_e4"),
+    )
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "image_id", grid: int = 4
+) -> DataFrame:
+    """Difference hash (dHash) over REALLY decoded pixels: grid×grid
+    pooled gray cells (embed_images' integer lattice), bit = 1 where a
+    cell is strictly darker than its right neighbor — grid×(grid−1) bits,
+    row-major LSB-first. The classic gradient perceptual hash and
+    phash_of's sibling: gradients survive global brightness offsets where
+    a mean-threshold phash flips, so dHash catches exposure-shifted
+    re-crawls phash misses.
+
+    Output: (id, dhash bigint). Undecodable payloads emit nothing.
+
+    100 TB shape: decode rides the SAME single Arrow exchange as
+    embed_images; the bit assembly is a pure codegen projection over the
+    pooled-cell array — bytes never shuffle — and the hash feeds
+    phash_near_dups(bits=grid·(grid−1)) unchanged for banded hamming
+    near-dup at scale.
+    """
+    if grid < 2:
+        raise ValueError(f"grid must be >= 2 for horizontal gradients, got {grid}")
+    emb = embed_images(df, grid=grid, id_col=id_col)
+    g = grid
+    pos = 0
+    dhash = F.lit(0).cast("bigint")
+    for r in range(g):
+        for c in range(g - 1):
+            bit = F.get(F.col("embedding"), r * g + c) < F.get(
+                F.col("embedding"), r * g + c + 1
+            )
+            dhash = dhash + F.when(bit, F.lit(1 << pos)).otherwise(
+                F.lit(0)
+            ).cast("bigint")
+            pos += 1
+    return emb.select("image_id", dhash.alias("dhash"))

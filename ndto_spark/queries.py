@@ -3701,6 +3701,90 @@ def q_group_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_best_keeper_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor per simhash group: the member with the
+    greatest text length wins, ties → min doc_id (the keep-the-longest-
+    duplicate policy layered over group assignment). Oracle = the proven
+    simhash bit-vote CTE + DuckDB's own max/argmax replay."""
+    docs = _read(spark, sf_dir, "documents")
+    members = dedup.simhash_members(docs, "doc_id", "text", bits=16)
+    scores = docs.select("doc_id", F.length("text").alias("score"))
+    return dedup.best_per_group(members, scores, "doc_id", "simhash", "score")
+
+
+def q_zipf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per lang (min_tf=2): x/y are exact integer
+    floor-log2s via length(bin(v))-1 in BOTH engines; the OLS moments are
+    exact BIGINTs and only the final slope is float, in a fixed
+    (1e6·cov)/var operation order."""
+    from .functions.text import zipf_fit
+
+    return zipf_fit(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        group_col="lang", min_tf=2,
+    )
+
+
+_ALIGN_VOCAB = [
+    "alpine", "lake", "sunset", "forest", "river", "meadow", "harbor",
+    "night", "winter", "desert", "canyon", "island", "bridge", "garden",
+    "storm", "valley",
+]
+
+
+def q_caption_alignment_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-shaped image-caption agreement over REALLY decoded
+    two-tone fixtures: captions are synthesized deterministically from the
+    image id (md5-picked words from a 16-word literal vocab), so the
+    oracle rebuilds BOTH towers closed-form — the pooled-pixel embedding
+    from the row id and the hashed bag-of-words caption vector from the
+    same md5s — and replays the fixed cosine fold."""
+    from . import fixtures
+    from .multimodal import caption_alignment
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    vocab = F.array(*[F.lit(w) for w in _ALIGN_VOCAB])
+    nw = dedup.md5_low32(F.col("image_id")) % 6 + 3
+    words = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.get(
+            vocab,
+            (
+                dedup.md5_low32(
+                    F.concat(F.col("image_id"), F.lit(":"), i.cast("string"))
+                )
+                % 16
+            ).cast("int"),
+        ),
+    )
+    df2 = df.withColumn("caption", F.array_join(words, " "))
+    return caption_alignment(df2, id_col="image_id", grid=4)
+
+
+def q_minhash_estimate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only MinHash Jaccard ESTIMATE over the LSH candidates
+    (the verify-free scale path — text is never touched after the
+    signature stage). Same (k, h, bands) as the verified gate; the oracle
+    rebuilds the same signatures and counts agreeing components with
+    null-safe equality."""
+    return dedup.minhash_estimate_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        k=5, num_hashes=32, bands=16, est_threshold=0.1,
+    )
+
+
+def q_dhash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference hash over REALLY decoded two-tone fixtures: pooled-cell
+    gradients are closed-form in the row id (unswapped rows carry the
+    lo→hi step at each row's center, swapped rows are monotone
+    non-increasing → dhash 0), so DuckDB rebuilds the exact bit pattern."""
+    from . import fixtures
+    from .multimodal import image_dhash
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    return image_dhash(df, grid=4)
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3866,6 +3950,11 @@ QUERIES = {
     "lm_score_documents": q_lm_score_documents,
     "hopping_events": q_hopping_events,
     "group_split_events": q_group_split_events,
+    "best_keeper_documents": q_best_keeper_documents,
+    "zipf_documents": q_zipf_documents,
+    "caption_alignment_images": q_caption_alignment_images,
+    "minhash_estimate_documents": q_minhash_estimate_documents,
+    "dhash_images": q_dhash_images,
 }
 
 
@@ -7616,4 +7705,178 @@ lk AS (
 SELECT split, sum(n_rows)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
        (SELECT leaked_groups FROM lk) AS leaked_groups
 FROM pg GROUP BY split
+"""
+
+# quality-aware dedup survivor: simhash group membership (the proven
+# bit-vote CTE) + len(text) score; argmax replayed as max-join-min —
+# the same two-aggregate shape the Spark side runs
+ORACLE_SQL["best_keeper_documents"] = f"""
+WITH {_simhash_cte(16)},
+sc AS (
+  SELECT s.simhash, s.doc_id, len(d.text)::BIGINT AS score
+  FROM s JOIN documents d USING (doc_id)
+),
+ag AS (
+  SELECT simhash, max(score) AS best_score, count(*)::BIGINT AS n_members
+  FROM sc GROUP BY 1
+)
+SELECT a.simhash, min(x.doc_id) AS best_id, a.best_score, a.n_members
+FROM ag a JOIN sc x ON x.simhash = a.simhash AND x.score = a.best_score
+GROUP BY a.simhash, a.best_score, a.n_members
+"""
+
+# Zipf fit: floor-log2 via length(bin(v))-1 in both engines; exact BIGINT
+# OLS moments; the single float division replays Spark's
+# floor((1e6 * cov) / var) operation order
+ORACLE_SQL["zipf_documents"] = f"""
+WITH toks AS (
+  SELECT lang AS grp, unnest({_DOC_TOKS}) AS token FROM documents
+),
+tf AS (
+  SELECT grp, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT grp,
+    (length(bin((row_number() OVER (
+        PARTITION BY grp ORDER BY tf DESC, token))::BIGINT)) - 1)::BIGINT
+      AS x,
+    (length(bin(tf)) - 1)::BIGINT AS y
+  FROM tf
+),
+ag AS (
+  SELECT grp, count(*)::BIGINT AS n_terms, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx
+  FROM ranked GROUP BY 1
+)
+SELECT grp AS lang, n_terms, sx, sy, sxy, sxx,
+  CASE WHEN n_terms * sxx - sx * sx > 0 THEN
+    floor((1000000.0::DOUBLE * (n_terms * sxy - sx * sy)::DOUBLE)
+          / ((n_terms * sxx - sx * sx)::DOUBLE))::BIGINT
+  END AS slope_e6
+FROM ag
+"""
+
+# image-caption alignment: BOTH towers rebuilt closed-form — the
+# pooled-pixel embedding from the row id (image_embed_topk's cls/v CTEs)
+# and the hashed bag-of-words caption vector from the same md5 picks the
+# Spark query synthesizes; cosine replays the ascending-index folds
+_ALIGN_VOCAB_SQL = "[" + ", ".join(f"'{w}'" for w in _ALIGN_VOCAB) + "]"
+ORACLE_SQL["caption_alignment_images"] = f"""
+WITH cls AS (
+  SELECT i, printf('fi_%08d', i) AS iid,
+    (i * 37 + 11) % 128 AS c1, (i % 2 = 1) AS swapped
+  FROM (SELECT unnest(range({{n}})) AS i)
+  WHERE i % 25 <> 24
+),
+v AS (
+  SELECT iid,
+    list_transform(generate_series(0, 15), j ->
+      CASE WHEN (j % 4) < 2
+           THEN (CASE WHEN swapped THEN c1 + 100 ELSE c1 END)
+           ELSE (CASE WHEN swapped THEN c1 ELSE c1 + 100 END)
+      END::DOUBLE) AS emb
+  FROM cls
+),
+caps AS (
+  SELECT iid,
+    list_transform(
+      generate_series(1, ({{md5_iid}} % 6 + 3)),
+      i -> {_ALIGN_VOCAB_SQL}[
+        (1 + ({{md5_word}} % 16))::INTEGER]
+    ) AS words
+  FROM cls
+),
+cv AS (
+  SELECT iid, len(words)::BIGINT AS n_tokens,
+    list_transform(generate_series(0, 15), j ->
+      len(list_filter(words, w -> {{md5_w}} % 16 = j))::DOUBLE) AS cvec
+  FROM caps
+)
+SELECT v.iid AS image_id, cv.n_tokens,
+  floor(({{dot}}) / (sqrt({{ssa}}) * sqrt({{ssb}})) * 1e4)::BIGINT
+    AS align_e4
+FROM v JOIN cv ON v.iid = cv.iid
+""".format(
+    n=_FEAT_IMG_N,
+    md5_iid=_md5_low32_sql("iid"),
+    md5_word=_md5_low32_sql("iid || ':' || i::VARCHAR"),
+    md5_w=_md5_low32_sql("w"),
+    dot=_FOLD_DOT.format(a="v.emb", b="cv.cvec"),
+    ssa=_FOLD_SS.format(v="v.emb"),
+    ssb=_FOLD_SS.format(v="cv.cvec"),
+)
+
+
+def _minhash_estimate_sql(
+    k: int, num_hashes: int, bands: int, seed: int, est_threshold: float
+) -> str:
+    """Signature-only MinHash estimate oracle: rebuilds the same
+    permutation signatures as ``_minhash_lsh_ctes`` but (a) banding via
+    concat_ws — which SKIPS NULL components in BOTH engines, mirroring
+    Spark's concat_ws so all-NULL (shingle-less) signatures still land in
+    the md5('') bucket — and (b) scoring by null-safe component agreement
+    (IS NOT DISTINCT FROM == Spark eqNullSafe) instead of an exact
+    shingle-Jaccard verify. The threshold compare is the same exact
+    integer cross-multiply as the Spark side (no float boundary)."""
+    params = dedup._hash_params(num_hashes, seed)
+    r = num_hashes // bands
+    sig_terms = ",\n    ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {dedup.HASH_PRIME}))"
+        for a, b in params
+    )
+    band_selects = []
+    for i in range(bands):
+        parts = ", ".join(f"sg[{i * r + j + 1}]::VARCHAR" for j in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {i} AS band, md5(concat_ws(',', {parts})) AS bucket FROM sig"
+        )
+    banded = "\n  UNION ALL ".join(band_selects)
+    thr_e6 = int(round(est_threshold * 1_000_000))
+    return f"""WITH {_shingle_cte(k)},
+hv AS (SELECT doc_id, list_transform(shingles, s -> {_md5_low32_sql('s')}) AS hs FROM sh),
+sig AS (SELECT doc_id, [
+    {sig_terms}
+  ] AS sg FROM hv),
+banded AS (
+  {banded}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    len(list_filter(range(1, {num_hashes + 1}),
+        i -> sa.sg[i] IS NOT DISTINCT FROM sb.sg[i]))::BIGINT AS n_agree
+  FROM cands c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_agree,
+       (n_agree * 1000000 // {num_hashes})::BIGINT AS est_e6
+FROM scored
+WHERE n_agree * 1000000 >= {thr_e6} * {num_hashes}
+"""
+
+
+ORACLE_SQL["minhash_estimate_documents"] = _minhash_estimate_sql(
+    k=5, num_hashes=32, bands=16, seed=42, est_threshold=0.1
+)
+
+# dHash over the two-tone feature fixtures is closed-form by construction:
+# w ∈ {8,12,16,20,24} is always divisible by 4, so each grid=4 pooled cell
+# lies entirely inside one tone half — unswapped rows pool to
+# [lo, lo, hi, hi] (the single lo→hi step sits at column pair c=1, every
+# row), swapped rows to [hi, hi, lo, lo] (monotone non-increasing, no bit).
+# Row-major LSB-first gradient bits → unswapped dhash =
+# Σ_{r=0..3} 2^(3r+1) = 2 + 16 + 128 + 1024 = 1170; swapped = 0.
+# (Verified exhaustively over all 70 (w, h, swap) fixture classes.)
+ORACLE_SQL["dhash_images"] = f"""
+WITH {_FEAT_IMG_CLS}
+SELECT iid AS image_id,
+  CASE WHEN swapped THEN 0 ELSE 1170 END::BIGINT AS dhash
+FROM cls WHERE NOT corrupt
 """

@@ -446,3 +446,42 @@ def test_image_sharpness_exact_moments_and_skips(spark):
     gr = rows["grad"]
     assert (gr["n_interior"], gr["lap_sum"], gr["lap_sumsq"]) == (n, s, q)
     assert gr["lap_var_e6"] == (1_000_000 * (n * q - s * s)) // (n * n)
+
+
+def test_caption_alignment_closed_form_cosine(spark):
+    import hashlib
+
+    import numpy as np
+
+    from ndto_spark import codecs
+    from ndto_spark.multimodal import caption_alignment
+
+    def bucket(word, dim):
+        return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % dim
+
+    # grid=2 -> dim=4; emb = [0, 90, 0, 90] (right half bright)
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, 2:] = 90
+    words = [f"w{i}" for i in range(64)]
+    hot = next(w for w in words if bucket(w, 4) == 1)   # emb[1] = 90
+    cold = next(w for w in words if bucket(w, 4) == 0)  # emb[0] = 0
+    payload = bytearray(codecs.png_encode(px))
+    df = spark.createDataFrame(
+        [
+            ("hot", payload, f"{hot} {hot}"),
+            ("cold", payload, cold),
+            ("nul", payload, None),
+            ("empty", payload, ""),
+            ("bad", bytearray(b"nope"), hot),
+        ],
+        "image_id string, bytes binary, caption string",
+    )
+    out = {r["image_id"]: r for r in caption_alignment(df, grid=2).collect()}
+    # undecodable payload emits nothing
+    assert set(out) == {"hot", "cold", "nul", "empty"}
+    # cos([0,90,0,90], 2*e1) = 90/(90*sqrt(2)) -> floor(1e4/sqrt(2)) = 7071
+    assert (out["hot"]["n_tokens"], out["hot"]["align_e4"]) == (2, 7071)
+    assert (out["cold"]["n_tokens"], out["cold"]["align_e4"]) == (1, 0)
+    # NULL / empty captions: no direction -> NULL score
+    assert (out["nul"]["n_tokens"], out["nul"]["align_e4"]) == (0, None)
+    assert (out["empty"]["n_tokens"], out["empty"]["align_e4"]) == (0, None)

@@ -190,3 +190,76 @@ def test_lm_score_exact_bigram_probabilities(spark):
     assert r1["avg_p_e6"] == (2 * p_ab + p_ba) // 3
     r2 = out[2]
     assert (r2["n_bigrams"], r2["sum_p_e6"]) == (1, (1 * 1_000_000) // 3)
+
+
+def test_zipf_fit_closed_form_slope(spark):
+    from ndto_spark.functions.text import zipf_fit
+
+    # counts: a=8, b=4, c=2, d=2, e=1 (pruned by min_tf=2)
+    # ranks (tf desc, token): a=1 b=2 c=3 d=4
+    # x = flog2(rank) = 0,1,1,2 ; y = flog2(tf) = 3,2,1,1
+    # n=4 sx=4 sy=7 sxy=5 sxx=6 -> cov=-8 var=8 -> slope_e6 = -1000000
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"] * 2 + ["e"])
+    df = _docs(spark, [(1, text)])
+    r = zipf_fit(df, "doc_id", "text").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["n_terms"], row["sx"], row["sy"], row["sxy"], row["sxx"]) == (
+        4, 4, 7, 5, 6,
+    )
+    assert row["slope_e6"] == -1_000_000
+    assert row["grp"] == "all"
+
+
+def test_zipf_fit_degenerate_var_gives_null_and_groups(spark):
+    from ndto_spark.functions.text import zipf_fit
+
+    df = spark.createDataFrame(
+        [(1, "x x", "en"), (2, "y y z z w w v v", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {
+        r["lang"]: r
+        for r in zipf_fit(df, "doc_id", "text", group_col="lang").collect()
+    }
+    # en: one term -> rank 1 -> x=0 for every point -> var=0 -> NULL slope
+    assert out["en"]["n_terms"] == 1 and out["en"]["slope_e6"] is None
+    # de: four terms all tf=2 -> y=1 flat -> cov=0 -> slope 0 (var>0)
+    assert out["de"]["n_terms"] == 4 and out["de"]["slope_e6"] == 0
+
+
+def test_best_per_group_argmax_and_tie_break(spark):
+    from ndto_spark import dedup
+
+    members = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g1"), (4, "g2")],
+        "doc_id bigint, grp string",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7)], "doc_id bigint, score int"
+    )
+    out = {
+        r["grp"]: r
+        for r in dedup.best_per_group(
+            members, scores, "doc_id", "grp", "score"
+        ).collect()
+    }
+    # tie at score 9 between ids 2 and 3 -> min id wins
+    assert (out["g1"]["best_id"], out["g1"]["best_score"],
+            out["g1"]["n_members"]) == (2, 9, 3)
+    assert (out["g2"]["best_id"], out["g2"]["best_score"],
+            out["g2"]["n_members"]) == (4, 7, 1)
+
+
+def test_simhash_members_matches_keepers_grouping(spark):
+    from ndto_spark import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "totally different words here unrelated content"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    m = {r["doc_id"]: r["simhash"] for r in
+         dedup.simhash_members(df, "doc_id", "text", bits=16).collect()}
+    assert m[1] == m[2] and m[1] != m[3]
