@@ -74,6 +74,48 @@ def test_minhash_lsh_agrees_with_exact(spark, docs):
     assert (1, 2) in got and (1, 3) in got
 
 
+def test_minhash_estimate_components_and_threshold(spark, docs):
+    """Signature-only estimate path: identical docs agree on every
+    component (est exactly 1e6), est_e6 is the exact integer floor, the
+    threshold is a hard integer cut, and shingle-less docs pair up via
+    null-safe equality (the documented estimator-vs-verify divergence)."""
+    rows = {
+        (r.id_a, r.id_b): (r.n_agree, r.est_e6)
+        for r in dedup.minhash_estimate_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=32, bands=16,
+            est_threshold=0.4,
+        ).collect()
+    }
+    assert rows[(1, 2)] == (32, 1_000_000)  # exact dup: all components
+    n13, e13 = rows[(1, 3)]  # near dup: most but not all agree
+    assert 32 * 0.4 <= n13 < 32 and e13 == n13 * 1_000_000 // 32
+    assert not any(4 in p or 5 in p for p in rows)
+
+    # a 1.0 threshold keeps only the all-components pair
+    strict = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_estimate_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=32, bands=16,
+            est_threshold=1.0,
+        ).collect()
+    }
+    assert strict == {(1, 2)}
+
+    # shingle-less docs: all-NULL signatures, null-safe agreement -> J=1
+    empty = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, ""), (4, "")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_agree
+        for r in dedup.minhash_estimate_pairs(
+            empty, "doc_id", "text", k=3, num_hashes=8, bands=4,
+            est_threshold=0.9,
+        ).collect()
+    }
+    assert got == {(1, 2): 8, (3, 4): 8}
+
+
 def test_near_dup_groups_connected_components(spark):
     """Min-id propagation: chains collapse to the component min; singletons
     keep themselves; convergence needs diameter rounds (chain 1-2-3-4)."""

@@ -485,3 +485,32 @@ def test_caption_alignment_closed_form_cosine(spark):
     # NULL / empty captions: no direction -> NULL score
     assert (out["nul"]["n_tokens"], out["nul"]["align_e4"]) == (0, None)
     assert (out["empty"]["n_tokens"], out["empty"]["align_e4"]) == (0, None)
+
+
+def test_image_dhash_two_tone_closed_form(spark):
+    import numpy as np
+
+    import pytest
+
+    from ndto_spark import codecs
+    from ndto_spark.multimodal import image_dhash
+
+    # 4x4, grid=2 -> pooled cells [[lo, hi], [lo, hi]]: each row's single
+    # gradient bit fires (left < right) -> dhash = 2^0 + 2^1 = 3
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, 2:] = 200
+    # mirrored image: monotone non-increasing rows -> no bit fires
+    rv = px[:, ::-1].copy()
+    df = spark.createDataFrame(
+        [
+            ("step", bytearray(codecs.png_encode(px))),
+            ("rstep", bytearray(codecs.png_encode(rv))),
+            ("bad", bytearray(b"nope")),
+        ],
+        "image_id string, bytes binary",
+    )
+    got = {r["image_id"]: r["dhash"] for r in image_dhash(df, grid=2).collect()}
+    assert got == {"step": 3, "rstep": 0}  # undecodable emits nothing
+
+    with pytest.raises(ValueError, match="grid"):
+        image_dhash(df, grid=1)
