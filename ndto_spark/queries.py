@@ -3785,6 +3785,95 @@ def q_dhash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(df, grid=4)
 
 
+def q_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join in the gate — the
+    attribution shape: views ⋈ clicks per user where
+    view_ts <= click_ts <= view_ts + 4 hours (both bounds inclusive).
+    Both sides read the SAME symlinked single-file source, replayed
+    availableNow — one micro-batch, so every pair co-resides in join
+    state and the output is the complete interval join; watermarks
+    (needed for the state-cleanup contract at scale) are far wider than
+    the data span, so eviction can't race the replay. The oracle is
+    DuckDB's OWN inequality join — an independent second implementation
+    of the semantics, not a replay. delay_us is an epoch-micros
+    DIFFERENCE and the bounds compare as differences too, so the whole
+    query is invariant to any constant timezone shift in the parquet
+    read path."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import stream_interval_join
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="ndto_ivjoin_src_")
+    ck_dir = tempfile.mkdtemp(prefix="ndto_ivjoin_ck_")
+    out_dir = tempfile.mkdtemp(prefix="ndto_ivjoin_out_")
+    sink_schema = (
+        "user_id bigint, view_id bigint, click_id bigint, delay_us bigint"
+    )
+    q = None
+    try:
+        os.symlink(
+            os.path.abspath(path), os.path.join(src_dir, "events.parquet")
+        )
+
+        def side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:
+            s = spark.readStream.schema(schema).parquet(src_dir)
+            if dict(s.dtypes).get("ts") == "timestamp_ntz":
+                s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+            return (
+                s.filter(
+                    (F.col("event_type") == event_type)
+                    & F.col("ts").isNotNull()
+                    & F.col("user_id").isNotNull()
+                )
+                .select(
+                    F.col("event_id").alias(id_alias),
+                    "user_id",
+                    F.col("ts").alias(ts_alias),
+                )
+            )
+
+        views = side("view", "view_id", "v_ts")
+        clicks = side("click", "click_id", "c_ts").withColumnRenamed(
+            "user_id", "c_user"
+        ).withColumnRenamed("c_user", "user_id")
+        joined = stream_interval_join(
+            views, clicks, "user_id", "v_ts", "c_ts", "4 hours",
+            left_watermark="3650 days", right_watermark="3650 days",
+        )
+        out = joined.select(
+            views["user_id"].alias("user_id"),
+            "view_id",
+            "click_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+        )
+        with _conf(spark, _GATE_STREAM_SHUFFLE):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ck_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stream_join_events did not finish within 300s — refusing "
+                "to read a partially-filled sink"
+            )
+        return _read_stream_sink(spark, out_dir, sink_schema)
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -3955,6 +4044,7 @@ QUERIES = {
     "caption_alignment_images": q_caption_alignment_images,
     "minhash_estimate_documents": q_minhash_estimate_documents,
     "dhash_images": q_dhash_images,
+    "stream_join_events": q_stream_join_events,
 }
 
 
@@ -7879,4 +7969,26 @@ WITH {_FEAT_IMG_CLS}
 SELECT iid AS image_id,
   CASE WHEN swapped THEN 0 ELSE 1170 END::BIGINT AS dhash
 FROM cls WHERE NOT corrupt
+"""
+
+# stream-stream interval join: the oracle is DuckDB's OWN inequality join
+# over the same filtered sides — independent semantics, not a replay.
+# delay/bounds are epoch-micros differences (constant-tz-shift invariant).
+ORACLE_SQL["stream_join_events"] = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts
+  FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts
+  FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT v.user_id, v.view_id, c.click_id,
+       (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS delay_us
+FROM v JOIN c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 4 HOUR
 """

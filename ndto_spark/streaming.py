@@ -230,3 +230,56 @@ def session_stream(
         F.col("session_window.end").alias("session_end"),
         *[c for c in out.columns if c not in (key_col, "session_window")],
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    within: str,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join — the attribution
+    shape (impression ⋈ click): a right row matches a left row with the
+    same key when ``left_ts <= right_ts <= left_ts + within``, both
+    half-bounds INCLUSIVE.
+
+    This is the Structured Streaming capability batch joins can't fake:
+    both sides arrive indefinitely, so each side buffers keyed state and
+    the event-time range condition + watermarks tell the engine when a
+    buffered row can no longer match anything and its state is DROPPED —
+    left rows live ~``left_watermark + within`` past the right-side
+    watermark, right rows ~``right_watermark``. Without the interval
+    bound, stream-stream state grows with the whole stream; with it,
+    state is bounded by (rate × horizon) per side.
+
+    Matches emit as soon as both sides have arrived (inner join, append
+    mode — no waiting for watermark like outer joins). Late rows behind a
+    side's watermark may be silently dropped: pick watermarks to cover
+    each source's disorder horizon. Output: both frames' columns (the
+    caller projects; key/ts columns keep their names, so rename upstream
+    on collision).
+
+    100 TB shape: the join keys on (key, time-bucket) internally —
+    ordinary shuffle partitioning by key, per-key state in the state
+    store; no broadcast, no cross product. The ``within`` horizon is the
+    state-size knob — attribution windows of minutes-to-hours keep state
+    tiny regardless of corpus size.
+    """
+    for df, ts in ((left, left_ts), (right, right_ts)):
+        if dict(df.dtypes).get(ts) == "timestamp_ntz":
+            raise ValueError(
+                f"{ts} is TIMESTAMP_NTZ — cast to TIMESTAMP before the "
+                "watermark (parquet often yields NTZ; see dedup_stream)"
+            )
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (lw[key_col] == rw[key_col])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -243,3 +243,62 @@ def test_streaming_image_decode_matches_batch(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(sink).collect()}
     assert got == batch and len(got) == 50
+
+
+def test_stream_interval_join_bounds_and_key(spark, tmp_path):
+    """Inner interval join: inclusive [l.ts, l.ts + within] bounds, key
+    equality, and the NTZ guard. Hand-built views/clicks with matches at
+    the exact boundaries, one inside, one outside, one wrong-key."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows, name):
+        src = str(tmp_path / name)
+        df = spark.createDataFrame(
+            rows, "id bigint, user_id bigint, ts timestamp"
+        )
+        df.write.parquet(src)
+        return spark.readStream.schema(df.schema).parquet(src)
+
+    views = mk([(1, 7, t0), (2, 8, t0)], "views")
+    clicks = mk(
+        [
+            (10, 7, t0),                                # lower bound: ts == view ts
+            (11, 7, t0 + dt.timedelta(minutes=60)),     # upper bound, inclusive
+            (12, 7, t0 + dt.timedelta(minutes=61)),     # past the window
+            (13, 9, t0 + dt.timedelta(minutes=5)),      # no matching view key
+            (14, 8, t0 + dt.timedelta(minutes=30)),     # other key, inside
+        ],
+        "clicks",
+    )
+    from ndto_spark.streaming import stream_interval_join
+
+    out = stream_interval_join(
+        views.withColumnRenamed("id", "view_id"),
+        clicks.withColumnRenamed("id", "click_id")
+        .withColumnRenamed("user_id", "c_user")
+        .withColumnRenamed("ts", "c_ts")
+        .withColumnRenamed("c_user", "user_id"),
+        "user_id", "ts", "c_ts", "60 minutes",
+        left_watermark="365 days", right_watermark="365 days",
+    )
+    q = (
+        out.select("view_id", "click_id")
+        .writeStream.format("memory")
+        .queryName("ivj")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.view_id, r.click_id) for r in spark.sql("select * from ivj").collect()}
+    assert got == {(1, 10), (1, 11), (2, 14)}
+
+    import pytest as _pytest
+
+    ntz = spark.createDataFrame(
+        [(1, 1, t0)], "id bigint, user_id bigint, ts timestamp_ntz"
+    )
+    with _pytest.raises(ValueError, match="TIMESTAMP_NTZ"):
+        stream_interval_join(ntz, ntz, "user_id", "ts", "ts", "1 hour")
