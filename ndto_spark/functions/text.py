@@ -1421,3 +1421,59 @@ def zipf_fit(
         "sxx",
         F.when(var > 0, slope).alias("slope_e6"),
     )
+
+
+# classic double-encode markers: UTF-8 bytes re-read as Latin-1/cp1252
+# surface as 'Ã'+suffix (é→Ã©), 'â€'+punct (’→â€™), or 'Â'+nbsp/symbol
+# (°→Â°). Counting the marker PREFIXES catches the family without
+# enumerating every suffix.
+MOJIBAKE_MARKERS: tuple[str, ...] = ("Ã", "â€", "Â")
+
+# C0 controls except \t \n \r — binary junk that survived text extraction.
+# \xNN hex escapes parse identically in Java regex and RE2 (DuckDB).
+_CTRL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def encoding_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document text-encoding QA (the web-corpus mojibake pass):
+
+    (id, n_replacement, n_mojibake, n_ctrl, encoding_ok) where
+    n_replacement counts U+FFFD (a decoder already gave up there),
+    n_mojibake counts double-encode marker occurrences (MOJIBAKE_MARKERS
+    — 'Ã', 'â€', 'Â', the UTF-8-read-as-Latin-1 signatures), n_ctrl
+    counts C0 controls other than tab/newline/CR, and encoding_ok is
+    true iff all three are zero. NULL text → NULL counts, ok = false
+    (same convention as the validator: absent text can't be certified).
+
+    Marker counts are pure length arithmetic — (len(t) −
+    len(replace(t, m, ''))) / len(m), exact integers, no regex for the
+    literal markers — so any engine replays them bit-identically; the
+    control-chars count is one RE2/Java-portable character-class
+    regexp_replace. One codegen projection: no shuffle, no Python, and
+    only (id, text) is read, so the scan prunes every other column.
+    """
+    t = F.col(text_col)
+
+    def n_occ(marker: str) -> Column:
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(marker))))
+            / F.lit(len(marker))
+        ).cast("bigint")
+
+    from functools import reduce
+    from operator import add
+
+    n_repl = n_occ("�")
+    n_moji = reduce(add, (n_occ(m) for m in MOJIBAKE_MARKERS))
+    n_ctrl = (
+        F.length(t) - F.length(F.regexp_replace(t, _CTRL_CLASS, ""))
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_repl.alias("n_replacement"),
+        n_moji.alias("n_mojibake"),
+        n_ctrl.alias("n_ctrl"),
+        F.coalesce(
+            (n_repl == 0) & (n_moji == 0) & (n_ctrl == 0), F.lit(False)
+        ).alias("encoding_ok"),
+    )

@@ -3874,6 +3874,31 @@ def q_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
 
+def q_encoding_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-encoding QA (mojibake pass) over documents with PLANTED
+    artifacts — the synthetic corpus is clean, so the gate appends
+    double-encode markers (doc_id % 5 / % 7), U+FFFD (% 11) and a BEL
+    control (% 13); the oracle plants the byte-identical strings with
+    NULL-propagating || and replays the same length arithmetic."""
+    from .functions.text import encoding_report
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0, F.lit(" cafÃ©")).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit(" â€™")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 11 == 0, F.lit(" x�y")).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return encoding_report(planted, "doc_id", "text")
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -4045,6 +4070,7 @@ QUERIES = {
     "minhash_estimate_documents": q_minhash_estimate_documents,
     "dhash_images": q_dhash_images,
     "stream_join_events": q_stream_join_events,
+    "encoding_documents": q_encoding_documents,
 }
 
 
@@ -7991,4 +8017,33 @@ FROM v JOIN c
   ON v.user_id = c.user_id
  AND c.ts >= v.ts
  AND c.ts <= v.ts + INTERVAL 4 HOUR
+"""
+
+# encoding QA: planted artifacts replayed with NULL-propagating ||; marker
+# counts are the same exact length arithmetic (len diff // marker len);
+# the C0 class regex is RE2/Java-portable and needs the 'g' flag in DuckDB
+ORACLE_SQL["encoding_documents"] = """
+WITH p AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0 THEN ' cafÃ©' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' â€™' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' x�y' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    (len(t) - len(replace(t, '�', '')))::BIGINT AS n_replacement,
+    ( (len(t) - len(replace(t, 'Ã', '')))
+      + (len(t) - len(replace(t, 'â€', ''))) // 2
+      + (len(t) - len(replace(t, 'Â', ''))) )::BIGINT AS n_mojibake,
+    (len(t) - len(regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]',
+                                 '', 'g')))::BIGINT AS n_ctrl
+  FROM p
+)
+SELECT doc_id, n_replacement, n_mojibake, n_ctrl,
+       coalesce(n_replacement = 0 AND n_mojibake = 0 AND n_ctrl = 0,
+                false) AS encoding_ok
+FROM m
 """

@@ -379,3 +379,25 @@ def test_linear_scores_hand_fold_and_threshold(spark):
 
     with pytest.raises(ValueError, match="4096"):
         linear_scores(df, "id", "text", [1])
+
+
+def test_encoding_report_counts_and_ok_flag(spark):
+    from ndto_spark.functions.text import encoding_report
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "cafÃ© and â€™s"),   # Ã© + â€™
+        (3, "deg Â° twice Â°"),        # Â° ×2
+        (4, "lost � bytes ��"),             # U+FFFD ×3
+        (5, "bell \x07 and null-ish \x01\x1f ok \t\n"),    # ctrl ×3, \t\n fine
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in encoding_report(df, "doc_id", "text").collect()}
+    assert (got[1].n_replacement, got[1].n_mojibake, got[1].n_ctrl) == (0, 0, 0)
+    assert got[1].encoding_ok
+    assert got[2].n_mojibake == 2 and not got[2].encoding_ok
+    assert got[3].n_mojibake == 2
+    assert got[4].n_replacement == 3
+    assert got[5].n_ctrl == 3 and not got[5].encoding_ok
+    assert got[6].n_replacement is None and got[6].encoding_ok is False
