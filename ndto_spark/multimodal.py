@@ -679,3 +679,61 @@ def image_dhash(
             ).cast("bigint")
             pos += 1
     return emb.select("image_id", dhash.alias("dhash"))
+
+
+_IMAGE_TRANSFORMS = ("hflip", "vflip", "rot180")
+
+
+def transform_images(
+    df: DataFrame, op: str, id_col: str = "image_id"
+) -> DataFrame:
+    """Deterministic augmentation transforms → (id, bytes) of re-encoded
+    PNGs over REAL decode: ``hflip`` (mirror left-right, the classic
+    train-time augmentation), ``vflip``, ``rot180``. All three are exact
+    pixel PERMUTATIONS — no interpolation, no rounding — so the output
+    decodes to bit-identical flipped pixels on any platform, and
+    downstream features (phash/dhash/embeddings) of an augmented corpus
+    are closed-form in the original's. Undecodable payloads emit nothing
+    (same contract as resize_images).
+
+    100 TB shape: one Arrow exchange (mapInPandas), numpy view-flips (no
+    copy until the PNG encode), bytes never shuffle — augmentation
+    multiplies the corpus WITHOUT a join, so it composes with
+    dedup/feature operators as a plain union of transformed frames.
+    """
+    if op not in _IMAGE_TRANSFORMS:
+        raise ValueError(
+            f"op must be one of {_IMAGE_TRANSFORMS}, got {op!r}"
+        )
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            # preallocated keep-mask bookkeeping (see decode_image_features)
+            n = len(pdf)
+            payloads = pdf["bytes"].to_numpy(dtype=object, copy=False)
+            blobs = np.full(n, None, dtype=object)
+            keep = np.zeros(n, dtype=bool)
+            for i in range(n):
+                try:
+                    _, px = codecs.decode(bytes(payloads[i]))
+                except Exception:
+                    continue
+                if op == "hflip":
+                    out = px[:, ::-1]
+                elif op == "vflip":
+                    out = px[::-1, :]
+                else:  # rot180
+                    out = px[::-1, ::-1]
+                blobs[i] = codecs.png_encode(np.ascontiguousarray(out))
+                keep[i] = True
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=object, copy=False)[keep],
+                    "bytes": blobs[keep],
+                }
+            )
+
+    return df.select(id_col, "bytes").mapInPandas(
+        run, f"{id_col} string, bytes binary"
+    )

@@ -3899,6 +3899,20 @@ def q_encoding_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_report(planted, "doc_id", "text")
 
 
+def q_aug_dhash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmentation round-trip over REAL codec work: decode → hflip
+    (exact pixel permutation) → PNG re-encode → decode → dHash. The
+    two-tone fixtures make the whole chain closed-form — mirroring swaps
+    the tone halves, so the dhash pattern is exactly the UNFLIPPED
+    fixture's opposite class (1170 ↔ 0) — and any defect anywhere in the
+    decode/transform/encode/feature chain breaks the bit pattern."""
+    from . import fixtures
+    from .multimodal import image_dhash, transform_images
+
+    df = fixtures.synth_feature_images_cached(spark, _FEAT_IMG_N)
+    return image_dhash(transform_images(df, "hflip"), grid=4)
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -4071,6 +4085,7 @@ QUERIES = {
     "dhash_images": q_dhash_images,
     "stream_join_events": q_stream_join_events,
     "encoding_documents": q_encoding_documents,
+    "aug_dhash_images": q_aug_dhash_images,
 }
 
 
@@ -8046,4 +8061,13 @@ SELECT doc_id, n_replacement, n_mojibake, n_ctrl,
        coalesce(n_replacement = 0 AND n_mojibake = 0 AND n_ctrl = 0,
                 false) AS encoding_ok
 FROM m
+"""
+
+# augmentation round trip: hflip swaps the two-tone halves, so the dhash
+# class is exactly the unflipped fixture's opposite (see dhash_images)
+ORACLE_SQL["aug_dhash_images"] = f"""
+WITH {_FEAT_IMG_CLS}
+SELECT iid AS image_id,
+  CASE WHEN swapped THEN 1170 ELSE 0 END::BIGINT AS dhash
+FROM cls WHERE NOT corrupt
 """

@@ -514,3 +514,28 @@ def test_image_dhash_two_tone_closed_form(spark):
 
     with pytest.raises(ValueError, match="grid"):
         image_dhash(df, grid=1)
+
+
+def test_transform_images_exact_pixel_permutations(spark):
+    import numpy as np
+
+    import pytest
+
+    from ndto_spark import codecs
+    from ndto_spark.multimodal import transform_images
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a", bytearray(codecs.png_encode(px))), ("bad", bytearray(b"x"))],
+        "image_id string, bytes binary",
+    )
+    want = {"hflip": px[:, ::-1], "vflip": px[::-1, :], "rot180": px[::-1, ::-1]}
+    for op, expect in want.items():
+        rows = transform_images(df, op).collect()
+        assert [r.image_id for r in rows] == ["a"]  # undecodable dropped
+        _, got = codecs.decode(bytes(rows[0].bytes))
+        assert np.array_equal(got, expect), op
+
+    with pytest.raises(ValueError, match="op must be"):
+        transform_images(df, "rot90")
