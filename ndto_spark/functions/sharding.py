@@ -23,10 +23,11 @@ from pyspark.sql import functions as F
 
 
 def sequential_positions(
-    df: DataFrame, key_col: str, n_partitions: int = 32
+    df: DataFrame, key_col: str, n_partitions: int = 32, order_cols=None
 ) -> DataFrame:
-    """df + a 1-based global position ``pos`` in ``key_col`` order, without
-    a global sort. Ties (duplicate keys) get arbitrary but contiguous
+    """df + a 1-based global position ``pos`` in ``key_col`` order (or in
+    ``order_cols`` order when given — key_col still names the identity
+    column), without a global sort. Ties get arbitrary but contiguous
     positions.
 
     The returned frame's lineage includes a persist()ed range-partitioned
@@ -36,8 +37,9 @@ def sequential_positions(
     ``unpersist_positions(pos_df)`` — shard_manifest below does exactly
     that with the repo's parquet lineage-spill idiom.
     """
+    order_cols = [key_col] if order_cols is None else list(order_cols)
     part = (
-        df.repartitionByRange(n_partitions, F.col(key_col))
+        df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -55,7 +57,7 @@ def sequential_positions(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
     )
     local = F.row_number().over(
-        Window.partitionBy("_pid").orderBy(F.col(key_col))
+        Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     )
     out = part.withColumn(
         "pos", (off_map[F.col("_pid")] + local).cast("bigint")
@@ -222,3 +224,46 @@ def grouped_shard_manifest(
     part.unpersist()
     atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
     return df.sparkSession.read.parquet(run_dir)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    seed: int = 42,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic per-EPOCH global shuffle order — the training-loader
+    reshuffle: position = rank of md5(key ":epoch:seed") (ties broken by
+    key, so the order is total). A pure function of (corpus membership,
+    epoch, seed): every worker, engine, and cluster size derives the SAME
+    permutation for an epoch, and different epochs give independent
+    permutations — no materialized shuffle files, no RNG state to ship.
+
+    Output: (key, bucket, pos) with pos a 1..n bijection in (bucket, key)
+    order. Feed pos to shard_manifest-style cutting (or floor((pos-1)/
+    shard_size) directly) for per-epoch shard layouts.
+
+    100 TB shape: the same two-phase distributed rank as
+    sequential_positions — range-partitioned parallel sort on the salted
+    bucket + per-partition window + an n_partitions-entry literal offset
+    map; no global single-task sort anywhere. Same persisted-parent
+    contract: call unpersist_positions(result) after materializing.
+    """
+    from ..dedup import md5_low32
+
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    salted = md5_low32(
+        F.concat_ws(
+            ":",
+            F.col(key_col).cast("string"),
+            F.lit(str(int(epoch))),
+            F.lit(str(int(seed))),
+        )
+    )
+    base = df.select(F.col(key_col), salted.alias("bucket"))
+    return sequential_positions(
+        base, key_col, n_partitions=n_partitions,
+        order_cols=["bucket", key_col],
+    )

@@ -3913,6 +3913,32 @@ def q_aug_dhash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(transform_images(df, "hflip"), grid=4)
 
 
+def q_epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle (epoch 3): global position
+    = two-phase distributed rank of md5(doc_id ':3:42'). The oracle is
+    DuckDB's OWN row_number over the same salted bucket — independently
+    proving the range-partition + offset-map rank equals a true global
+    sort's."""
+    from .functions.sharding import epoch_shuffle, unpersist_positions
+
+    import atexit
+    import shutil
+    import tempfile
+
+    out = epoch_shuffle(
+        _read(spark, sf_dir, "documents"), "doc_id", epoch=3, n_partitions=8
+    )
+    # spill to parquet so the rank's persisted parent can be released
+    # before the gate's collect (the repo's lineage-spill idiom)
+    run_dir = tempfile.mkdtemp(prefix="ndto_epoch_")
+    try:
+        out.write.mode("overwrite").parquet(run_dir)
+    finally:
+        unpersist_positions(out)
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    return spark.read.parquet(run_dir)
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -4086,6 +4112,7 @@ QUERIES = {
     "stream_join_events": q_stream_join_events,
     "encoding_documents": q_encoding_documents,
     "aug_dhash_images": q_aug_dhash_images,
+    "epoch_shuffle_documents": q_epoch_shuffle_documents,
 }
 
 
@@ -8070,4 +8097,19 @@ WITH {_FEAT_IMG_CLS}
 SELECT iid AS image_id,
   CASE WHEN swapped THEN 1170 ELSE 0 END::BIGINT AS dhash
 FROM cls WHERE NOT corrupt
+"""
+
+# per-epoch shuffle: oracle = DuckDB's OWN global row_number over the same
+# salted md5 bucket — proves the two-phase distributed rank == a true
+# global sort's rank
+ORACLE_SQL["epoch_shuffle_documents"] = """
+WITH b AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(doc_id::VARCHAR || ':3:42'), 1, 8))::BIGINT
+      AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       row_number() OVER (ORDER BY bucket, doc_id)::BIGINT AS pos
+FROM b
 """

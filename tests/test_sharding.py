@@ -77,3 +77,39 @@ def test_grouped_shard_manifest_per_group_sequences(spark):
         for s in range(n_shards):
             chunk = keys[10 * s : 10 * (s + 1)]
             assert got[(name, s)] == (len(chunk), chunk[0], chunk[-1])
+
+
+def test_epoch_shuffle_matches_reference_rank_and_varies_by_epoch(spark):
+    import hashlib
+
+    import pytest
+
+    from ndto_spark.functions.sharding import epoch_shuffle, unpersist_positions
+
+    keys = list(range(1, 41))
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id bigint")
+
+    def ref_order(epoch, seed=42):
+        def bucket(k):
+            return int(
+                hashlib.md5(f"{k}:{epoch}:{seed}".encode()).hexdigest()[:8], 16
+            )
+        return {
+            k: i + 1
+            for i, k in enumerate(sorted(keys, key=lambda k: (bucket(k), k)))
+        }
+
+    out0 = epoch_shuffle(df, "doc_id", epoch=0, n_partitions=4)
+    got0 = {r.doc_id: r.pos for r in out0.collect()}
+    unpersist_positions(out0)
+    assert got0 == ref_order(0)  # exact rank parity with the salted md5
+
+    out1 = epoch_shuffle(df, "doc_id", epoch=1, n_partitions=4)
+    got1 = {r.doc_id: r.pos for r in out1.collect()}
+    unpersist_positions(out1)
+    assert got1 == ref_order(1)
+    assert got0 != got1  # epochs permute independently
+    assert sorted(got1.values()) == list(range(1, 41))  # bijection
+
+    with pytest.raises(ValueError, match="epoch"):
+        epoch_shuffle(df, "doc_id", epoch=-1)
