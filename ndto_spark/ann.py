@@ -854,3 +854,54 @@ def class_prototypes(
         )
         .withColumn("mean_q", F.expr("sum_q div n"))
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    mutual_only: bool = False,
+) -> DataFrame:
+    """k-NN GRAPH over the corpus itself — the adjacency every
+    graph-based curation step starts from (label propagation, UMAP/graph
+    clustering, coreset selection): canonical undirected edges
+    (id_a < id_b, cosine_sim) from each vector's top-k, with ``mutual`` =
+    true iff BOTH endpoints rank each other (mutual-kNN edges are the
+    noise-robust subset — a hub that one-sidedly attracts distant points
+    doesn't get mutual edges). ``mutual_only=True`` keeps just those.
+
+    Edge sim is bit-identical from either direction (the dot fold is the
+    same ascending-index order, multiplication commutes), so the
+    direction merge is an exact groupBy, not a float dedup.
+
+    100 TB shape: this entry point scores with brute_force_topk (the
+    exact O(n²) oracle twin — labeled small-scale like the other exact
+    paths); at scale generate the directed top-k with lsh_topk / ivf_topk
+    (same (query_id, neighbor_id, cosine_sim) contract) and reuse
+    knn_edges_from_topk below — the canonicalize + direction-count
+    groupBy is |directed edges| = n·k rows, map-side combinable.
+    """
+    return knn_edges_from_topk(
+        brute_force_topk(df, df, id_col, vec_col, k), mutual_only
+    )
+
+
+def knn_edges_from_topk(nn: DataFrame, mutual_only: bool = False) -> DataFrame:
+    """Canonicalize a directed (query_id, neighbor_id, cosine_sim) top-k
+    frame into undirected (id_a, id_b, cosine_sim, mutual) edges."""
+    e = nn.select(
+        F.least("query_id", "neighbor_id").alias("id_a"),
+        F.greatest("query_id", "neighbor_id").alias("id_b"),
+        "cosine_sim",
+    )
+    out = (
+        e.groupBy("id_a", "id_b")
+        .agg(
+            F.max("cosine_sim").alias("cosine_sim"),
+            F.count(F.lit(1)).alias("_n_dirs"),
+        )
+        .withColumn("mutual", F.col("_n_dirs") == 2)
+        .drop("_n_dirs")
+    )
+    return out.filter(F.col("mutual")) if mutual_only else out

@@ -3939,6 +3939,24 @@ def q_epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(run_dir)
 
 
+def q_knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction (k=3 cosine) over the embeddings
+    table: canonical undirected edges + the mutual flag. The oracle ranks
+    with DuckDB's NATIVE list_cosine_similarity window and re-derives the
+    direction count — independent scoring AND independent ranking."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    from .ann import knn_graph
+
+    return knn_graph(emb, "vec_id", "embedding", k=3).select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4"),
+        "mutual",
+    )
+
+
 QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_events": q_validate_events,
@@ -4113,6 +4131,7 @@ QUERIES = {
     "encoding_documents": q_encoding_documents,
     "aug_dhash_images": q_aug_dhash_images,
     "epoch_shuffle_documents": q_epoch_shuffle_documents,
+    "knn_graph_embeddings": q_knn_graph_embeddings,
 }
 
 
@@ -8112,4 +8131,26 @@ WITH b AS (
 SELECT doc_id, bucket,
        row_number() OVER (ORDER BY bucket, doc_id)::BIGINT AS pos
 FROM b
+"""
+
+# mutual-kNN graph: DuckDB scores with its NATIVE cosine and ranks with
+# its own window, then re-derives the direction count per canonical pair
+ORACLE_SQL["knn_graph_embeddings"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS sim
+  FROM e a, e b WHERE a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+),
+nn AS (SELECT * FROM ranked WHERE rk <= 3)
+SELECT least(query_id, neighbor_id) AS id_a,
+       greatest(query_id, neighbor_id) AS id_b,
+       CAST(floor(max(sim) * 1e4) AS BIGINT) AS sim_e4,
+       count(*) = 2 AS mutual
+FROM nn GROUP BY 1, 2
 """

@@ -207,3 +207,21 @@ def test_quantized_topk_skips_null_code_vectors(spark):
     rows = quantized_topk(qz, qz, k=5).collect()
     ids = {r.query_id for r in rows} | {r.neighbor_id for r in rows}
     assert 3 not in ids  # zero vector has no codes: excluded on both sides
+
+
+def test_knn_graph_mutual_and_one_way_edges(spark):
+    """k=1 on three vectors: A↔B pick each other (mutual); C picks B but
+    B's top-1 is A, so (B, C) is a one-way edge. mutual_only drops it."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.141]),
+        (3, [0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.mutual
+        for r in ann.knn_graph(df, k=1).collect()
+    }
+    assert got == {(1, 2): True, (2, 3): False}
+    only = {(r.id_a, r.id_b) for r in ann.knn_graph(df, k=1, mutual_only=True).collect()}
+    assert only == {(1, 2)}
