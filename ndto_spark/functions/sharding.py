@@ -53,9 +53,17 @@ def sequential_positions(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-    )
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+    else:
+        # empty input: a zero-arg create_map() is map<void,void> and
+        # map()[_pid] fails analysis — use a typed empty map (same guard
+        # as grouped_shard_manifest below)
+        off_map = F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<int>")
+        )
     local = F.row_number().over(
         Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     )
