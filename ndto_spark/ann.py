@@ -50,20 +50,35 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine_sim), k rows per query,
     self-matches excluded. Ties broken by neighbor id (deterministic).
     """
+    # norms precomputed ONCE per vector, not per pair: HOFs run
+    # interpreted, so cosine()'s 3 folds per pair cost 3x the necessary
+    # work in an all-pairs scorer (measured 14.3 -> 6.7 s on a 1000-node
+    # kNN graph). dot/(qn*cn) keeps cosine()'s exact fold and multiply
+    # order — bit-identical floats, the oracles don't move. (A fixed-dim
+    # UNROLL of the folds was tried and is ~1.8x SLOWER than the HOF
+    # pass: 128 chained GetArrayItems per pair defeat codegen — don't
+    # rediscover.)
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("_qn"),
         )
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+            (
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cosine_sim"),
         )
     )
     return two_phase_topk(scored, k)

@@ -3944,8 +3944,18 @@ def q_knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     table: canonical undirected edges + the mutual flag. The oracle ranks
     with DuckDB's NATIVE list_cosine_similarity window and re-derives the
     direction count — independent scoring AND independent ranking."""
-    emb = _read(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        # bounded node set: the exact all-pairs scorer is the small-scale
+        # oracle twin (O(n²·d) interpreted-HOF cosines — 5000 nodes
+        # measured 80 s at sf0.1); at scale the graph comes from
+        # lsh/ivf_topk via knn_edges_from_topk. 800 nodes covers every
+        # sf0.01 vec_id, so the oracle result is unchanged at gate scale.
+        .filter(F.col("vec_id") < 800)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
     )
     from .ann import knn_graph
 
@@ -8136,7 +8146,8 @@ FROM b
 # mutual-kNN graph: DuckDB scores with its NATIVE cosine and ranks with
 # its own window, then re-derives the direction count per canonical pair
 ORACLE_SQL["knn_graph_embeddings"] = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 800),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          list_cosine_similarity(a.v, b.v) AS sim

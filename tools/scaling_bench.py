@@ -92,6 +92,21 @@ for _ in range(2):
     pairs.count()
     d = time.time() - t0
     dedup_best = d if dedup_best is None else min(dedup_best, d)
+# fourth-b datapoint: the signature-only MinHash ESTIMATE path (round-5
+# minhash_estimate_pairs) over the SAME planted corpus — the verify-free
+# 100 TB variant: identical signature + band-join stages, but scoring is
+# a component-agreement fold over two 32-long arrays per candidate
+# instead of the exact shingle-Jaccard re-join. Contrast with dedup_sec
+# isolates what the exact-verify inverted-index join costs at each size.
+from ndto_spark.dedup import minhash_estimate_pairs
+est = minhash_estimate_pairs(dd, "doc_id", "text", est_threshold=0.4)
+n_est_pairs = est.count()  # warm
+est_best = None
+for _ in range(2):
+    t0 = time.time()
+    est.count()
+    d = time.time() - t0
+    est_best = d if est_best is None else min(est_best, d)
 # fifth datapoint: phash band-LSH near-dup (the round-5 operator) over a
 # synthesized (id, phash60) population — md5-low60 phashes with a planted
 # hamming-1 neighbor every 50th row, exactly the gate query's shape but at
@@ -222,6 +237,7 @@ print(json.dumps({"cpus": cpus, "sec": best, "rows": rows, "viols": viols,
                   "arrow_sec": arrow_best,
                   "dedup_sec": dedup_best, "dedup_rows": n_docs,
                   "dedup_pairs": n_pairs,
+                  "est_sec": est_best, "est_pairs": n_est_pairs,
                   "phash_sec": phash_best, "phash_rows": n_ph,
                   "phash_pairs": n_ph_pairs,
                   "asof_sec": asof_best, "asof_rows": n_asof,
@@ -261,6 +277,7 @@ def main() -> None:
         out["meta_sec"] = min(a["meta_sec"], b["meta_sec"])
         out["arrow_sec"] = min(a["arrow_sec"], b["arrow_sec"])
         out["dedup_sec"] = min(a["dedup_sec"], b["dedup_sec"])
+        out["est_sec"] = min(a["est_sec"], b["est_sec"])
         out["phash_sec"] = min(a["phash_sec"], b["phash_sec"])
         out["asof_sec"] = min(a["asof_sec"], b["asof_sec"])
         out["pr_sec"] = min(a["pr_sec"], b["pr_sec"])
@@ -283,6 +300,9 @@ def main() -> None:
     dtp8 = r8["dedup_rows"] / r8["dedup_sec"]
     dtp32 = r32["dedup_rows"] / r32["dedup_sec"]
     deff = (dtp32 / dtp8) / 4.0
+    etp8 = r8["dedup_rows"] / r8["est_sec"]
+    etp32 = r32["dedup_rows"] / r32["est_sec"]
+    eeff = (etp32 / etp8) / 4.0
     ptp8 = r8["phash_rows"] / r8["phash_sec"]
     ptp32 = r32["phash_rows"] / r32["phash_sec"]
     peff = (ptp32 / ptp8) / 4.0
@@ -341,6 +361,18 @@ after a full warm pass:
 | local[{r32['cpus']}] (4N) | {r32['dedup_sec']:.2f} | {dtp32:,.0f} |
 
 **Dedup-pipeline scaling efficiency N→4N = {deff:.2f}** (target ≥ 0.8).
+
+MinHash signature-only ESTIMATE path (same corpus and signature/band
+stages, verify-free scoring — the 100 TB variant; {r8['est_pairs']:,}
+estimated pairs, identical at both sizes), min-of-2 after a full warm
+pass:
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[{r8['cpus']}]  (N)  | {r8['est_sec']:.2f} | {etp8:,.0f} |
+| local[{r32['cpus']}] (4N) | {r32['est_sec']:.2f} | {etp32:,.0f} |
+
+**Estimate-path scaling efficiency N→4N = {eeff:.2f}** (target ≥ 0.8).
 
 Phash band-LSH near-dup (bit-band explode, band-bucket self-join with the
 DF cap on, popcount verify — pure JVM join machinery) over a
