@@ -3874,6 +3874,117 @@ def q_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
 
+def q_stream_left_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream interval join: every view
+    emits exactly once — matched views with their clicks (the inner
+    rows), unmatched views with NULL click columns ON STATE EVICTION,
+    which only the watermark can prove safe. The gate stages two
+    micro-batches: the events file, then a far-future sentinel pair (one
+    'view' + one 'click' row, user_id −1) whose only job is to advance
+    BOTH sides' watermarks past every real row so the trailing no-data
+    batch flushes all unmatched state (session_stream's sentinel
+    contract). Oracle = DuckDB's OWN LEFT JOIN with the same interval
+    condition — independent semantics."""
+    import atexit
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import stream_interval_join
+
+    path = f"{sf_dir}/events.parquet"
+    ev_schema = spark.read.parquet(path).schema
+
+    def build(tmp: str) -> None:
+        def put(df: DataFrame, name: str, tsec: int) -> None:
+            out = os.path.join(tmp, "_build")
+            df.coalesce(1).write.mode("overwrite").parquet(out)
+            part = next(
+                f
+                for f in os.listdir(out)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            shutil.move(os.path.join(out, part), os.path.join(tmp, name))
+            shutil.rmtree(out, ignore_errors=True)
+            t = 1_600_000_000 + tsec
+            os.utime(os.path.join(tmp, name), (t, t))
+
+        put(spark.read.parquet(path), "batch_0.parquet", 0)
+        far = datetime.datetime(2100, 1, 1)
+        sentinel = spark.createDataFrame(
+            [
+                (-1, far, -1, "view", 0.0, "{}"),
+                (-2, far, -1, "click", 0.0, "{}"),
+            ],
+            ev_schema,
+        )
+        put(sentinel, "batch_1.parquet", 3600)
+
+    src_dir = _staged_source("ivjleft", sf_dir, build)
+    ck_dir = tempfile.mkdtemp(prefix="ndto_ivjleft_ck_")
+    out_dir = tempfile.mkdtemp(prefix="ndto_ivjleft_out_")
+    sink_schema = (
+        "user_id bigint, view_id bigint, click_id bigint, delay_us bigint"
+    )
+    q = None
+    try:
+        def side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:
+            s = (
+                spark.readStream.schema(ev_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            if dict(s.dtypes).get("ts") == "timestamp_ntz":
+                s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+            return s.filter(
+                (F.col("event_type") == event_type)
+                & F.col("ts").isNotNull()
+                & F.col("user_id").isNotNull()
+            ).select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").alias(ts_alias),
+            )
+
+        views = side("view", "view_id", "v_ts")
+        clicks = side("click", "click_id", "c_ts").withColumnRenamed(
+            "user_id", "c_user"
+        ).withColumnRenamed("c_user", "user_id")
+        joined = stream_interval_join(
+            views, clicks, "user_id", "v_ts", "c_ts", "4 hours",
+            left_watermark="3650 days", right_watermark="3650 days",
+            how="left_outer",
+        )
+        out = joined.select(
+            views["user_id"].alias("user_id"),
+            "view_id",
+            "click_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+        )
+        with _conf(spark, _GATE_STREAM_SHUFFLE):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ck_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stream_left_join_events did not finish within 300s — "
+                "refusing to read a partially-filled sink"
+            )
+        sink = _read_stream_sink(spark, out_dir, sink_schema)
+        return sink.filter(F.col("user_id") >= 0)
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+
 def q_encoding_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-encoding QA (mojibake pass) over documents with PLANTED
     artifacts — the synthetic corpus is clean, so the gate appends
@@ -4138,6 +4249,7 @@ QUERIES = {
     "minhash_estimate_documents": q_minhash_estimate_documents,
     "dhash_images": q_dhash_images,
     "stream_join_events": q_stream_join_events,
+    "stream_left_join_events": q_stream_left_join_events,
     "encoding_documents": q_encoding_documents,
     "aug_dhash_images": q_aug_dhash_images,
     "epoch_shuffle_documents": q_epoch_shuffle_documents,
@@ -8164,4 +8276,25 @@ SELECT least(query_id, neighbor_id) AS id_a,
        CAST(floor(max(sim) * 1e4) AS BIGINT) AS sim_e4,
        count(*) = 2 AS mutual
 FROM nn GROUP BY 1, 2
+"""
+
+# left-outer stream-stream interval join: DuckDB's OWN LEFT JOIN with the
+# same interval condition; unmatched views carry NULL click columns
+ORACLE_SQL["stream_left_join_events"] = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts
+  FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts
+  FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT v.user_id, v.view_id, c.click_id,
+       (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS delay_us
+FROM v LEFT JOIN c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 4 HOUR
 """

@@ -241,11 +241,16 @@ def stream_interval_join(
     within: str,
     left_watermark: str = "1 hour",
     right_watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream INNER interval join — the attribution
-    shape (impression ⋈ click): a right row matches a left row with the
-    same key when ``left_ts <= right_ts <= left_ts + within``, both
-    half-bounds INCLUSIVE.
+    """Watermarked stream-stream interval join — the attribution shape
+    (impression ⋈ click): a right row matches a left row with the same
+    key when ``left_ts <= right_ts <= left_ts + within``, both
+    half-bounds INCLUSIVE. ``how``: "inner" (default) or "left_outer" —
+    outer emits an unmatched left row (right columns NULL) only when the
+    watermark proves nothing can still match it, i.e. on state EVICTION;
+    a quiet stream's tail needs later traffic (or a sentinel row, as the
+    gate harness stages) to flush, exactly session_stream's contract.
 
     This is the Structured Streaming capability batch joins can't fake:
     both sides arrive indefinitely, so each side buffers keyed state and
@@ -256,8 +261,8 @@ def stream_interval_join(
     bound, stream-stream state grows with the whole stream; with it,
     state is bounded by (rate × horizon) per side.
 
-    Matches emit as soon as both sides have arrived (inner join, append
-    mode — no waiting for watermark like outer joins). Late rows behind a
+    Inner matches emit as soon as both sides have arrived (append mode —
+    no waiting for watermark). Late rows behind a
     side's watermark may be silently dropped: pick watermarks to cover
     each source's disorder horizon. Output: both frames' columns (the
     caller projects; key/ts columns keep their names, so rename upstream
@@ -269,6 +274,8 @@ def stream_interval_join(
     state-size knob — attribution windows of minutes-to-hours keep state
     tiny regardless of corpus size.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     for df, ts in ((left, left_ts), (right, right_ts)):
         if dict(df.dtypes).get(ts) == "timestamp_ntz":
             raise ValueError(
@@ -282,4 +289,4 @@ def stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)

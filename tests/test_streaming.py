@@ -302,3 +302,69 @@ def test_stream_interval_join_bounds_and_key(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="TIMESTAMP_NTZ"):
         stream_interval_join(ntz, ntz, "user_id", "ts", "ts", "1 hour")
+
+
+def test_stream_interval_join_left_outer_flushes_unmatched(spark, tmp_path):
+    """Left-outer: matched views emit their pairs; a never-matched view
+    emits ONE null row when the watermark (0s delay, advanced by the
+    latest click) proves nothing can still match it."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows, schema, name):
+        src = str(tmp_path / name)
+        df = spark.createDataFrame(rows, schema)
+        df.write.parquet(src)
+        return spark.readStream.schema(df.schema).parquet(src)
+
+    views = mk(
+        [
+            (1, 7, t0),
+            (3, 9, t0),
+            # far-future sentinel: the query-wide watermark is the MIN
+            # across both sides, so the LEFT side needs an advancer too
+            # before unmatched state can flush (itself stays unflushed)
+            (99, 99, t0 + dt.timedelta(minutes=62)),
+        ],
+        "view_id bigint, user_id bigint, ts timestamp",
+        "lviews",
+    )
+    clicks = mk(
+        [
+            (10, 7, t0 + dt.timedelta(minutes=5)),
+            (11, 7, t0 + dt.timedelta(minutes=61)),  # outside; advances wm
+        ],
+        "click_id bigint, c_user bigint, c_ts timestamp",
+        "lclicks",
+    )
+    from ndto_spark.streaming import stream_interval_join
+
+    out = stream_interval_join(
+        views,
+        clicks.withColumnRenamed("c_user", "user_id"),
+        "user_id", "ts", "c_ts", "60 minutes",
+        left_watermark="0 seconds", right_watermark="0 seconds",
+        how="left_outer",
+    )
+    q = (
+        out.select("view_id", "click_id")
+        .writeStream.format("memory")
+        .queryName("livj")
+        .option("checkpointLocation", str(tmp_path / "lck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.view_id, r.click_id)
+        for r in spark.sql("select * from livj").collect()
+    }
+    assert got == {(1, 10), (3, None)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how must be"):
+        stream_interval_join(
+            views, clicks, "user_id", "ts", "c_ts", "1 hour", how="full"
+        )
