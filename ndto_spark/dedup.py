@@ -1812,3 +1812,49 @@ def dup_spans(
         "n_dup",
         F.expr("(n_dup * 1000000L) div n_pos").alias("dup_frac_e6"),
     )
+
+
+def cross_group_dup_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    verify_threshold: Optional[float] = 0.5,
+    spread: bool = True,
+) -> DataFrame:
+    """Cross-GROUP duplication matrix — the curation report that tells
+    you which sources copy which (mirror crawls, syndication, scraped
+    re-posts): verified MinHash near-dup pairs rolled up per unordered
+    group pair. Output (group_a, group_b, n_pairs) with group_a <=
+    group_b lexicographically; the diagonal counts within-group dups.
+
+    100 TB shape: rides minhash_lsh_pairs unchanged (its plan notes
+    apply); pairs carry bare ids, the group lookup joins a 2-column
+    (id, group) projection twice, and the matrix is a |groups|²-bounded
+    partial-agg groupBy — text never enters any of it.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands,
+        seed=seed, verify_threshold=verify_threshold, spread=spread,
+    )
+    g = df.select(F.col(id_col), F.col(group_col))
+    ga = g.select(
+        F.col(id_col).alias("id_a"), F.col(group_col).alias("_g_a")
+    )
+    gb = g.select(
+        F.col(id_col).alias("id_b"), F.col(group_col).alias("_g_b")
+    )
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.least("_g_a", "_g_b").alias("group_a"),
+            F.greatest("_g_a", "_g_b").alias("group_b"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

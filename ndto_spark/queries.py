@@ -3985,6 +3985,23 @@ def q_stream_left_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
 
+def q_dup_matrix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: the verified MinHash near-dup
+    pairs (same params as minhash_lsh_documents) rolled up per unordered
+    source pair — which sources copy which. The oracle extends the
+    proven mh_pairs CTE chain with DuckDB's own joins + group-by."""
+    return dedup.cross_group_dup_matrix(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        k=5,
+        num_hashes=32,
+        bands=16,
+        verify_threshold=0.1,
+    )
+
+
 def q_encoding_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-encoding QA (mojibake pass) over documents with PLANTED
     artifacts — the synthetic corpus is clean, so the gate appends
@@ -4250,6 +4267,7 @@ QUERIES = {
     "dhash_images": q_dhash_images,
     "stream_join_events": q_stream_join_events,
     "stream_left_join_events": q_stream_left_join_events,
+    "dup_matrix_documents": q_dup_matrix_documents,
     "encoding_documents": q_encoding_documents,
     "aug_dhash_images": q_aug_dhash_images,
     "epoch_shuffle_documents": q_epoch_shuffle_documents,
@@ -8298,3 +8316,19 @@ FROM v LEFT JOIN c
  AND c.ts >= v.ts
  AND c.ts <= v.ts + INTERVAL 4 HOUR
 """
+
+# cross-source duplication matrix: the proven mh_pairs CTE chain + DuckDB's
+# own joins and group-by (canonical least/greatest source pair)
+ORACLE_SQL["dup_matrix_documents"] = (
+    "WITH "
+    + _minhash_lsh_ctes(k=5, num_hashes=32, bands=16, seed=42, threshold=0.1)
+    + """
+SELECT least(a.source, b.source) AS group_a,
+       greatest(a.source, b.source) AS group_b,
+       count(*)::BIGINT AS n_pairs
+FROM mh_pairs p
+JOIN documents a ON p.id_a = a.doc_id
+JOIN documents b ON p.id_b = b.doc_id
+GROUP BY 1, 2
+"""
+)

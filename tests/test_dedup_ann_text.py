@@ -797,3 +797,27 @@ def test_tfidf_top_terms_rank_and_logfree_score(spark):
     assert got[(1, 2)] == ("banana", 1, 2, 1_500_000)
     # doc3: cherry (df=1, 3e6) beats shared (df=3, 1e6)
     assert got[(3, 1)][0] == "cherry" and got[(3, 2)][0] == "shared"
+
+
+def test_cross_group_dup_matrix_counts_and_canonical_order(spark):
+    """Docs 1-2 duplicate across sources B/A (one cross pair, canonical
+    (A, B)); docs 3-4 duplicate within A (diagonal); doc 5 is unique."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, base, "B"),
+        (2, base, "A"),
+        (3, base + " tail", "A"),
+        (4, base + " tail", "A"),
+        (5, "completely different content about spark shuffles here now", "C"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {
+        (r.group_a, r.group_b): r.n_pairs
+        for r in dedup.cross_group_dup_matrix(
+            docs, "doc_id", "text", "source", k=3, num_hashes=32, bands=16,
+            verify_threshold=0.5,
+        ).collect()
+    }
+    assert got[("A", "B")] >= 1      # the cross-source dup pair
+    assert got[("A", "A")] >= 1      # the within-source dup pair
+    assert not any("C" in p for p in got)
