@@ -3985,6 +3985,32 @@ def q_stream_left_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
 
+def q_knn_graph_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph's SCALE path, gated: hyperplane-LSH bucketed top-k
+    (ann.lsh_topk — bucket equi-join candidates, exact re-rank) fed into
+    knn_edges_from_topk. Same (planes, tables, seed) as ann_lsh_embeddings
+    so the oracle reuses the proven bucket-replay CTEs; candidates differ
+    from the exact graph only by LSH recall, and the oracle replays the
+    SAME buckets, so the comparison is exact."""
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 800)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    from .ann import knn_edges_from_topk, lsh_topk
+
+    nn = lsh_topk(emb, emb, dim=64, k=3, num_planes=6, num_tables=4)
+    return knn_edges_from_topk(nn).select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("cosine_sim") * 1e4).cast("bigint").alias("sim_e4"),
+        "mutual",
+    )
+
+
 def q_dup_matrix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: the verified MinHash near-dup
     pairs (same params as minhash_lsh_documents) rolled up per unordered
@@ -4267,6 +4293,7 @@ QUERIES = {
     "dhash_images": q_dhash_images,
     "stream_join_events": q_stream_join_events,
     "stream_left_join_events": q_stream_left_join_events,
+    "knn_graph_lsh_embeddings": q_knn_graph_lsh_embeddings,
     "dup_matrix_documents": q_dup_matrix_documents,
     "encoding_documents": q_encoding_documents,
     "aug_dhash_images": q_aug_dhash_images,
@@ -8331,4 +8358,49 @@ JOIN documents a ON p.id_a = a.doc_id
 JOIN documents b ON p.id_b = b.doc_id
 GROUP BY 1, 2
 """
+)
+
+
+def _knn_graph_lsh_sql(
+    dim: int, k: int, num_planes: int, num_tables: int, seed: int,
+    max_id: int,
+) -> str:
+    """LSH-kNN-graph oracle: the proven bucket-replay CTEs with EVERY
+    node as a query, DuckDB's own rank window, then the canonical-pair
+    direction-count rollup (same as the exact graph's oracle)."""
+    tables = _lsh_tables_cte("e", "v", dim, num_planes, num_tables, seed)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < {max_id}),
+b AS (
+  {tables}
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM b qb JOIN b cb USING (t, bucket)
+  WHERE cb.vec_id != qb.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(eq.v, en.v) AS sim
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+),
+nn AS (SELECT * FROM ranked WHERE rk <= {k})
+SELECT least(query_id, neighbor_id) AS id_a,
+       greatest(query_id, neighbor_id) AS id_b,
+       CAST(floor(max(sim) * 1e4) AS BIGINT) AS sim_e4,
+       count(*) = 2 AS mutual
+FROM nn GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["knn_graph_lsh_embeddings"] = _knn_graph_lsh_sql(
+    dim=64, k=3, num_planes=6, num_tables=4, seed=42, max_id=800
 )
