@@ -737,3 +737,33 @@ def transform_images(
     return df.select(id_col, "bytes").mapInPandas(
         run, f"{id_col} string, bytes binary"
     )
+
+
+def audio_fingerprint(
+    features: DataFrame, id_col: str = "clip_id"
+) -> DataFrame:
+    """Feature-level audio fingerprint over extract_audio_features output:
+    md5 of the e6-quantized (sample_rate, n_samples, rms, zero-crossing
+    rate) tuple — the cheap dedup key that collapses bit-different
+    containers carrying the same PCM (re-wrapped WAVs, re-exported
+    masters) where byte-md5 can't. ok=False rows emit a NULL fingerprint
+    (undecodable audio has no feature identity).
+
+    Quantization floors are the gate's exact closed-form expressions, so
+    the key is bit-reproducible across engines. Composes with
+    dedup.exact_dedup_groups / apply_dedup on the fingerprint column for
+    keeper selection — one partial-agg groupBy at any corpus size.
+    """
+    fp = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("sample_rate").cast("bigint"),
+            F.col("n_samples").cast("bigint"),
+            F.floor(F.col("rms") * 1e6).cast("bigint"),
+            F.floor(F.col("zero_cross_rate") * 1e6).cast("bigint"),
+        )
+    )
+    return features.select(
+        F.col(id_col),
+        F.when(F.col("ok"), fp).alias("fingerprint"),
+    )

@@ -3985,6 +3985,33 @@ def q_stream_left_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
 
+def q_audio_fingerprint_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-fingerprint audio dedup over REAL WAV decode: the fixture's
+    (sr, n, amp) classes are collision-free by CRT (97 and 37 are coprime
+    to their moduli), so the gate PLANTS duplicates — every 10th clip is
+    unioned again under a cloned id (same bytes, new id: the re-wrapped
+    master). Fingerprint groups then have exactly n_copies=2 for planted
+    ids and 1 elsewhere; the oracle rebuilds the fingerprint string from
+    the closed-form feature expressions and replays the same md5."""
+    from . import fixtures
+    from .multimodal import audio_fingerprint, extract_audio_features
+
+    df = fixtures.synth_audio_clips_cached(spark, _AUDIO_N)
+    i = F.substring("clip_id", 4, 8).cast("int")
+    dup = df.filter(i % 10 == 0).withColumn(
+        "clip_id", F.concat(F.col("clip_id"), F.lit("_dup"))
+    )
+    fp = audio_fingerprint(extract_audio_features(df.unionByName(dup)))
+    return (
+        fp.filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(
+            F.min("clip_id").alias("keeper_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
 def q_knn_graph_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN graph's SCALE path, gated: hyperplane-LSH bucketed top-k
     (ann.lsh_topk — bucket equi-join candidates, exact re-rank) fed into
@@ -4293,6 +4320,7 @@ QUERIES = {
     "dhash_images": q_dhash_images,
     "stream_join_events": q_stream_join_events,
     "stream_left_join_events": q_stream_left_join_events,
+    "audio_fingerprint_clips": q_audio_fingerprint_clips,
     "knn_graph_lsh_embeddings": q_knn_graph_lsh_embeddings,
     "dup_matrix_documents": q_dup_matrix_documents,
     "encoding_documents": q_encoding_documents,
@@ -8404,3 +8432,31 @@ FROM nn GROUP BY 1, 2
 ORACLE_SQL["knn_graph_lsh_embeddings"] = _knn_graph_lsh_sql(
     dim=64, k=3, num_planes=6, num_tables=4, seed=42, max_id=800
 )
+
+# audio feature-fingerprint dedup: closed-form feature expressions feed the
+# same md5; planted _dup ids share their source's fingerprint exactly
+ORACLE_SQL["audio_fingerprint_clips"] = f"""
+WITH cls AS (
+  SELECT i, printf('au_%08d', i) AS cid,
+    CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+    1000 + (i * 97) % 3000 AS n,
+    1000 + (i * 37) % 20000 AS amp,
+    (i % {_FX.FEATURE_CORRUPT_EVERY} = {_FX.FEATURE_CORRUPT_EVERY - 1}) AS corrupt
+  FROM (SELECT unnest(range({_AUDIO_N})) AS i)
+),
+all_rows AS (
+  SELECT i, cid FROM cls WHERE NOT corrupt
+  UNION ALL
+  SELECT i, cid || '_dup' FROM cls WHERE NOT corrupt AND i % 10 = 0
+),
+fp AS (
+  SELECT a.cid,
+    md5(c.sr::VARCHAR || ':' || c.n::VARCHAR || ':'
+        || (floor(c.amp::DOUBLE / 32768 * 1e6)::BIGINT)::VARCHAR || ':'
+        || (floor(((c.n - 1) // 2)::DOUBLE / (c.n - 1) * 1e6)::BIGINT)::VARCHAR
+    ) AS fingerprint
+  FROM all_rows a JOIN cls c USING (i)
+)
+SELECT fingerprint, min(cid) AS keeper_id, count(*)::BIGINT AS n_copies
+FROM fp GROUP BY 1
+"""

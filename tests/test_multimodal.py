@@ -539,3 +539,33 @@ def test_transform_images_exact_pixel_permutations(spark):
 
     with pytest.raises(ValueError, match="op must be"):
         transform_images(df, "rot90")
+
+
+def test_audio_fingerprint_same_pcm_rewrapped_and_null_on_bad(spark):
+    import numpy as np
+
+    from ndto_spark import codecs
+    from ndto_spark.multimodal import audio_fingerprint, extract_audio_features
+
+    wave = np.where((np.arange(800) // 2) % 2 == 0, 5000, -5000).astype(
+        np.int16
+    )
+    other = np.where((np.arange(900) // 2) % 2 == 0, 5000, -5000).astype(
+        np.int16
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(codecs.wav_encode(wave, 8000))),
+            ("a2", bytearray(codecs.wav_encode(wave, 8000))),   # re-export
+            ("b", bytearray(codecs.wav_encode(other, 8000))),   # longer
+            ("bad", bytearray(codecs.WAV_MAGIC + b"x")),        # truncated
+        ],
+        "clip_id string, bytes binary",
+    )
+    got = {
+        r.clip_id: r.fingerprint
+        for r in audio_fingerprint(extract_audio_features(df)).collect()
+    }
+    assert got["a"] == got["a2"] is not None
+    assert got["b"] != got["a"]
+    assert got["bad"] is None
