@@ -166,3 +166,103 @@ def pagerank(
     return ranks.select(
         F.col("v").alias("vertex"), F.col("r").alias("rank_scaled")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    vertices: DataFrame,
+    *,
+    n_iter: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    vertex_col: str = "vertex",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over an undirected graph — the
+    training-data label-spreading step (propagate sparse human/classifier
+    labels across a near-dup or kNN graph): seeds stay CLAMPED, every
+    other vertex takes, each synchronous round, the modal label of its
+    currently-labeled neighbors, ties broken by the SMALLEST label.
+    Vertices with no labeled neighbor stay NULL (never guessed).
+
+    Determinism: votes are integer counts; the winner is picked with one
+    max(struct(n_votes, -label)) aggregate — an exact total order, no
+    floats, no partition-order sensitivity — so any engine and any
+    cluster size derive identical labels (the pagerank playbook).
+
+    100 TB shape (the pagerank conventions): the symmetrized edge
+    projection is persisted ONCE; each round is edges ⋈ labels on the
+    source (pre-partitioned after the first Exchange) → groupBy(dst,
+    label) partial-agg counts → one max_by aggregate per dst → left join
+    back onto the vertex set; label frames are consumed once against
+    static sides, so the recurrence is ONE linear plan with no per-round
+    driver barriers, growing linearly in ``n_iter``.
+
+    Output: (vertex, label, is_seed) — label NULL where propagation
+    never reached.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    # symmetrize once; self-loops dropped (a vertex can't vote for itself)
+    e = (
+        edges.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .union(edges.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .persist()
+    )
+    sd = seeds.select(
+        F.col(vertex_col).alias("v"),
+        F.col(label_col).cast("bigint").alias("seed_label"),
+    ).persist()
+    vs = vertices.select(F.col(vertex_col).alias("v")).persist()
+    # state: (v, label) — seeds clamped, others evolve
+    state = vs.join(sd, "v", "left").select(
+        "v", F.col("seed_label").alias("label")
+    )
+    for _ in range(n_iter):
+        votes = (
+            e.join(
+                state.filter(F.col("label").isNotNull()).select(
+                    F.col("v").alias("s"), "label"
+                ),
+                "s",
+            )
+            .groupBy(F.col("d"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+            .groupBy("d")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n_votes"), (-F.col("label")).alias("negl")
+                    )
+                ).alias("w")
+            )
+            .select(F.col("d").alias("v"), (-F.col("w.negl")).alias("won"))
+        )
+        state = (
+            vs.join(sd, "v", "left")
+            .join(votes, "v", "left")
+            .select(
+                "v",
+                F.coalesce(F.col("seed_label"), F.col("won")).alias("label"),
+            )
+        )
+    out = (
+        vs.join(sd, "v", "left")
+        .join(state.select("v", "label"), "v", "left")
+        .select(
+            F.col("v").alias(vertex_col),
+            F.col("label"),
+            F.col("seed_label").isNotNull().alias("is_seed"),
+        )
+    )
+    # pagerank's barrier discipline: ONE materialization (full count — the
+    # CollectLimit partial-cache trap), then release the static sides
+    out = out.persist()
+    out.count()
+    e.unpersist()
+    sd.unpersist()
+    vs.unpersist()
+    return out

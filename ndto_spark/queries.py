@@ -3985,6 +3985,42 @@ def q_stream_left_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
 
+def q_label_prop_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the LSH kNN graph: 20% of
+    the embeddings (vec_id % 5 == 0) keep their label as clamped seeds,
+    2 synchronous rounds spread modal neighbor labels (ties → smallest)
+    across the rest. The oracle chains the proven kg CTE block into two
+    unrolled vote/merge rounds with DuckDB's own windows."""
+    from .ann import knn_edges_from_topk, lsh_topk
+    from .graph import label_propagation
+
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 800)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            "label",
+        )
+    )
+    edges = knn_edges_from_topk(
+        lsh_topk(
+            emb.select("vec_id", "embedding"),
+            emb.select("vec_id", "embedding"),
+            dim=64, k=3, num_planes=6, num_tables=4,
+        )
+    )
+    seeds = emb.filter(
+        (F.col("vec_id") % 5 == 0) & F.col("label").isNotNull()
+    ).select(F.col("vec_id"), F.col("label"))
+    verts = emb.select("vec_id")
+    out = label_propagation(
+        edges, seeds, verts, n_iter=2,
+        vertex_col="vec_id", label_col="label",
+    )
+    return out
+
+
 def q_audio_fingerprint_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-fingerprint audio dedup over REAL WAV decode: the fixture's
     (sr, n, amp) classes are collision-free by CRT (97 and 37 are coprime
@@ -4320,6 +4356,7 @@ QUERIES = {
     "dhash_images": q_dhash_images,
     "stream_join_events": q_stream_join_events,
     "stream_left_join_events": q_stream_left_join_events,
+    "label_prop_embeddings": q_label_prop_embeddings,
     "audio_fingerprint_clips": q_audio_fingerprint_clips,
     "knn_graph_lsh_embeddings": q_knn_graph_lsh_embeddings,
     "dup_matrix_documents": q_dup_matrix_documents,
@@ -8389,16 +8426,14 @@ GROUP BY 1, 2
 )
 
 
-def _knn_graph_lsh_sql(
+def _knn_graph_lsh_ctes(
     dim: int, k: int, num_planes: int, num_tables: int, seed: int,
     max_id: int,
 ) -> str:
-    """LSH-kNN-graph oracle: the proven bucket-replay CTEs with EVERY
-    node as a query, DuckDB's own rank window, then the canonical-pair
-    direction-count rollup (same as the exact graph's oracle)."""
+    """WITH-body CTE chain ending in ``kg`` (id_a, id_b, sim_e4, mutual)
+    — the LSH kNN graph; the label-propagation oracle builds on it."""
     tables = _lsh_tables_cte("e", "v", dim, num_planes, num_tables, seed)
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE vec_id < {max_id}),
 b AS (
   {tables}
@@ -8420,13 +8455,28 @@ ranked AS (
       PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
   FROM scored
 ),
-nn AS (SELECT * FROM ranked WHERE rk <= {k})
-SELECT least(query_id, neighbor_id) AS id_a,
-       greatest(query_id, neighbor_id) AS id_b,
-       CAST(floor(max(sim) * 1e4) AS BIGINT) AS sim_e4,
-       count(*) = 2 AS mutual
-FROM nn GROUP BY 1, 2
-"""
+nn AS (SELECT * FROM ranked WHERE rk <= {k}),
+kg AS (
+  SELECT least(query_id, neighbor_id) AS id_a,
+         greatest(query_id, neighbor_id) AS id_b,
+         CAST(floor(max(sim) * 1e4) AS BIGINT) AS sim_e4,
+         count(*) = 2 AS mutual
+  FROM nn GROUP BY 1, 2
+)"""
+
+
+def _knn_graph_lsh_sql(
+    dim: int, k: int, num_planes: int, num_tables: int, seed: int,
+    max_id: int,
+) -> str:
+    """LSH-kNN-graph oracle: the proven bucket-replay CTEs with EVERY
+    node as a query, DuckDB's own rank window, then the canonical-pair
+    direction-count rollup (same as the exact graph's oracle)."""
+    return (
+        "WITH "
+        + _knn_graph_lsh_ctes(dim, k, num_planes, num_tables, seed, max_id)
+        + "\nSELECT id_a, id_b, sim_e4, mutual FROM kg\n"
+    )
 
 
 ORACLE_SQL["knn_graph_lsh_embeddings"] = _knn_graph_lsh_sql(
@@ -8460,3 +8510,63 @@ fp AS (
 SELECT fingerprint, min(cid) AS keeper_id, count(*)::BIGINT AS n_copies
 FROM fp GROUP BY 1
 """
+
+
+def _label_prop_sql(max_id: int, seed_mod: int, n_iter: int) -> str:
+    """Label-propagation oracle: the kg CTE block + per-round unrolled
+    vote (count per (dst, label)) / winner (row_number by n DESC, label
+    ASC — the max(struct(n, -label)) total order) / merge (seeds clamped)
+    CTEs, all DuckDB's own machinery."""
+    parts = [
+        "WITH " + _knn_graph_lsh_ctes(
+            dim=64, k=3, num_planes=6, num_tables=4, seed=42, max_id=max_id
+        ),
+        f"""verts AS (SELECT vec_id AS v FROM embeddings WHERE vec_id < {max_id}),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM kg
+  UNION
+  SELECT id_b AS s, id_a AS d FROM kg
+),
+seeds AS (
+  SELECT vec_id AS v, label::BIGINT AS seed_label FROM embeddings
+  WHERE vec_id < {max_id} AND vec_id % {seed_mod} = 0
+        AND label IS NOT NULL
+),
+s0 AS (
+  SELECT verts.v, seeds.seed_label AS label
+  FROM verts LEFT JOIN seeds USING (v)
+)""",
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(f"""v{r} AS (
+  SELECT sym.d, s{r-1}.label, count(*) AS n
+  FROM sym JOIN s{r-1} ON s{r-1}.v = sym.s
+  WHERE s{r-1}.label IS NOT NULL
+  GROUP BY 1, 2
+),
+w{r} AS (
+  SELECT d, label FROM (
+    SELECT d, label,
+           row_number() OVER (PARTITION BY d ORDER BY n DESC, label ASC)
+             AS rk
+    FROM v{r}
+  ) WHERE rk = 1
+),
+s{r} AS (
+  SELECT verts.v, coalesce(seeds.seed_label, w{r}.label) AS label
+  FROM verts
+  LEFT JOIN seeds USING (v)
+  LEFT JOIN w{r} ON w{r}.d = verts.v
+)""")
+    final = f"""SELECT verts.v AS vec_id, s{n_iter}.label,
+       seeds.v IS NOT NULL AS is_seed
+FROM verts
+LEFT JOIN seeds USING (v)
+LEFT JOIN s{n_iter} ON s{n_iter}.v = verts.v
+"""
+    return ",\n".join(parts) + "\n" + final
+
+
+ORACLE_SQL["label_prop_embeddings"] = _label_prop_sql(
+    max_id=800, seed_mod=5, n_iter=2
+)

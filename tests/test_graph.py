@@ -58,3 +58,42 @@ def test_pagerank_validates_args(spark):
         pagerank(df, n_iter=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping_e6=1_000_000)
+
+
+def test_label_propagation_rounds_ties_and_clamping(spark):
+    """Path 1-2-3-4-5 with seeds 1→10, 5→20: round 1 labels 2 (from 1)
+    and 4 (from 5); round 2 gives 3 BOTH neighbor labels (one vote each)
+    — the tie breaks to the SMALLEST label (10). Seed vertices never
+    change; the isolated vertex 6 stays NULL."""
+    from ndto_spark.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    seeds = spark.createDataFrame(
+        [(1, 10), (5, 20)], "vertex bigint, label int"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "vertex bigint"
+    )
+    out = label_propagation(edges, seeds, vertices, n_iter=2)
+    got = {r.vertex: (r.label, r.is_seed) for r in out.collect()}
+    out.unpersist()
+    assert got == {
+        1: (10, True),
+        2: (10, False),
+        3: (10, False),   # tie 10-vs-20 → smallest
+        4: (20, False),
+        5: (20, True),
+        6: (None, False),
+    }
+
+    one = label_propagation(edges, seeds, vertices, n_iter=1)
+    got1 = {r.vertex: r.label for r in one.collect()}
+    one.unpersist()
+    assert got1[3] is None  # propagation hasn't reached the middle yet
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_iter"):
+        label_propagation(edges, seeds, vertices, n_iter=0)
