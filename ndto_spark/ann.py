@@ -920,3 +920,90 @@ def knn_edges_from_topk(nn: DataFrame, mutual_only: bool = False) -> DataFrame:
         .drop("_n_dirs")
     )
     return out.filter(F.col("mutual")) if mutual_only else out
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    start_id: "int | None" = None,
+) -> DataFrame:
+    """Greedy k-CENTER (farthest-first) coreset selection — the classic
+    diversity subset for labeling budgets / eval carving / prototype
+    pools: start from ``start_id`` (default: smallest id), then k−1 times
+    pick the vector FARTHEST (cosine distance 1 − cos) from everything
+    chosen so far. A 2-approximation of the optimal k-center cover.
+
+    Determinism: every distance is the engine-exact ascending-index fold
+    (the caption/outlier oracles' replay contract — Python's left-to-right
+    center-norm sum runs the same IEEE adds), and the argmax is ONE
+    max(struct(min_dist, −id)) aggregate — full-precision total order
+    with smallest-id ties, reproducible at any parallelism.
+
+    100 TB shape: the (id, vec, norm) base is persisted once; each round
+    is one codegen projection (least of the running min-dist and the
+    distance to the newest center — k×dim literals ride the plan, the
+    kmeans codebook convention) + one 1-row argmax aggregate. The
+    re-read min-dist frame is persisted per round and the superseded one
+    released (the documented convention for re-read iterative frames) —
+    k driver barriers total, no shuffle anywhere.
+
+    Output: (pick_order, center_id, dist_e6) — dist_e6 the e6-floored
+    min-distance the pick was made at (NULL for the start vector).
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            norm(F.col(vec_col)).alias("n"),
+        )
+        .persist()
+    )
+    n_rows = base.count()
+    if n_rows == 0:
+        base.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], "pick_order bigint, center_id bigint, dist_e6 bigint"
+        )
+    if start_id is None:
+        start_id = base.agg(F.min("vid")).collect()[0][0]
+    picks = [(0, int(start_id), None)]
+    cur = int(start_id)
+    state = None
+    for j in range(1, min(k, n_rows)):
+        cvec = base.filter(F.col("vid") == cur).select("v").collect()[0][0]
+        acc = 0.0
+        for x in cvec:  # Spark's norm fold order exactly
+            acc += x * x
+        cnorm = math.sqrt(acc)
+        d = F.lit(1.0) - dot(
+            F.col("v"), F.array(*[F.lit(float(x)) for x in cvec])
+        ) / (F.col("n") * F.lit(cnorm))
+        mind = d if state is None else F.least(F.col("mind"), d)
+        new_state = base.join(
+            state.select("vid", "mind"), "vid"
+        ).select("vid", "v", "n", mind.alias("mind")) if state is not None \
+            else base.select("vid", "v", "n", mind.alias("mind"))
+        new_state = new_state.persist()
+        row = new_state.agg(
+            F.max(
+                F.struct(F.col("mind"), (-F.col("vid")).alias("negid"))
+            ).alias("w")
+        ).collect()[0]["w"]
+        if state is not None:
+            state.unpersist()
+        state = new_state
+        cur = int(-row["negid"])
+        picks.append((j, cur, int(math.floor(row["mind"] * 1e6))))
+    if state is not None:
+        state.unpersist()
+    base.unpersist()
+    return df.sparkSession.createDataFrame(
+        picks, "pick_order bigint, center_id bigint, dist_e6 bigint"
+    )

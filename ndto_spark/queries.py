@@ -3985,6 +3985,19 @@ def q_stream_left_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
 
+def q_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (k=6) over the embeddings table: the
+    diversity subset a labeling budget buys. Oracle = unrolled
+    farthest-first rounds where every distance replays the engine-exact
+    ascending fold (the caption/outlier contract), so the argmax
+    decisions are bit-for-bit."""
+    from .ann import kcenter_coreset
+
+    return kcenter_coreset(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=6
+    )
+
+
 def q_label_prop_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation over the LSH kNN graph: 20% of
     the embeddings (vec_id % 5 == 0) keep their label as clamped seeds,
@@ -4357,6 +4370,7 @@ QUERIES = {
     "stream_join_events": q_stream_join_events,
     "stream_left_join_events": q_stream_left_join_events,
     "label_prop_embeddings": q_label_prop_embeddings,
+    "kcenter_embeddings": q_kcenter_embeddings,
     "audio_fingerprint_clips": q_audio_fingerprint_clips,
     "knn_graph_lsh_embeddings": q_knn_graph_lsh_embeddings,
     "dup_matrix_documents": q_dup_matrix_documents,
@@ -8570,3 +8584,45 @@ LEFT JOIN s{n_iter} ON s{n_iter}.v = verts.v
 ORACLE_SQL["label_prop_embeddings"] = _label_prop_sql(
     max_id=800, seed_mod=5, n_iter=2
 )
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled farthest-first rounds; distances replay the engine-exact
+    ascending fold; picks are (mind DESC, vec_id ASC) LIMIT 1 — the
+    max(struct(mind, -id)) total order."""
+    def dist(row_v: str, row_n: str, c_v: str, c_n: str) -> str:
+        d = _FOLD_DOT.format(a=row_v, b=c_v)
+        return f"1.0::DOUBLE - ({d}) / ({row_n} * {c_n})"
+
+    ss = _FOLD_SS.format(v="embedding::DOUBLE[]")
+    parts = [f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, sqrt({ss}) AS n
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c1 AS (SELECT v, n FROM e ORDER BY vec_id LIMIT 1),
+m1 AS (
+  SELECT e.vec_id, e.v, e.n,
+         {dist("e.v", "e.n", "c1.v", "c1.n")} AS mind
+  FROM e CROSS JOIN c1
+),
+p1 AS (SELECT vec_id, mind FROM m1 ORDER BY mind DESC, vec_id ASC LIMIT 1)"""]
+    for j in range(2, k):
+        parts.append(f"""c{j} AS (SELECT e.v, e.n FROM e JOIN p{j-1} USING (vec_id)),
+m{j} AS (
+  SELECT m{j-1}.vec_id, m{j-1}.v, m{j-1}.n,
+         least(m{j-1}.mind,
+               {dist(f"m{j-1}.v", f"m{j-1}.n", f"c{j}.v", f"c{j}.n")}) AS mind
+  FROM m{j-1} CROSS JOIN c{j}
+),
+p{j} AS (SELECT vec_id, mind FROM m{j} ORDER BY mind DESC, vec_id ASC LIMIT 1)""")
+    unions = [
+        "SELECT 0::BIGINT AS pick_order, (SELECT min(vec_id) FROM e) AS center_id, NULL::BIGINT AS dist_e6"
+    ]
+    for j in range(1, k):
+        unions.append(
+            f"SELECT {j}::BIGINT, vec_id, floor(mind * 1e6)::BIGINT FROM p{j}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(unions)
+
+
+ORACLE_SQL["kcenter_embeddings"] = _kcenter_sql(k=6)

@@ -225,3 +225,30 @@ def test_knn_graph_mutual_and_one_way_edges(spark):
     assert got == {(1, 2): True, (2, 3): False}
     only = {(r.id_a, r.id_b) for r in ann.knn_graph(df, k=1, mutual_only=True).collect()}
     assert only == {(1, 2)}
+
+
+def test_kcenter_coreset_farthest_first_order(spark):
+    """Three tight clusters on axes + start at id 1: picks alternate to
+    the farthest remaining cluster; within-cluster near-dups are never
+    picked before every cluster is covered."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.999, 0.01]),   # near 3
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = ann.kcenter_coreset(df, k=3).collect()
+    order = [(r.pick_order, r.center_id) for r in out]
+    assert order[0] == (0, 1)
+    assert {c for _, c in order[1:]} == {3, 5}  # one per remaining cluster
+    assert out[0].dist_e6 is None
+    # the first pick's distance is a full orthogonal hop: 1 - cos = 1
+    assert out[1].dist_e6 == 1_000_000
+
+    # k > n: stops at n picks
+    assert len(ann.kcenter_coreset(df, k=10).collect()) == 5
+    # empty input
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert ann.kcenter_coreset(empty, k=3).count() == 0
