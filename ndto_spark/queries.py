@@ -3985,6 +3985,23 @@ def q_stream_left_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
 
+def q_dhash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash-banded near-dup over REALLY decoded cell-mask images: decode
+    → grid-pooled gradients → 12-bit dHash → band LSH + popcount verify
+    (bits=12, bands=4 → exact recall for hamming < 4). A mask bit flip
+    perturbs ≤ 2 adjacent gradients, so the planted hamming-1/2 phash
+    triples surface here at dHash hamming ≤ 3; the oracle regenerates the
+    dHash population from the mask arithmetic and replays the banding."""
+    from . import fixtures
+    from .multimodal import image_dhash
+
+    df = fixtures.synth_phash_images_cached(spark, _PHASH_IMG_N)
+    dh = image_dhash(df, grid=4)
+    return dedup.phash_near_dups(
+        dh, "image_id", "dhash", bits=12, bands=4, max_hamming=3
+    )
+
+
 def q_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset (k=6) over the embeddings table: the
     diversity subset a labeling budget buys. Oracle = unrolled
@@ -4371,6 +4388,7 @@ QUERIES = {
     "stream_left_join_events": q_stream_left_join_events,
     "label_prop_embeddings": q_label_prop_embeddings,
     "kcenter_embeddings": q_kcenter_embeddings,
+    "dhash_near_dup_images": q_dhash_near_dup_images,
     "audio_fingerprint_clips": q_audio_fingerprint_clips,
     "knn_graph_lsh_embeddings": q_knn_graph_lsh_embeddings,
     "dup_matrix_documents": q_dup_matrix_documents,
@@ -8626,3 +8644,50 @@ p{j} AS (SELECT vec_id, mind FROM m{j} ORDER BY mind DESC, vec_id ASC LIMIT 1)""
 
 
 ORACLE_SQL["kcenter_embeddings"] = _kcenter_sql(k=6)
+
+
+# the mask-class CTE alone (the banding in _PHASH_IMG_CTES is the 16-bit
+# phash's; the dHash gate re-bands its own 12-bit hash)
+_PHASH_IMG_CLS_ONLY = f"""cls AS (
+  SELECT printf('pi_%08d', i) AS iid,
+    xor(xor(32768 + 2 * (((i // 3) * 2654435761) % 16384),
+            CASE WHEN i % 3 >= 1 THEN 1 << (1 + (i // 3) % 14) ELSE 0 END),
+        CASE WHEN i % 3 = 2 THEN 1 << (1 + ((i // 3) + 5) % 14) ELSE 0 END
+    ) AS ph
+  FROM (SELECT unnest(range({_PHASH_IMG_N})) AS i)
+  WHERE i % {_FX.FEATURE_CORRUPT_EVERY} != {_FX.FEATURE_CORRUPT_EVERY - 1}
+)"""
+
+# dHash-banded near-dup: the mask arithmetic regenerates the decoded
+# dHash population (gradient bit = LO cell left of a HI cell), then the
+# 3-bit band join + popcount verify replays exactly
+ORACLE_SQL["dhash_near_dup_images"] = f"""
+WITH {_PHASH_IMG_CLS_ONLY},
+dh AS (
+  SELECT iid,
+      ((CASE WHEN ((ph >> 0) & 1) = 0 AND ((ph >> 1) & 1) = 1 THEN 1 ELSE 0 END)
+      + (CASE WHEN ((ph >> 1) & 1) = 0 AND ((ph >> 2) & 1) = 1 THEN 2 ELSE 0 END)
+      + (CASE WHEN ((ph >> 2) & 1) = 0 AND ((ph >> 3) & 1) = 1 THEN 4 ELSE 0 END)
+      + (CASE WHEN ((ph >> 4) & 1) = 0 AND ((ph >> 5) & 1) = 1 THEN 8 ELSE 0 END)
+      + (CASE WHEN ((ph >> 5) & 1) = 0 AND ((ph >> 6) & 1) = 1 THEN 16 ELSE 0 END)
+      + (CASE WHEN ((ph >> 6) & 1) = 0 AND ((ph >> 7) & 1) = 1 THEN 32 ELSE 0 END)
+      + (CASE WHEN ((ph >> 8) & 1) = 0 AND ((ph >> 9) & 1) = 1 THEN 64 ELSE 0 END)
+      + (CASE WHEN ((ph >> 9) & 1) = 0 AND ((ph >> 10) & 1) = 1 THEN 128 ELSE 0 END)
+      + (CASE WHEN ((ph >> 10) & 1) = 0 AND ((ph >> 11) & 1) = 1 THEN 256 ELSE 0 END)
+      + (CASE WHEN ((ph >> 12) & 1) = 0 AND ((ph >> 13) & 1) = 1 THEN 512 ELSE 0 END)
+      + (CASE WHEN ((ph >> 13) & 1) = 0 AND ((ph >> 14) & 1) = 1 THEN 1024 ELSE 0 END)
+      + (CASE WHEN ((ph >> 14) & 1) = 0 AND ((ph >> 15) & 1) = 1 THEN 2048 ELSE 0 END)) AS d
+  FROM cls
+),
+banded AS (
+  SELECT iid, d, b, (d >> (b * 3)) & 7 AS key
+  FROM dh, (VALUES (0), (1), (2), (3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.iid AS id_a, b.iid AS id_b, a.d AS da, b.d AS db
+  FROM banded a
+  JOIN banded b ON a.b = b.b AND a.key = b.key AND a.iid < b.iid
+)
+SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(da, db)) <= 3
+"""
