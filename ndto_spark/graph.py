@@ -55,6 +55,7 @@ def pagerank(
     damping_e6: int = 850_000,
     scale: int = 10**12,
     vertices: "DataFrame | None" = None,
+    personalize: "DataFrame | None" = None,
 ) -> DataFrame:
     """Integer-quantized PageRank over a directed edge list.
 
@@ -80,6 +81,15 @@ def pagerank(
     of the whole operator on the scaling leg). Must cover every src/dst;
     extra isolated vertices are legal (they hold teleport mass only, and
     they change n, hence every rank, deliberately).
+
+    ``personalize``: optional single-column SEED vertex set → PERSONALIZED
+    PageRank (topic-sensitive/TrustRank): the teleport mass (both r0 and
+    the per-round base term) lands ONLY on the seeds, split scale div
+    n_seeds — random walks restart at the seed set, so ranks measure
+    proximity-weighted centrality relative to it (crawl frontiers seeded
+    by trusted domains, spam demotion). Same integer recurrence
+    otherwise; the seed flag rides the persisted vertex frame, so the
+    per-round plan gains one CASE, zero joins.
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -116,8 +126,41 @@ def pagerank(
     # partitioning, so the per-round joins need no edge-side Exchange.
     ed = e.join(outd.hint("shuffle_hash"), "s").persist()
 
-    r0 = scale // n
-    base = (scale * (1_000_000 - damping_e6)) // 1_000_000 // n
+    if personalize is not None:
+        sflag = (
+            personalize.select(
+                F.col(personalize.columns[0]).alias("v")
+            )
+            .distinct()
+            .withColumn("_s", F.lit(True))
+        )
+        verts2 = (
+            verts.join(sflag, "v", "left")
+            .select("v", F.coalesce(F.col("_s"), F.lit(False)).alias("_s"))
+            .persist()
+        )
+        n_seeds = verts2.filter(F.col("_s")).count()
+        if n_seeds == 0:
+            verts2.unpersist()
+            verts.unpersist()
+            raise ValueError(
+                "personalize shares no vertex with the graph"
+            )
+        verts.unpersist()
+        verts = verts2
+        r0s = scale // n_seeds
+        bases = (scale * (1_000_000 - damping_e6)) // 1_000_000 // n_seeds
+        init_r = (
+            F.when(F.col("_s"), F.lit(r0s)).otherwise(F.lit(0))
+        ).cast("bigint")
+        base_col = (
+            F.when(F.col("_s"), F.lit(bases)).otherwise(F.lit(0))
+        ).cast("bigint")
+    else:
+        init_r = F.lit(scale // n).cast("bigint")
+        base_col = F.lit(
+            (scale * (1_000_000 - damping_e6)) // 1_000_000 // n
+        ).cast("bigint")
 
     # Each round's rank frame is consumed EXACTLY once (the next round's
     # join), and the iteration is joins against STATIC sides — no
@@ -130,7 +173,7 @@ def pagerank(
     # persisted and fill their caches during the single materializing
     # job below (a cached frame hit several times within one action is
     # computed once).
-    ranks = verts.select("v", F.lit(r0).cast("bigint").alias("r"))
+    ranks = verts.select("v", init_r.alias("r"))
     for _ in range(n_iter):
         # SHUFFLE_HASH hint on the rank side: sort-merge would re-sort the
         # full cached edge table EVERY round (the cache preserves
@@ -153,7 +196,7 @@ def pagerank(
         # which is exactly what can't happen when V is billions
         ranks = verts.join(sums.hint("shuffle_hash"), "v", "left").select(
             "v",
-            (F.lit(base).cast("bigint") + F.coalesce("m", F.lit(0)))
+            (base_col + F.coalesce("m", F.lit(0)))
             .cast("bigint")
             .alias("r"),
         )

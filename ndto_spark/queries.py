@@ -3272,6 +3272,31 @@ def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=5)
 
 
+def q_ppr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank over the same derived link graph: teleport
+    mass restarts only at the seed set (v % 5 == 0) — TrustRank-style
+    proximity centrality. Same exact-integer recurrence; the oracle's
+    unrolled CTEs carry the seed CASE and match bit-for-bit."""
+    from .graph import pagerank
+
+    e = _read(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    edges = (
+        e.select(
+            (F.col("user_id") % 50).alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("v") % 5 == 0)
+    return pagerank(edges, n_iter=5, personalize=seeds)
+
+
 # deterministic 512-bucket demo weight vector for the linear quality
 # classifier gate (MINSTD multiplier keeps products tiny); both the Spark
 # side and the generated oracle SQL embed the SAME literals — the model is
@@ -4353,6 +4378,7 @@ QUERIES = {
     "dsir_documents": q_dsir_documents,
     "scd2_events": q_scd2_events,
     "pagerank_events": q_pagerank_events,
+    "ppr_events": q_ppr_events,
     "linear_scores_documents": q_linear_scores_documents,
     "semantic_decontaminate_embeddings": q_semantic_decontaminate_embeddings,
     "dup_spans_documents": q_dup_spans_documents,
@@ -7505,12 +7531,15 @@ FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us, event_id)
 
 
 def _pagerank_sql(
-    n_iter: int, damping_e6: int = 850_000, scale: int = 10**12
+    n_iter: int, damping_e6: int = 850_000, scale: int = 10**12,
+    seed_pred: "str | None" = None,
 ) -> str:
     """Unrolled per-iteration CTEs replaying graph.pagerank's exact
     integer recurrence (DuckDB ``//`` == Spark ``div`` on non-negative
     BIGINTs; integer sums are order-independent, so the compare is
-    bit-exact)."""
+    bit-exact). ``seed_pred`` (a boolean SQL expression over ``v.v``)
+    switches to the PERSONALIZED variant: teleport mass splits over the
+    seed set only."""
     inv_e6 = 1_000_000 - damping_e6
     ctes = [
         """e AS (
@@ -7520,15 +7549,28 @@ def _pagerank_sql(
     AND user_id % 50 <> (user_id * 7 + event_id) % 50
 )""",
         "v AS (SELECT DISTINCT s AS v FROM e UNION SELECT DISTINCT d FROM e)",
-        "nn AS (SELECT count(*)::BIGINT AS n FROM v)",
         "outd AS (SELECT s, count(*)::BIGINT AS od FROM e GROUP BY s)",
-        f"r0 AS (SELECT v.v, ({scale} // nn.n)::BIGINT AS r"
-        " FROM v CROSS JOIN nn)",
     ]
+    if seed_pred is None:
+        ctes.append("nn AS (SELECT count(*)::BIGINT AS n FROM v)")
+        r0_expr = f"({scale} // nn.n)::BIGINT"
+        base_expr = f"((({scale} * {inv_e6}) // 1000000) // nn.n)::BIGINT"
+    else:
+        ctes.append(
+            f"nn AS (SELECT count(*)::BIGINT AS n FROM v WHERE {seed_pred})"
+        )
+        r0_expr = (
+            f"(CASE WHEN {seed_pred} THEN {scale} // nn.n ELSE 0 END)::BIGINT"
+        )
+        base_expr = (
+            f"(CASE WHEN {seed_pred} THEN (({scale} * {inv_e6}) // 1000000)"
+            f" // nn.n ELSE 0 END)::BIGINT"
+        )
+    ctes.append(f"r0 AS (SELECT v.v, {r0_expr} AS r FROM v CROSS JOIN nn)")
     for i in range(1, n_iter + 1):
         ctes.append(f"""r{i} AS (
   SELECT v.v,
-         ((({scale} * {inv_e6}) // 1000000) // nn.n)::BIGINT
+         {base_expr}
            + coalesce(m.m, 0)::BIGINT AS r
   FROM v CROSS JOIN nn
   LEFT JOIN (
@@ -7545,6 +7587,7 @@ def _pagerank_sql(
 
 
 ORACLE_SQL["pagerank_events"] = _pagerank_sql(5)
+ORACLE_SQL["ppr_events"] = _pagerank_sql(5, seed_pred="v.v % 5 = 0")
 
 # linear classifier: DuckDB re-hashes every token against the same literal
 # weight vector and re-folds the integer margin.

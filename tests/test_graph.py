@@ -97,3 +97,32 @@ def test_label_propagation_rounds_ties_and_clamping(spark):
 
     with pytest.raises(ValueError, match="n_iter"):
         label_propagation(edges, seeds, vertices, n_iter=0)
+
+
+def test_personalized_pagerank_seed_mass_and_all_seed_equivalence(spark):
+    from ndto_spark.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src bigint, dst bigint"
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "v bigint")
+
+    # seeds == all vertices ⇒ identical to the standard recurrence
+    std = {r.vertex: r.rank_scaled for r in pagerank(
+        edges, n_iter=3, vertices=verts).collect()}
+    allseed = {r.vertex: r.rank_scaled for r in pagerank(
+        edges, n_iter=3, vertices=verts, personalize=verts).collect()}
+    assert std == allseed
+
+    # seed {1}: vertex 4 has no in-edges and is not a seed → rank exactly 0
+    seeds = spark.createDataFrame([(1,)], "v bigint")
+    ppr = {r.vertex: r.rank_scaled for r in pagerank(
+        edges, n_iter=3, vertices=verts, personalize=seeds).collect()}
+    assert ppr[4] == 0
+    assert ppr[1] > ppr[2] > ppr[3] > 0  # proximity to the seed orders mass
+
+    import pytest
+
+    with pytest.raises(ValueError, match="personalize"):
+        pagerank(edges, n_iter=2, vertices=verts,
+                 personalize=spark.createDataFrame([(99,)], "v bigint"))
