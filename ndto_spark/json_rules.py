@@ -126,6 +126,14 @@ def validate_json_column(
     options: Optional[CompileOptions] = None,
 ) -> ValidationResult:
     dtype = spec_to_spark_type(schema)
+    # round-robin ahead of the parse + rule projection (dedup._spread
+    # rationale): one compact parquet file is ONE scan task, and the
+    # from_json + compiled-rule work would ride it single-core; the
+    # exchange carries only the pruned (key, json) columns. partition_id
+    # is assigned ABOVE the exchange, as before.
+    from .dedup import _spread
+
+    df = _spread(df)
     # PLAN NOTE: parse ONCE. Compiling the rule tree directly against the
     # from_json(...) expression duplicates the parse into every reference
     # (one per keyword check — measured 48 from_json nodes / ~30x slowdown
@@ -179,7 +187,9 @@ def validate_json_column(
     return _result_from_annotated(annotated, key)
 
 
-def infer_json_schema(df: DataFrame, col: str) -> DataFrame:
+def infer_json_schema(
+    df: DataFrame, col: str, spread: bool = True
+) -> DataFrame:
     """Schema INFERENCE over a JSON string column — the reverse direction
     of the validator (reference parses a schema into rules; this derives a
     draft schema FROM data, the first step when no spec exists yet).
@@ -195,15 +205,25 @@ def infer_json_schema(df: DataFrame, col: str) -> DataFrame:
     inference. Depth is 1 — nested objects/arrays report as terminal
     ``object``/``array`` types.
 
-    Scale: parse once; the only shuffle is groupBy(key, type) over
-    exploded (key, type) pairs — bounded by keys x types, partial-
-    aggregated; the row total broadcasts back as a 1-row frame.
+    Scale: the raw column round-robins through ONE exchange that all
+    three consumers (row total, root verdicts, key explode) share via
+    ReuseExchange — the parse work above it then runs at
+    shuffle-partition parallelism instead of the scan's file-layout-bound
+    task count (a single-row-group input would park every from_json on
+    one core); the other shuffle is groupBy(key, type) over exploded
+    (key, type) pairs — bounded by keys x types, partial-aggregated; the
+    row total broadcasts back as a 1-row frame.
     """
-    parsed = df.select(
-        F.col(col).alias("__raw"),
-        F.from_json(F.col(col), "map<string,variant>").alias("__m"),
+    src = df.select(F.col(col).alias("__raw"))
+    if spread:
+        from .dedup import _spread
+
+        src = _spread(src)
+    parsed = src.select(
+        "__raw",
+        F.from_json(F.col("__raw"), "map<string,variant>").alias("__m"),
     )
-    total = parsed.agg(F.count(F.lit(1)).alias("__n_rows"))
+    total = src.agg(F.count(F.lit(1)).alias("__n_rows"))
 
     root = parsed.agg(
         F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0)).alias("__ok"),
@@ -227,7 +247,18 @@ def infer_json_schema(df: DataFrame, col: str) -> DataFrame:
         ).alias("s")
     ).select("s.*")
 
-    t = F.schema_of_variant(F.col("v"))
+    # explode_outer + post-filter, NOT plain explode: the runner.py trap —
+    # InferFiltersFromGenerate puts a size(__m) > 0 filter BELOW the
+    # Generate, predicate pushdown expands the from_json alias into it
+    # (TWO extra parses per row, on the pre-exchange side), and the
+    # differing scan subtrees then defeat ReuseExchange across the three
+    # branches. Map keys are never null, so the k-not-null filter is exact.
+    # group by the RAW variant-type string first (schema_of_variant runs
+    # ONCE per row; the normalization CASE below would otherwise re-invoke
+    # it per WHEN arm), then normalize + re-aggregate over the tiny
+    # (path, raw type) table — identical counts, the normalization just
+    # happens post-agg
+    t = F.col("__t")
     jt = (
         F.when(t.startswith("OBJECT"), F.lit("object"))
         .when(t.startswith("ARRAY"), F.lit("array"))
@@ -241,11 +272,20 @@ def infer_json_schema(df: DataFrame, col: str) -> DataFrame:
         )
         .otherwise(F.lit("number"))
     )
+    raw_counts = (
+        parsed.select(F.explode_outer("__m").alias("k", "v"))
+        .filter(F.col("k").isNotNull())
+        .select(
+            F.concat(F.lit("$."), F.col("k")).alias("path"),
+            F.schema_of_variant(F.col("v")).alias("__t"),
+        )
+        .groupBy("path", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n0"))
+    )
     keys = (
-        parsed.select(F.explode("__m").alias("k", "v"))
-        .select(F.concat(F.lit("$."), F.col("k")).alias("path"), jt.alias("json_type"))
+        raw_counts.select("path", jt.alias("json_type"), "__n0")
         .groupBy("path", "json_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum("__n0").cast("long").alias("n"))
     )
 
     return (

@@ -66,7 +66,13 @@ LINEITEM_RULES = {
 def _violations(df: DataFrame, rules: dict, key: str) -> DataFrame:
     from .runner import validate
 
-    res = validate(df, rules, key=key)
+    # round-robin ahead of the compiled rule projection: validators are
+    # pure per-row expressions, so their cost rides the scan's
+    # file-layout-bound task count (a single-row-group table runs every
+    # regex/JSON rule on ONE core). Column pruning pushes the needed-cols
+    # projection below the exchange, and partition_id is dropped from this
+    # helper's output, so results are unchanged.
+    res = validate(dedup._spread(df), rules, key=key)
     return res.violations.select(
         F.col(key),
         F.col("column").alias("column_name"),
@@ -1258,7 +1264,15 @@ def q_infer_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     invalid rows) — keys and types are DISCOVERED, not declared."""
     from .json_rules import infer_json_schema
 
-    ev = _read(spark, sf_dir, "events")
+    # spread the raw columns first: the fixture build itself parses props
+    # (get_json_object) per row, which otherwise runs on the scan's single
+    # task; infer_json_schema's own barrier would only parallelize the
+    # stages above it
+    ev = dedup._spread(
+        _read(spark, sf_dir, "events").select(
+            "event_id", "props", "user_id", "event_type"
+        )
+    )
     eid = F.col("event_id")
     js = F.when(eid % 101 == 99, F.lit("not json{")).otherwise(
         F.concat(
@@ -1276,7 +1290,8 @@ def q_infer_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("}"),
         )
     )
-    return infer_json_schema(ev.select(js.alias("js")), "js")
+    # spread=False: the frame above is already round-robined
+    return infer_json_schema(ev.select(js.alias("js")), "js", spread=False)
 
 
 def q_validate_json_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1883,7 +1898,8 @@ def q_phash_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     is those 50th events carrying their predecessor's phash with bit 3
     flipped. Each batch row must find its source at hamming 1 through the
     batch×index band join — never an index self-join."""
-    ev = _read(spark, sf_dir, "events").select("event_id")
+    # spread before the md5 derivation + band explode (single-task scan)
+    ev = dedup._spread(_read(spark, sf_dir, "events").select("event_id"))
 
     def md5_low60(c):
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -1991,8 +2007,12 @@ def q_canonical_urls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(i % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
         F.when(i % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
-    ev = _read(spark, sf_dir, "events").select(
-        "event_id", url.alias("url")
+    # spread BEFORE the regex chain: the canonicalization is ~10 regex
+    # ops/row and otherwise rides the scan's file-layout-bound task count
+    # (single-row-group input = one core); the shuffled payload is one
+    # short string per row
+    ev = dedup._spread(
+        _read(spark, sf_dir, "events").select(url.alias("url"))
     )
     return (
         ev.select(canonical_url(F.col("url")).alias("canon_url"))
@@ -2111,7 +2131,9 @@ def q_phash_near_dup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     must recover exactly (pigeonhole: hamming ≤ 3 < bands guarantees an
     agreeing band, so recall is exact, and the oracle replays the same
     banding)."""
-    ev = _read(spark, sf_dir, "events").select("event_id")
+    # spread the id column before the md5 derivation + band explode: both
+    # otherwise run on the scan's single file-layout-bound task
+    ev = dedup._spread(_read(spark, sf_dir, "events").select("event_id"))
 
     def md5_low60(c):
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -2139,7 +2161,8 @@ def q_phash_band_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     run before a 100 TB phash dedup. Exact power-of-two occupancy classes
     plus the candidate-pair volume each class would feed the self-join, so
     the oracle replays banding + integer floor-log2 bucketing verbatim."""
-    ev = _read(spark, sf_dir, "events").select("event_id")
+    # same spread-before-md5 as q_phash_near_dup_events
+    ev = dedup._spread(_read(spark, sf_dir, "events").select("event_id"))
 
     def md5_low60(c):
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")

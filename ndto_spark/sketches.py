@@ -69,7 +69,8 @@ def _h32(value: Column, j: Column) -> Column:
 
 
 def cms_table(
-    df: DataFrame, col: str, *, depth: int = 4, width: int = 1024
+    df: DataFrame, col: str, *, depth: int = 4, width: int = 1024,
+    spread: bool = True,
 ) -> DataFrame:
     """Build the count-min counter table for ``col`` as a DataFrame
     ``(j, pos, cnt)`` with ``j < depth``, ``pos < width``.
@@ -78,9 +79,16 @@ def cms_table(
     AFTER the explode so CollapseProject cannot re-evaluate it per
     generated row) and one groupBy whose partial aggregation caps per-task
     state at d*w counters. NULL keys are excluded (they are not countable
-    values)."""
+    values). ``spread`` round-robins the key column first (dedup._spread):
+    scan parallelism is file-layout-bound, and the depth*|rows| md5 work
+    otherwise rides the scan task count (a single-row-group input runs it
+    on ONE core); the shuffled payload is one column."""
     _check_sketch_size(depth, width)
     rows = df.where(F.col(col).isNotNull()).select(F.col(col).alias("__v"))
+    if spread:
+        from .dedup import _spread
+
+        rows = _spread(rows)
     ex = rows.select(
         "__v",
         F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
@@ -113,15 +121,23 @@ def cms_estimate_col(
     _check_sketch_size(depth, width)
     if not entries:
         return F.lit(0).cast("long")
-    kv: list[Column] = []
+    # DENSE literal array, not a literal map: element lookup on an
+    # array-based map literal is a LINEAR scan of all d*w entries per call
+    # (depth lookups/row made the 4x1024 sketch filter the dominant cost of
+    # the scan stage); a constant-folded array indexes in O(1). Absent
+    # positions hold the same 0 the map path coalesced to.
+    dense = [0] * (depth * width)
     for j, pos, cnt in entries:
-        kv.append(F.lit(int(j) * width + int(pos)))
-        kv.append(F.lit(int(cnt)))
-    m = F.create_map(*kv)
+        dense[int(j) * width + int(pos)] = int(cnt)
+    arr = F.array(*[F.lit(c) for c in dense])
     ests = [
         F.coalesce(
             F.try_element_at(
-                m, F.lit(j * width) + (_h32(key, F.lit(j)) % F.lit(width))
+                arr,
+                (
+                    F.lit(j * width) + (_h32(key, F.lit(j)) % F.lit(width))
+                ).cast("int")
+                + F.lit(1),
             ),
             F.lit(0),
         )
@@ -163,8 +179,17 @@ def heavy_hitters(
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= F.lit(threshold))
         )
+    # spread once here (not inside cms_table): both the sketch build and
+    # the estimate filter below run depth md5s per row, and both otherwise
+    # inherit the scan's file-layout-bound task count (one row group = one
+    # core for ALL the hash work). Project to the key column before the
+    # exchange — everything downstream needs only ``col``.
+    from .dedup import _spread
+
+    rows = _spread(rows.select(col))
     entries = cms_collect(
-        cms_table(rows, col, depth=depth, width=width), depth=depth, width=width
+        cms_table(rows, col, depth=depth, width=width, spread=False),
+        depth=depth, width=width,
     )
     est = cms_estimate_col(entries, F.col(col), depth=depth, width=width)
     survivors = rows.filter(est >= F.lit(threshold))

@@ -725,6 +725,14 @@ def interval_overlap_join(
     w_us = int(round(bucket_s * _US))
     if w_us <= 0:
         raise ValueError("bucket_s must be positive")
+    # round-robin both sides ahead of the bucket explode (dedup._spread
+    # rationale): the sequence+explode and the join's map side otherwise
+    # ride the scan's file-layout-bound task count (one compact parquet
+    # file = one core); interval rows are a handful of narrow columns
+    from .dedup import _spread
+
+    left = _spread(left)
+    right = _spread(right)
 
     def _explode(df: DataFrame, start: str, end: str, cols: list) -> DataFrame:
         s_us = ts_to_us(df, start)
