@@ -254,6 +254,7 @@ def _minhash_base_sigs(
     bands: int,
     seed: int,
     spread: bool,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash plumbing: the hashed-shingle frame ``base``
     (doc, hv) and the signature frame ``sigs`` (doc, sig array<bigint>).
@@ -284,10 +285,29 @@ def _minhash_base_sigs(
     rows = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
     if spread:
         rows = _spread(rows)  # shingling must not ride the 1-task scan
-    base = rows.select(
+    proj = rows.select(
         "doc",
         F.transform(word_shingles(F.col("_t"), k), md5_low32).alias("hv"),
-    ).repartition(F.col("doc"))
+    )
+    if materialize:
+        # spill the hashed-shingle frame ONCE to a run-scoped temp parquet
+        # (the near_dup_groups lineage-truncation pattern): callers whose
+        # verify stage consumes ``base`` in a LATER job (after the
+        # candidate materialization) would otherwise tokenize+shingle the
+        # corpus a second time — cross-job exchange reuse does not exist.
+        # Compact (doc, 32-bit hash array) rows only; text never spills.
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        spark = df.sparkSession
+        run_dir = tempfile.mkdtemp(prefix="ndto_mhbase_")
+        atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+        p = os.path.join(run_dir, "base")
+        proj.write.parquet(p)
+        proj = spark.read.parquet(p)
+    base = proj.repartition(F.col("doc"))
     exh = base.select("doc", F.explode_outer("hv").alias("x"))
     params = _hash_params(num_hashes, seed)
     sigs = (
@@ -361,11 +381,33 @@ def minhash_lsh_pairs(
     by the (bands, r) S-curve.
     """
     base, sigs = _minhash_base_sigs(
-        df, id_col, text_col, k, num_hashes, bands, seed, spread
+        df, id_col, text_col, k, num_hashes, bands, seed, spread,
+        materialize=verify_threshold is not None,
     )
     cands = _lsh_candidates(sigs, num_hashes, bands)
     if verify_threshold is None:
         return cands
+    # materialize the (tiny) candidate-pair set ONCE to a run-scoped temp
+    # parquet and read it back (the near_dup_groups lineage-truncation
+    # pattern): the verify below consumes it from THREE places (the
+    # cand-doc broadcast, the pair restriction, and every downstream
+    # consumer), and each would otherwise re-execute the whole
+    # signature+banding+distinct pipeline — runtime exchange reuse does
+    # not bridge these consumers reliably (measured: the full verify ran
+    # the candidate pipeline ~3x, 11.2 s vs 7 s with the spill at sf1.0).
+    # Run-dir lifetime follows near_dup_groups: reclaimed at interpreter
+    # exit, callers needing the pairs past process exit write their own.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    run_dir = tempfile.mkdtemp(prefix="ndto_mhcands_")
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    cand_path = os.path.join(run_dir, "cands")
+    cands.write.parquet(cand_path)
+    cands = spark.read.parquet(cand_path)
     # verify ONLY the candidate pairs (not the full all-pairs join): restrict
     # the shingle inverted index to candidate docs via a semi-join, compute
     # intersections, and keep candidate pairs above the exact threshold.
@@ -1924,14 +1966,26 @@ def dup_spans(
             F.explode_outer(bind(F.col("_t"), _gram_hashes)).alias("gh"),
         )
         .filter(F.col("gh").isNotNull())
-        .repartition(F.col("gh"))  # ONE Exchange: count + join-back share it
+        .repartition(F.col("gh"))  # count window rides this ONE Exchange
     )
-    counts = g.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
-    flagged = g.join(counts, "gh").groupBy("doc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
-        F.sum((F.col("c") >= min_count).cast("bigint"))
-        .cast("bigint")
-        .alias("n_dup"),
+    # corpus-wide gram count as a WINDOW over the gh-partitioned frame,
+    # not a groupBy + join-back: the join sorted BOTH the 20-char-gram
+    # stream and the (mostly unique) count table for a sort-merge join;
+    # the window needs one sort over one side and no second shuffle
+    # (measured 10.2 -> 3.7 s at sf1.0). Gram groups are tiny (c is the
+    # duplication count itself), so per-group window state is bounded.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gh")
+    flagged = (
+        g.withColumn("c", F.count(F.lit(1)).over(w))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+            F.sum((F.col("c") >= min_count).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
     )
     return flagged.select(
         F.col("doc").alias(id_col),

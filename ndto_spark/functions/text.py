@@ -168,11 +168,14 @@ def repetition_metrics(
     InferFiltersFromGenerate from re-evaluating the gram construction per
     row (the repo-wide generator rule).
     """
+    from ..dedup import _spread
+
+    # _spread before the gram explode (file-layout-bound scans)
     g = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode_outer(ngrams(F.col(text_col), n)).alias("g"),
+        _spread(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         )
+        .select("_id", F.explode_outer(ngrams(F.col("_t"), n)).alias("g"))
         .filter(F.col("g").isNotNull())
     )
     # PLAN NOTE: deliberately TWO exchanges, not a shared repartition(_id).
@@ -226,9 +229,13 @@ def token_stats(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode_outer(tokens(F.col(text_col))).alias("token"),
+    from ..dedup import _spread
+
+    # _spread before the tokenize explode (file-layout-bound scans)
+    toks = _spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    ).select(
+        "doc", F.explode_outer(tokens(F.col("_t"))).alias("token")
     ).filter(F.col("token").isNotNull())
     agg = (
         toks.groupBy("token")
@@ -295,9 +302,14 @@ def bm25_scores(
             f"{len(terms)} query terms: bm25_scores caps at 128 (expression "
             "width); split the query or prune terms"
         )
-    base = df.where(
-        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
-    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    from ..dedup import _spread
+
+    # _spread before the tokenize explode (file-layout-bound scans)
+    base = _spread(
+        df.where(
+            F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+        ).select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
     toks = base.select(
         "id", F.explode_outer(tokens(F.col("text"))).alias("token")
     )
@@ -410,10 +422,15 @@ def dsir_weights(
         raise ValueError(f"k must be >= 1, got {k}")
     import math
 
-    base = df.where(F.col(id_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        target_pred.cast("boolean").alias("is_tgt"),
+    from ..dedup import _spread
+
+    # _spread ahead of the n-gram hashing (file-layout-bound scan tasks)
+    base = _spread(
+        df.where(F.col(id_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("text"),
+            target_pred.cast("boolean").alias("is_tgt"),
+        )
     )
     buckets = F.transform(
         ngrams(F.col("text"), k),
@@ -425,6 +442,23 @@ def dsir_weights(
     pdb = g.groupBy("id", "is_tgt", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    # spill the compact (id, is_tgt, bucket, cnt) frame ONCE to a
+    # run-scoped temp parquet (the near_dup_groups lineage-truncation
+    # pattern): the bucket-model job collects from it EAGERLY below and
+    # the scoring job re-reads it — without the spill each job would
+    # re-tokenize and re-hash the full corpus (model + score = two full
+    # text passes; now one). Text itself never spills.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    run_dir = tempfile.mkdtemp(prefix="ndto_dsir_")
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    p = os.path.join(run_dir, "pdb")
+    pdb.write.parquet(p)
+    pdb = spark.read.parquet(p)
     stats = (
         pdb.groupBy("bucket")
         .agg(
@@ -998,10 +1032,14 @@ def collocations(
     pattern). The tf joins shuffle the PAIR VOCABULARY (min_pair_tf-pruned)
     against the unigram vocabulary — vocab-sized, never corpus-sized.
     """
-    from ..dedup import bind
+    from ..dedup import _spread, bind
 
-    toks = df.select(
-        F.explode_outer(tokens(F.col(text_col))).alias("token")
+    # _spread before both tokenize explodes (file-layout-bound scans); the
+    # shared round-robin exchange is reused across the unigram and pair
+    # aggregates within the final plan
+    rows = _spread(df.select(F.col(text_col).alias("_t")))
+    toks = rows.select(
+        F.explode_outer(tokens(F.col("_t"))).alias("token")
     ).filter(F.col("token").isNotNull())
     uni = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
@@ -1019,8 +1057,8 @@ def collocations(
         return F.when(n >= 2, arr)
 
     pairs = (
-        df.select(
-            F.explode_outer(bind(tokens(F.col(text_col)), _pairs)).alias("p")
+        rows.select(
+            F.explode_outer(bind(tokens(F.col("_t")), _pairs)).alias("p")
         )
         .filter(F.col("p").isNotNull())
         .groupBy("p.left", "p.right")
@@ -1074,9 +1112,13 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sort_array + fold (vocab-per-doc sized lists, bounded by doc length);
     two exchanges, both partial-aggregated, no window, no Python.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode_outer(tokens(F.col(text_col))).alias("token"),
+    from ..dedup import _spread
+
+    # _spread before the tokenize explode (file-layout-bound scans)
+    toks = _spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    ).select(
+        "doc", F.explode_outer(tokens(F.col("_t"))).alias("token")
     ).filter(F.col("token").isNotNull())
     per_tok = toks.groupBy("doc", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -1239,7 +1281,12 @@ def tfidf_top_terms(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    from ..dedup import _spread
+
+    # _spread before the tokenize explode (file-layout-bound scans)
+    base = _spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    )
     tf = (
         base.select(
             "doc", F.explode_outer(tokens(F.col("_t"))).alias("term")
@@ -1296,7 +1343,7 @@ def lm_score(
     corpus text never re-tokenizes and the scoring joins carry
     (doc, left, right, k) rows only.
     """
-    from ..dedup import bind, tokens
+    from ..dedup import _spread, bind, tokens
 
     def _pairs(toks: Column) -> Column:
         n = F.size(toks)
@@ -1309,9 +1356,12 @@ def lm_score(
         )
         return F.when(n >= 2, arr)
 
-    pairs = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode_outer(bind(tokens(F.col(text_col)), _pairs)).alias("p"),
+    # _spread before the tokenize+pair explode (file-layout-bound scans)
+    pairs = _spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    ).select(
+        "doc",
+        F.explode_outer(bind(tokens(F.col("_t")), _pairs)).alias("p"),
     ).filter(F.col("p").isNotNull())
     doc_pairs = pairs.groupBy(
         "doc", "p.left", "p.right"
@@ -1383,9 +1433,13 @@ def zipf_fit(
     grp = (
         F.col(group_col) if group_col is not None else F.lit("all")
     ).alias("grp")
-    toks = df.select(
-        grp,
-        F.explode_outer(tokens(F.col(text_col))).alias("token"),
+    from ..dedup import _spread
+
+    # _spread before the tokenize explode (file-layout-bound scans)
+    toks = _spread(
+        df.select(grp, F.col(text_col).alias("_t"))
+    ).select(
+        "grp", F.explode_outer(tokens(F.col("_t"))).alias("token")
     ).filter(F.col("token").isNotNull())
     tf = (
         toks.groupBy("grp", "token")

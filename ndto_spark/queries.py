@@ -1617,7 +1617,11 @@ def q_lang_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import lang_id
 
     doc = _read(spark, sf_dir, "documents")
-    pred = lang_id(doc, "doc_id", "text")
+    # spread the prediction side: lang_id is a pure projection whose
+    # stopword scoring otherwise rides the single-task scan
+    pred = lang_id(
+        dedup._spread(doc.select("doc_id", "text")), "doc_id", "text"
+    )
     j = doc.select("doc_id", "lang").join(pred, "doc_id")
     g = j.groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
