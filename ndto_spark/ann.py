@@ -159,6 +159,87 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def lsh_buckets_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    idname: str,
+    tables: "list[list[list[float]]]",
+    dim: int,
+) -> DataFrame:
+    """(idname, bucket) rows — ``num_tables`` per vector — computed in ONE
+    vectorized Arrow pass instead of num_tables x num_planes interpreted
+    HOF folds per row (lsh_bucket's zip_with+aggregate run on the
+    CodegenFallback path and allocate a fresh array per fold; measured
+    6.6 s -> ~0.5 s for 20k x 4x6 x 64 at sf1.0).
+
+    BIT-EXACT: projections accumulate in ascending dimension order — the
+    exact left-fold order of ``lsh_bucket`` — with the same elementary
+    IEEE-754 double ops, and the sign test (NaN -> bit 0) matches
+    F.when(proj > 0). Vectors that are NULL or not exactly ``dim`` long
+    get signature 0 in every table, which is what the expression path's
+    null-propagating fold + when/otherwise(0) yields.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    P = [np.asarray(p, dtype=np.float64) for p in tables]
+    schema = T.StructType(
+        [
+            T.StructField(idname, df.schema[id_col].dataType),
+            T.StructField("bucket", T.StringType()),
+        ]
+    )
+    ntab = len(P)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or ntab == 0:
+                yield pd.DataFrame(
+                    {idname: pdf["_id"][:0], "bucket": pd.Series([], dtype=object)}
+                )
+                continue
+            vs = pdf["_v"]
+            good = np.fromiter(
+                (v is not None and len(v) == dim for v in vs),
+                dtype=bool,
+                count=n,
+            )
+            V = np.zeros((n, dim))
+            if good.any():
+                # NULL elements arrive as NaN: every plane's fold then
+                # yields NaN -> bit 0, identical to the expression path's
+                # null-poisoned fold
+                V[good] = (
+                    np.array([np.asarray(v) for v in vs[good]])
+                    .astype(np.float64)
+                    .reshape(int(good.sum()), dim)
+                )
+            sigs = np.zeros((n, ntab), dtype=np.int64)
+            for t in range(ntab):
+                for j in range(P[t].shape[0]):
+                    proj = np.zeros(n)
+                    for i2 in range(dim):
+                        proj = proj + V[:, i2] * P[t][j, i2]
+                    sigs[:, t] += np.where(proj > 0, 1 << j, 0)
+            sigs[~good] = 0
+            ids = pdf["_id"]
+            out_ids = ids.iloc[np.repeat(np.arange(n), ntab)].reset_index(
+                drop=True
+            )
+            buckets = [
+                f"{t}:{sigs[r, t]}" for r in range(n) for t in range(ntab)
+            ]
+            yield pd.DataFrame({idname: out_ids, "bucket": buckets})
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    return src.mapInPandas(gen, schema)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -181,30 +262,21 @@ def lsh_topk(
         _planes(dim, num_planes, seed + t * 1000) for t in range(num_tables)
     ]
 
+    # ids + buckets ONLY — the vectors never enter the bucket join or the
+    # candidate-dedup shuffle (measured 2.4x on the sibling
+    # embedding_near_dups pipeline when 64-double payloads rode through
+    # both). Bucketing runs as one vectorized Arrow pass
+    # (lsh_buckets_arrow — bit-exact to the lsh_bucket expression; the
+    # interpreted HOF folds were the dominant cost of the whole query).
     def bucket_ids(df: DataFrame, idname: str) -> DataFrame:
-        # PLAN NOTE: ids + buckets ONLY — the vectors never enter the bucket
-        # join or the candidate-dedup shuffle (measured 2.4x on the sibling
-        # embedding_near_dups pipeline when 64-double payloads rode through
-        # both). The repartition barrier keeps the num_tables×num_planes
-        # projection evaluated once per row, not re-inlined into the explode
-        # generator (cf. dedup.py PLAN NOTEs).
-        arr = df.select(
-            F.col(id_col).alias(idname),
-            F.array(
-                *[
-                    F.concat_ws(":", F.lit(t), lsh_bucket(F.col(vec_col), planes))
-                    for t, planes in enumerate(tables)
-                ]
-            ).alias("bks"),
-        ).repartition(F.col(idname))
-        return arr.select(idname, F.explode("bks").alias("bucket"))
+        return lsh_buckets_arrow(df, id_col, vec_col, idname, tables, dim)
 
     qb = F.broadcast(bucket_ids(queries, "query_id"))
     corpus_rows = corpus
     if spread:
-        # plane dot products must not ride the file-layout-bound scan
-        # stage (one compact parquet file = ONE task); round-robin the raw
-        # rows first so bucketing parallelizes (see dedup._spread)
+        # the Arrow stage must not ride the file-layout-bound scan stage
+        # (one compact parquet file = ONE task); round-robin the raw rows
+        # first so bucketing parallelizes (see dedup._spread)
         from .dedup import _spread
 
         corpus_rows = _spread(corpus.select(id_col, vec_col))
@@ -218,21 +290,29 @@ def lsh_topk(
     )
     # join the vectors back ONCE: queries broadcast, corpus vectors shuffle
     # a single time on neighbor_id (candidates only survive the join)
+    # per-VECTOR norms computed in the (tiny) vector-lookup frames, not in
+    # the per-PAIR expression (the brute_force_topk hoist, CLAUDE.md):
+    # one dot fold per candidate instead of dot + two norms; dot/(qn*cn)
+    # is cosine()'s exact op order, so the double is bit-identical
     qv = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        )
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+        ).withColumn("_qn", norm(F.col("qvec")))
     )
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
+    ).withColumn("_cn", norm(F.col("cvec")))
     scored = (
         cands.join(qv, "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+            (
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cosine_sim"),
         )
     )
     return two_phase_topk(scored, k)
@@ -289,10 +369,17 @@ def kmeans_centroids(
 
     _check_codebook_size(k, dim)
 
-    base = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).filter(F.col("vec").isNotNull() & (F.size("vec") >= dim))
+    from .dedup import _spread
+
+    # _spread before persisting: persist() caches the SCAN's partitioning,
+    # and a single-row-group input would otherwise run every Lloyd's
+    # iteration's k-fold assignment + dim avg aggregates on ONE core
+    base = _spread(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).filter(F.col("vec").isNotNull() & (F.size("vec") >= dim))
+    )
     # the training frame is scanned by the init sample AND by every Lloyd's
     # iteration (1 + n_iter jobs): persist for the loop so the source is
     # read once, not re-scanned + re-filtered per iteration (the repo's
@@ -451,7 +538,10 @@ def ivf_topk(
         )
         if n == 1:
             out = base.select(
-                idname, f"{idname}_vec", F.array_min(sims)["cid"].alias("cid")
+                idname,
+                f"{idname}_vec",
+                F.col("_nrm").alias(f"{idname}_nrm"),
+                F.array_min(sims)["cid"].alias("cid"),
             )
         else:
             # the sims array is the generator input itself (evaluated once
@@ -466,13 +556,21 @@ def ivf_topk(
             out = base.select(
                 idname,
                 f"{idname}_vec",
+                F.col("_nrm").alias(f"{idname}_nrm"),
                 F.explode_outer(
                     F.slice(F.array_sort(sims), 1, n)["cid"]
                 ).alias("cid"),
             ).filter(F.col("cid").isNotNull())
         return out
 
-    corpus_lists = assign(corpus, "neighbor_id", 1)  # each vector in 1 list
+    # spread the corpus ahead of the assignment projection: the n_lists
+    # literal-centroid folds otherwise ride the file-layout-bound scan
+    # task count (one compact parquet file = one core)
+    from .dedup import _spread
+
+    corpus_lists = assign(
+        _spread(corpus.select(id_col, vec_col)), "neighbor_id", 1
+    )
     query_lists = F.broadcast(assign(queries, "query_id", n_probe))
     # each corpus vector lives in exactly ONE list, so a (query, neighbor)
     # pair occurs at most once — no dedup shuffle needed; with the broadcast
@@ -481,10 +579,19 @@ def ivf_topk(
     cands = corpus_lists.join(query_lists, "cid").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    # per-VECTOR norms hoisted out of the per-PAIR expression (the
+    # brute_force_topk treatment, CLAUDE.md): assign() already computes
+    # norm(vec) once per vector for the centroid sims and now carries it
+    # through the join, so scoring runs ONE dot fold per pair instead of
+    # dot + two norm folds; dot/(qn*cn) is the same op order cosine()
+    # ran, so the double is bit-identical
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")).alias("cosine_sim"),
+        (
+            dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+            / (F.col("query_id_nrm") * F.col("neighbor_id_nrm"))
+        ).alias("cosine_sim"),
     )
     return two_phase_topk(scored, k)
 

@@ -547,6 +547,7 @@ def near_dup_groups(
     pairs: DataFrame,
     id_col: str,
     max_iter: int = 20,
+    max_driver_pairs: int = 1_000_000,
 ) -> DataFrame:
     """(id, keeper_id): connected components over a near-dup pair graph.
 
@@ -610,7 +611,72 @@ def near_dup_groups(
     # upstream pair pipeline per branch (measured +3 s at sf0.1 when the
     # vertex frame landed) — one count() populates the cache before any
     # fan-out reads it
-    base.count()
+    n_pairs = base.count()
+    if n_pairs <= max_driver_pairs:
+        # SMALL-GRAPH FAST PATH: near-dup pair graphs are usually a tiny
+        # fraction of the corpus even at 100 TB (they are the verified
+        # near-dup edges, not the corpus), and the iterative path pays
+        # 1-2 driver barriers PER ROUND for O(log diameter) rounds —
+        # measured ~0.5 s/round of fixed scheduling cost, 10+ s for a
+        # 600-image chain fixture whose union-find is microseconds. A
+        # bounded collect (cap = max_driver_pairs, ~32 MB of id pairs at
+        # the default — the CMS-table/codebook driver-footprint class,
+        # and base.count() above already bounds it BEFORE collecting)
+        # + path-compressed min-label union-find replaces every round;
+        # the distributed pointer-doubling path below remains the
+        # over-cap scale path, converging in O(log d) rounds.
+        try:
+            rows = base.collect()
+        finally:
+            base.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r0 in rows:
+            a, b = r0[0], r0[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min id becomes the root, so root == component keeper
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        label_rows = [(v, find(v)) for v in parent]
+        spark = df.sparkSession
+        id_dt = df.schema[id_col].dataType
+        from pyspark.sql import types as T
+
+        labels = spark.createDataFrame(
+            label_rows,
+            T.StructType(
+                [
+                    T.StructField("id", id_dt),
+                    T.StructField("label", id_dt),
+                ]
+            ),
+        )
+        return (
+            df.select(F.col(id_col).alias("id"))
+            .join(
+                F.broadcast(labels.withColumnRenamed("label", "_lbl")),
+                "id",
+                "left",
+            )
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce(F.col("_lbl"), F.col("id")).alias("keeper_id"),
+            )
+        )
     edges = base.union(
         base.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
@@ -895,16 +961,12 @@ def embedding_near_dups(
         tables = [
             ann._planes(dim, num_planes, seed + t * 1000) for t in range(num_tables)
         ]
-        bucketed = v.select(
-            "vid",
-            F.array(
-                *[
-                    F.concat_ws(":", F.lit(t), ann.lsh_bucket(F.col("vec"), planes))
-                    for t, planes in enumerate(tables)
-                ]
-            ).alias("bks"),
-        ).repartition(F.col("vid"))  # barrier: see PLAN NOTEs above
-        exploded = bucketed.select("vid", F.explode("bks").alias("bucket"))
+        # bucketing as ONE vectorized Arrow pass (ann.lsh_buckets_arrow —
+        # bit-exact to the lsh_bucket expression folds, which ran
+        # interpreted and dominated the pipeline)
+        exploded = ann.lsh_buckets_arrow(
+            v, "vid", "vec", "vid", tables, dim
+        )
         a = exploded.select(F.col("vid").alias("id_a"), "bucket")
         b = exploded.select(F.col("vid").alias("id_b"), "bucket")
         cand = (

@@ -141,7 +141,11 @@ def test_near_dup_groups_raises_on_non_convergence(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.near_dup_groups(nodes, chain, "doc_id", max_iter=1)
+        # max_driver_pairs=0 forces the distributed iterative path (the
+        # driver union-find fast path always converges)
+        dedup.near_dup_groups(
+            nodes, chain, "doc_id", max_iter=1, max_driver_pairs=0
+        )
 
 
 def test_simhash_identical_docs_collide(spark, docs):
@@ -269,9 +273,39 @@ def test_near_dup_groups_pointer_doubling_log_rounds(spark):
     )
     got = {
         r.doc_id: r.keeper_id
-        for r in dedup.near_dup_groups(nodes, chain, "doc_id", max_iter=8).collect()
+        for r in dedup.near_dup_groups(
+            nodes, chain, "doc_id", max_iter=8, max_driver_pairs=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_near_dup_groups_driver_path_matches_distributed(spark):
+    """The small-graph driver union-find fast path must return exactly the
+    distributed pointer-doubling result (keeper = min id per component,
+    singletons keep themselves) on a mixed chain/clique/singleton graph."""
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id bigint"
+    )
+    pairs = spark.createDataFrame(
+        # a 10-node chain, a triangle, an isolated edge
+        [(i, i + 1) for i in range(9)]
+        + [(20, 21), (21, 22), (20, 22), (25, 26)],
+        "id_a bigint, id_b bigint",
+    )
+    fast = {
+        r.doc_id: r.keeper_id
+        for r in dedup.near_dup_groups(nodes, pairs, "doc_id").collect()
+    }
+    slow = {
+        r.doc_id: r.keeper_id
+        for r in dedup.near_dup_groups(
+            nodes, pairs, "doc_id", max_driver_pairs=0
+        ).collect()
+    }
+    assert fast == slow
+    assert fast[9] == 0 and fast[22] == 20 and fast[26] == 25
+    assert fast[29] == 29
 
 
 def test_synth_documents_planted_near_dups_recovered(spark):
