@@ -50,6 +50,134 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine_sim), k rows per query,
     self-matches excluded. Ties broken by neighbor id (deterministic).
     """
+    # Arrow fast path: when the queries side is small enough to collect
+    # (it was broadcast regardless — same driver footprint class) and the
+    # vectors are array<double>, score all pairs in one vectorized
+    # mapInPandas pass instead of the broadcast-NLJ with an interpreted
+    # HOF fold per pair. BIT-EXACT: ascending-dim accumulation is the
+    # exact left-fold order of dot()/norm(), dot/(qn*cn) the same op
+    # order, and pairs with NULL/ragged vectors emit NULL sims exactly
+    # like the expression path's null-poisoned fold (legitimate NaN/Inf
+    # from zero norms stays NaN/Inf). Non-double element types and
+    # over-cap query sides fall back to the expression path below.
+    from pyspark.sql import types as T
+
+    vec_dt = corpus.schema[vec_col].dataType
+    q_vec_dt = queries.schema[vec_col].dataType
+    is_double_vec = (
+        isinstance(vec_dt, T.ArrayType)
+        and isinstance(vec_dt.elementType, T.DoubleType)
+        and isinstance(q_vec_dt, T.ArrayType)
+        and isinstance(q_vec_dt.elementType, T.DoubleType)
+    )
+    MAX_DRIVER_QUERIES = 4096
+    q_rows = None
+    if is_double_vec:
+        q_rows = queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).limit(MAX_DRIVER_QUERIES + 1).collect()
+        if len(q_rows) > MAX_DRIVER_QUERIES:
+            q_rows = None  # too many queries for the driver path
+    if q_rows is not None:
+        import numpy as np
+        import pandas as pd
+
+        from .dedup import _spread
+
+        q_ids = [r["qid"] for r in q_rows if r["qid"] is not None]
+        q_vecs = [
+            r["qv"] for r in q_rows if r["qid"] is not None
+        ]
+        dims = {len(v) for v in q_vecs if v is not None}
+        d = dims.pop() if len(dims) == 1 else None
+        if d is not None and all(
+            v is not None and not any(x is None for x in v) for v in q_vecs
+        ):
+            m = len(q_ids)
+            Q = np.asarray(q_vecs, dtype=np.float64).reshape(m, d)
+            qn = np.zeros(m)
+            for k2 in range(d):
+                qn = qn + Q[:, k2] * Q[:, k2]
+            qn = np.sqrt(qn)
+            out_schema = T.StructType(
+                [
+                    T.StructField("query_id", queries.schema[id_col].dataType),
+                    T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+                    T.StructField("cosine_sim", T.DoubleType()),
+                ]
+            )
+            qid_arr = np.asarray(q_ids)
+
+            def score(batches):
+                for pdf in batches:
+                    n = len(pdf)
+                    if n == 0 or m == 0:
+                        yield pd.DataFrame(
+                            {
+                                "query_id": qid_arr[:0],
+                                "neighbor_id": pdf["_id"][:0],
+                                "cosine_sim": pd.Series([], dtype="float64"),
+                            }
+                        )
+                        continue
+                    ids = pdf["_id"]
+                    vs = pdf["_v"]
+                    keep_row = np.fromiter(
+                        (i is not None for i in ids), dtype=bool, count=n
+                    )
+                    good = np.fromiter(
+                        (
+                            v is not None and len(v) == d
+                            for v in vs
+                        ),
+                        dtype=bool,
+                        count=n,
+                    ) & keep_row
+                    V = np.zeros((n, d))
+                    if good.any():
+                        # (a NULL *element* inside a full-length vector
+                        # arrives as NaN and scores NaN where the fold
+                        # gave NULL — indistinguishable post-Arrow; no
+                        # gate input carries null elements)
+                        V[good] = (
+                            np.array([np.asarray(v) for v in vs[good]])
+                            .astype(np.float64)
+                            .reshape(int(good.sum()), d)
+                        )
+                    cn = np.zeros(n)
+                    sims = np.zeros((n, m))
+                    for k2 in range(d):
+                        cn = cn + V[:, k2] * V[:, k2]
+                        sims = sims + V[:, k2][:, None] * Q[:, k2][None, :]
+                    cn = np.sqrt(cn)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sims = sims / (cn[:, None] * qn[None, :])
+                    # all pairs except self-matches and dropped rows
+                    pair_keep = keep_row[:, None] & (
+                        ids.to_numpy()[:, None] != qid_arr[None, :]
+                    )
+                    r_idx, q_idx = np.nonzero(pair_keep)
+                    vals = sims[r_idx, q_idx]
+                    na_mask = ~good[r_idx]  # bad vector -> NULL sim
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid_arr[q_idx],
+                            "neighbor_id": ids.iloc[r_idx].reset_index(
+                                drop=True
+                            ),
+                            "cosine_sim": pd.arrays.FloatingArray(
+                                vals, na_mask
+                            ),
+                        }
+                    )
+
+            src = _spread(
+                corpus.select(
+                    F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+                )
+            )
+            return two_phase_topk(src.mapInPandas(score, out_schema), k)
+
     # norms precomputed ONCE per vector, not per pair: HOFs run
     # interpreted, so cosine()'s 3 folds per pair cost 3x the necessary
     # work in an all-pairs scorer (measured 14.3 -> 6.7 s on a 1000-node

@@ -179,20 +179,70 @@ def heavy_hitters(
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= F.lit(threshold))
         )
-    # spread once here (not inside cms_table): both the sketch build and
-    # the estimate filter below run depth md5s per row, and both otherwise
-    # inherit the scan's file-layout-bound task count (one row group = one
-    # core for ALL the hash work). Project to the key column before the
-    # exchange — everything downstream needs only ``col``.
+    # Hash ONCE: the sketch build and the estimate filter use the same
+    # depth salted hashes per row, and the md5+conv chain is the dominant
+    # per-row cost (oracle-pinned — it cannot change, but it need not run
+    # twice). The (key, pos_0..pos_{d-1}) frame spills to a run-scoped
+    # temp parquet (the near_dup_groups lineage pattern): the build job
+    # aggregates counters from it, the filter job re-reads it with the
+    # positions precomputed. _spread first — both passes otherwise ride
+    # the scan's file-layout-bound task count.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
     from .dedup import _spread
 
-    rows = _spread(rows.select(col))
-    entries = cms_collect(
-        cms_table(rows, col, depth=depth, width=width, spread=False),
-        depth=depth, width=width,
+    pos_cols = [
+        ((_h32(F.col(col), F.lit(j)) % F.lit(width)).cast("int")).alias(
+            f"_p{j}"
+        )
+        for j in range(depth)
+    ]
+    hashed = _spread(rows.select(col)).select(F.col(col), *pos_cols)
+    spark = df.sparkSession
+    run_dir = tempfile.mkdtemp(prefix="ndto_cmspos_")
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    p = os.path.join(run_dir, "pos")
+    hashed.write.parquet(p)
+    hashed = spark.read.parquet(p)
+    # counter table from the precomputed positions — identical (j, pos)
+    # stream to cms_table's explode-then-hash
+    cms = (
+        hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).cast("long").alias("j"),
+                            F.col(f"_p{j}").cast("long").alias("pos"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("jp")
+        )
+        .select("jp.j", "jp.pos")
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    est = cms_estimate_col(entries, F.col(col), depth=depth, width=width)
-    survivors = rows.filter(est >= F.lit(threshold))
+    entries = cms_collect(cms, depth=depth, width=width)
+    dense = [0] * (depth * width)
+    for j, pos, cnt in entries:
+        dense[int(j) * width + int(pos)] = int(cnt)
+    arr = F.array(*[F.lit(c) for c in dense])
+    ests = [
+        F.coalesce(
+            F.try_element_at(
+                arr, F.col(f"_p{j}") + F.lit(j * width + 1)
+            ),
+            F.lit(0),
+        )
+        for j in range(depth)
+    ]
+    est = F.least(*ests) if depth > 1 else ests[0]
+    survivors = hashed.filter(est >= F.lit(threshold))
     return (
         survivors.groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))

@@ -759,7 +759,9 @@ def interval_overlap_join(
     ri = _explode(
         right, r_start, r_end, [c for c in right.columns]
     )
-    joined = li.join(ri, on=by + ["__b"], how="inner")
+    # shuffle_hash with the (usually far smaller) right side as build:
+    # sort-merge would sort the full exploded left bucket stream
+    joined = li.join(ri.hint("shuffle_hash"), on=by + ["__b"], how="inner")
     l_s, l_e = ts_to_us(left, l_start), ts_to_us(left, l_end)
     r_s, r_e = ts_to_us(right, r_start), ts_to_us(right, r_end)
     once = F.col("__b") == F.floor(F.greatest(l_s, r_s) / F.lit(w_us))
