@@ -223,7 +223,25 @@ def infer_json_schema(
         "__raw",
         F.from_json(F.col("__raw"), "map<string,variant>").alias("__m"),
     )
-    total = src.agg(F.count(F.lit(1)).alias("__n_rows"))
+    # parse ONCE: the root verdicts and the key explode would otherwise
+    # each run their own from_json over the full input — and Spark
+    # schedules the two branch stages CONCURRENTLY, doubling the variant
+    # parse's allocation pressure (measured bimodal 3 s / 20+ s at 1M
+    # rows). The parsed frame spills to a run-scoped temp parquet
+    # (variant round-trips losslessly through the parquet variant type);
+    # all three consumers read the flat scan.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    run_dir = tempfile.mkdtemp(prefix="ndto_inferjson_")
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    p = os.path.join(run_dir, "parsed")
+    parsed.write.parquet(p)
+    parsed = spark.read.parquet(p)
+    total = parsed.agg(F.count(F.lit(1)).alias("__n_rows"))
 
     root = parsed.agg(
         F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0)).alias("__ok"),
