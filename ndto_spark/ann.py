@@ -545,19 +545,19 @@ def _lloyds_iterate(
 
     for _ in range(n_iter):
         norms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
-        sims = F.array(
-            *[
-                F.struct(
-                    (
-                        -dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in c]))
-                        / (norm(F.col("vec")) * F.lit(cn))
-                    ).alias("neg"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, (c, cn) in enumerate(zip(cents, norms))
-            ]
-        )
-        assigned = base.select(F.array_min(sims)["cid"].alias("cid"), "vec")
+        # assignment via the vectorized Arrow kernel (bit-exact to the
+        # array_min struct ordering — see assign_cids_arrow); the k
+        # interpreted dot folds per row were the loop's dominant cost
+        assigned = assign_cids_arrow(
+            base,
+            "vid",
+            "vec",
+            "x",
+            list(enumerate(cents)),
+            norms,
+            dim,
+            with_id=False,
+        ).select("cid", F.col("x_vec").alias("vec"))
         means = (
             assigned.groupBy("cid")
             # F.get (not []): ANSI mode throws on out-of-bounds GetArrayItem
@@ -572,6 +572,123 @@ def _lloyds_iterate(
                 new = [math.floor(x * quantize) / quantize for x in new]
             cents[r.cid] = new
     return cents
+
+
+def assign_cids_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    idname: str,
+    cents: "list[tuple]",
+    cent_norms: "list[float]",
+    dim: int,
+    with_id: bool = True,
+) -> DataFrame:
+    """Nearest-centroid assignment — ``(idname, idname_vec, idname_nrm,
+    cid)`` — in ONE vectorized Arrow pass instead of n_lists interpreted
+    dot folds per row (the lsh_buckets_arrow treatment; the assignment
+    expression was the dominant cost of the IVF/k-means family).
+
+    BIT-EXACT to ``array_min`` over the (-dot/(nrm·cn), cid) structs:
+    folds accumulate in ascending dimension order (dot/norm's left-fold
+    order), (-d)/(nrm·cn) is the same op order, NaN scores sort LAST
+    (Spark's double ordering) via a +inf substitution so argmin picks the
+    smallest non-NaN — ties break to the smaller cid (first occurrence)
+    exactly like the struct ordering — and vectors whose length != dim
+    (null-poisoned dot -> null score, nulls-first struct min) land on the
+    first centroid id, as the expression path resolves them. ``idname_nrm``
+    is the vector's own-length norm fold (what norm(vec) returns
+    regardless of dim mismatches); NULL vectors carry a NULL norm.
+    ``with_id=False`` drops the id column (the Lloyd's loop needs only
+    (cid, vec))."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray([list(v) for _, v in cents], dtype=np.float64)
+    cn_arr = np.asarray(cent_norms, dtype=np.float64)
+    cid_arr = np.asarray([int(c) for c, _ in cents], dtype=np.int64)
+    kk = C.shape[0]
+    if kk:
+        # process centroids in ascending-cid order: the struct ordering
+        # breaks score ties to the SMALLER cid VALUE, and np.argmin picks
+        # the first index — ascending order makes those identical (cid
+        # values are unsorted in the untrained-IVF sampled codebook)
+        order0 = np.argsort(cid_arr, kind="stable")
+        C, cn_arr, cid_arr = C[order0], cn_arr[order0], cid_arr[order0]
+    # a row whose scores are ALL null (len != dim) or ALL NaN (zero norms)
+    # resolves to the minimum cid value under the struct ordering (nulls
+    # first / NaN ties -> cid comparison)
+    first_cid = int(cid_arr[0]) if kk else None
+    vec_dt = df.schema[vec_col].dataType
+    fields = []
+    if with_id:
+        fields.append(T.StructField(idname, df.schema[id_col].dataType))
+    fields += [
+        T.StructField(f"{idname}_vec", T.ArrayType(T.DoubleType())),
+        T.StructField(f"{idname}_nrm", T.DoubleType()),
+        # long, not int: untrained-IVF codebooks carry corpus ids as cids
+        T.StructField("cid", T.LongType()),
+    ]
+    out_schema = T.StructType(fields)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            vs = pdf["_v"]
+            good = np.fromiter(
+                (v is not None and len(v) == dim for v in vs),
+                dtype=bool,
+                count=n,
+            )
+            V = np.zeros((n, dim))
+            if good.any():
+                V[good] = (
+                    np.array([np.asarray(v) for v in vs[good]])
+                    .astype(np.float64)
+                    .reshape(int(good.sum()), dim)
+                )
+            nrm = np.zeros(n)
+            D = np.zeros((n, kk)) if kk else np.zeros((n, 0))
+            for k2 in range(dim):
+                nrm = nrm + V[:, k2] * V[:, k2]
+                if kk:
+                    D = D + V[:, k2][:, None] * C[:, k2][None, :]
+            nrm = np.sqrt(nrm)
+            if kk:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    negs = (-D) / (nrm[:, None] * cn_arr[None, :])
+                negs = np.where(np.isnan(negs), np.inf, negs)
+                cids = cid_arr[np.argmin(negs, axis=1)]
+            else:
+                cids = np.zeros(n, dtype="int64")
+            # rows whose vector is NULL or not dim-long: the expression
+            # path's dot nulls out -> (null, cid) structs -> nulls-first
+            # min -> FIRST centroid id; their norm is the own-length fold
+            nrm_mask = np.zeros(n, dtype=bool)
+            for i3 in np.nonzero(~good)[0]:
+                v = vs.iloc[i3]
+                if v is None:
+                    nrm_mask[i3] = True
+                    continue
+                acc = 0.0
+                for x in np.asarray(v, dtype=np.float64):
+                    acc = acc + x * x
+                nrm[i3] = np.sqrt(acc)
+            if first_cid is not None and (~good).any():
+                cids[~good] = first_cid
+            data = {}
+            if with_id:
+                data[idname] = pdf["_id"]
+            data[f"{idname}_vec"] = vs
+            data[f"{idname}_nrm"] = pd.arrays.FloatingArray(nrm, nrm_mask)
+            data["cid"] = cids
+            yield pd.DataFrame(data)
+
+    cols = [F.col(vec_col).cast("array<double>").alias("_v")]
+    if with_id:
+        cols = [F.col(id_col).alias("_id")] + cols
+    return df.select(*cols).mapInPandas(gen, out_schema)
 
 
 def ivf_topk(
@@ -691,14 +808,30 @@ def ivf_topk(
             ).filter(F.col("cid").isNotNull())
         return out
 
-    # spread the corpus ahead of the assignment projection: the n_lists
-    # literal-centroid folds otherwise ride the file-layout-bound scan
-    # task count (one compact parquet file = one core)
+    # corpus assignment as ONE vectorized Arrow pass (assign_cids_arrow —
+    # bit-exact to the array_min struct ordering; the n_lists interpreted
+    # dot folds per row dominated the query), spread off the
+    # file-layout-bound scan first. Queries stay on the expression path
+    # (tiny, broadcast, and they need the n_probe sorted-slice shape).
+    # Mixed-length codebooks (impossible from the sampled/trained builders
+    # but allowed by the signature) keep the expression path.
     from .dedup import _spread
 
-    corpus_lists = assign(
-        _spread(corpus.select(id_col, vec_col)), "neighbor_id", 1
-    )
+    cent_dims = {len(v) for _, v in cents}
+    if len(cent_dims) == 1:
+        corpus_lists = assign_cids_arrow(
+            _spread(corpus.select(id_col, vec_col)),
+            id_col,
+            vec_col,
+            "neighbor_id",
+            cents,
+            cent_norms,
+            cent_dims.pop(),
+        )
+    else:
+        corpus_lists = assign(
+            _spread(corpus.select(id_col, vec_col)), "neighbor_id", 1
+        )
     query_lists = F.broadcast(assign(queries, "query_id", n_probe))
     # each corpus vector lives in exactly ONE list, so a (query, neighbor)
     # pair occurs at most once — no dedup shuffle needed; with the broadcast

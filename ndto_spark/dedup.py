@@ -1464,29 +1464,32 @@ def semantic_dedup(
         )
         return spark.createDataFrame([], schema)
     norms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
-    sims = F.array(
-        *[
-            F.struct(
-                (
-                    -dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in c]))
-                    / (norm(F.col("vec")) * F.lit(cn))
-                ).alias("neg"),
-                F.lit(i).alias("cid"),
-            )
-            for i, (c, cn) in enumerate(zip(cents, norms))
-        ]
-    )
-    assigned = (
+    # assignment via the vectorized Arrow kernel (ann.assign_cids_arrow —
+    # bit-exact to the array_min struct ordering), spread off the
+    # file-layout-bound scan; the k interpreted dot folds per row
+    # dominated the pre-join stage
+    src = (
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
         .filter(F.col("vec").isNotNull() & (F.size("vec") >= dim))
-        .select(
+    )
+    assigned = (
+        ann.assign_cids_arrow(
+            _spread(src),
             "vid",
             "vec",
-            F.array_min(sims)["cid"].alias("cid"),
-            norm(F.col("vec")).alias("nrm"),
+            "vid",
+            list(enumerate(cents)),
+            norms,
+            dim,
+        )
+        .select(
+            "vid",
+            F.col("vid_vec").alias("vec"),
+            "cid",
+            F.col("vid_nrm").alias("nrm"),
         )
         .repartition(F.col("cid"))  # ONE Exchange, shared by both join sides
     )
