@@ -1049,17 +1049,23 @@ def hard_negatives(
     bounded two-phase top-k (O(k·partitions) state per anchor, never the
     candidate set). For anchor sets too big to broadcast, run per-shard.
     """
+    # per-VECTOR norms hoisted out of the per-PAIR expression (the
+    # brute_force_topk treatment): one dot fold per surviving pair instead
+    # of dot + two norm folds; dot/(qn*cn) is cosine()'s exact op order,
+    # so the double is bit-identical
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             F.col(group_col).alias("qg"),
+            norm(F.col(vec_col)).alias("_qn"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.col(group_col).alias("cg"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = c.join(
         q,
@@ -1068,7 +1074,10 @@ def hard_negatives(
     ).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        (
+            dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("_qn") * F.col("_cn"))
+        ).alias("cosine_sim"),
     )
     return two_phase_topk(scored, k)
 
